@@ -1,0 +1,67 @@
+"""SparkSession factory.
+
+Replaces the reference's SparkSessionManager (etl_pipeline_spark.py:580-639)
+with a Spark-first configuration:
+
+- AQE + partition coalescing + skew-join handling ON (the reference enables
+  AQE at etl_pipeline_spark.py:612-613; we add skewJoin which it lacks).
+- auto-broadcast ON (the reference disables it at :625 and hand-places
+  broadcast() hints; letting Catalyst decide is strictly better here since
+  our dimensions are genuinely small).
+- shuffle partitions sized to the local core count rather than the
+  reference's fixed 200 (:153-154) — at cluster scale this would be set to
+  ~2-3x total executor cores, or left to AQE coalescing.
+- Arrow enabled for any Pandas-UDF path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_APP_NAME = "netflix-data-ingestion-spark"
+
+
+def default_parallelism() -> int:
+    """Shuffle-partition default: env override, else local core count."""
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return max(1, int(env))
+    return os.cpu_count() or 8
+
+
+def build_session(
+    app_name: str = DEFAULT_APP_NAME,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or get) a SparkSession configured for this engine.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
+    cluster the caller passes the cluster master / relies on spark-submit.
+    """
+    cores = default_parallelism()
+    if master is None:
+        master = os.environ.get("SPARK_MASTER", f"local[{cores}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = cores
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,52 @@
+"""Source readers (SURVEY.md §2.1 S1/S5).
+
+- Line-text scan (S1): ``spark.read.text`` — used by the Netflix-format
+  parsers; one ``value: string`` row per line.
+- Parquet table scan (S5 replacement): the engine's storage format.  The
+  reference read its own tables back over JDBC
+  (etl_pipeline_spark.py:1375-1385); here tables are partitioned Parquet,
+  so scans get predicate pushdown + partition pruning from Catalyst.
+- Testdata loader: registers the driver-generated TPC-H-ish tables
+  (TESTDATA.md) as both DataFrames and temp views.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_lines(spark: SparkSession, path: str | list[str]) -> DataFrame:
+    """Line-text scan (reference etl_pipeline_spark.py:890, 973, 1094)."""
+    return spark.read.text(path)
+
+
+def read_table(spark: SparkSession, root: str, name: str) -> DataFrame:
+    """Read one engine/testdata table stored as Parquet."""
+    return spark.read.parquet(os.path.join(root, f"{name}.parquet"))
+
+
+def load_testdata(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    """Load the driver-generated tables and register temp views."""
+    out: dict[str, DataFrame] = {}
+    for t in tables:
+        df = read_table(spark, sf_dir, t)
+        df.createOrReplaceTempView(t)
+        out[t] = df
+    return out
