@@ -1,0 +1,509 @@
+"""Driver-contract queries: reference query shapes over the testdata tables.
+
+Each entry maps one operator/query shape from SURVEY.md §2 (the reference's
+declared query surface, schema.sql:131-237 / README.md:450-474, plus its
+pipeline aggregates) onto the driver-generated TPC-H-ish tables
+(TESTDATA.md), per the FIXTURES.md §B mapping.  Every query has:
+
+- ``spark``:  (spark, sf_dir) -> DataFrame — idiomatic DataFrame API
+- ``oracle``: equivalent ANSI SQL for DuckDB over the same parquet
+
+Cross-engine parity discipline:
+- every computed column is aliased identically on both sides;
+- aggregate doubles are rounded (2 decimals for money-ish, 6 for ratios)
+  so independent float summation orders can't flip the value hash;
+- LIMIT/top-k queries carry a deterministic tie-break key;
+- ints that differ by default width across engines (year(), datediff())
+  are cast explicitly on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from netflix_data_ingestion_spark.functions.datetime import (
+    date_key,
+    day_of_week_monday0,
+    is_weekend,
+    month_name,
+)
+from netflix_data_ingestion_spark.operators.ffill import forward_fill_grouped
+from netflix_data_ingestion_spark.sources.readers import read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Q: pricing_summary — flagship (scan + filter + groupBy multi-agg + sort).
+# Shape of the reference's daily/summary aggregation views
+# (schema.sql:131-144) and the classic pricing-summary report.
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)                              AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)                         AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)      AS sum_disc_price,
+       ROUND(AVG(l_quantity), 2)                              AS avg_qty,
+       ROUND(AVG(l_extendedprice), 2)                         AS avg_price,
+       ROUND(AVG(l_discount), 6)                              AS avg_disc,
+       COUNT(*)                                               AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: top_parts_by_count — "top-10 most-rated movies" analog
+# (README.md:450-454): fact ⋈ dim, groupBy, count+avg, orderBy desc, limit.
+# ---------------------------------------------------------------------------
+
+
+def q_top_parts_by_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_partkey", "p_name")
+        .agg(
+            F.count("*").alias("order_count"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        )
+        .orderBy(F.col("order_count").desc(), F.col("p_partkey").asc())
+        .limit(10)
+    )
+
+
+ORACLE_TOP_PARTS = """
+SELECT p_partkey, p_name,
+       COUNT(*)                         AS order_count,
+       ROUND(AVG(l_extendedprice), 2)   AS avg_price
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_partkey, p_name
+ORDER BY order_count DESC, p_partkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: top_discounted_parts_having — "top-10 highest-rated with HAVING >= K"
+# analog (schema.sql:198-210): group, HAVING count filter, order by avg.
+# ---------------------------------------------------------------------------
+
+
+def q_top_discounted_parts_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_partkey", "p_name")
+        .agg(
+            F.count("*").alias("order_count"),
+            F.round(F.avg("l_discount"), 6).alias("avg_discount"),
+        )
+        .filter(F.col("order_count") >= 5)
+        .orderBy(F.col("avg_discount").desc(), F.col("p_partkey").asc())
+        .limit(10)
+    )
+
+
+ORACLE_TOP_DISCOUNTED_HAVING = """
+SELECT p_partkey, p_name,
+       COUNT(*)                    AS order_count,
+       ROUND(AVG(l_discount), 6)   AS avg_discount
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_partkey, p_name
+HAVING COUNT(*) >= 5
+ORDER BY avg_discount DESC, p_partkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: orders_trend_by_year — "rating trend by year" analog (schema.sql:214-224):
+# groupBy year, count, avg, count-distinct.
+# ---------------------------------------------------------------------------
+
+
+def q_orders_trend_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            F.count("*").alias("order_count"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_total"),
+            F.countDistinct("o_custkey").alias("unique_customers"),
+        )
+        .orderBy("order_year")
+    )
+
+
+ORACLE_ORDERS_TREND = """
+SELECT CAST(year(o_orderdate) AS INT)   AS order_year,
+       COUNT(*)                         AS order_count,
+       ROUND(AVG(o_totalprice), 2)      AS avg_total,
+       COUNT(DISTINCT o_custkey)        AS unique_customers
+FROM orders
+GROUP BY 1
+ORDER BY order_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: daily_event_summary — v_daily_rating_summary analog (schema.sql:131-144):
+# groupBy date, count, avg, two count-distincts, orderBy date.
+# ---------------------------------------------------------------------------
+
+
+def q_daily_event_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.to_date("ts").alias("event_date"))
+        .agg(
+            F.count("*").alias("event_count"),
+            F.round(F.avg("value"), 2).alias("avg_value"),
+            F.countDistinct("user_id").alias("unique_users"),
+            F.countDistinct("event_type").alias("unique_types"),
+        )
+        .orderBy("event_date")
+    )
+
+
+ORACLE_DAILY_EVENTS = """
+SELECT CAST(ts AS DATE)              AS event_date,
+       COUNT(*)                      AS event_count,
+       ROUND(AVG(value), 2)          AS avg_value,
+       COUNT(DISTINCT user_id)       AS unique_users,
+       COUNT(DISTINCT event_type)    AS unique_types
+FROM events
+GROUP BY 1
+ORDER BY event_date
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: most_active_customers — "most active customers" analog
+# (schema.sql:229-237): top-20 by activity + date arithmetic (datediff).
+# ---------------------------------------------------------------------------
+
+
+def q_most_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("*").alias("order_count"),
+            F.min(F.to_date("o_orderdate")).alias("first_order_date"),
+            F.max(F.to_date("o_orderdate")).alias("last_order_date"),
+        )
+        .withColumn(
+            "active_days",
+            F.datediff("last_order_date", "first_order_date").cast("int"),
+        )
+        .orderBy(F.col("order_count").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+ORACLE_MOST_ACTIVE = """
+SELECT c_custkey, c_name,
+       COUNT(*)                                           AS order_count,
+       MIN(CAST(o_orderdate AS DATE))                     AS first_order_date,
+       MAX(CAST(o_orderdate AS DATE))                     AS last_order_date,
+       CAST(date_diff('day', MIN(CAST(o_orderdate AS DATE)),
+                      MAX(CAST(o_orderdate AS DATE))) AS INT) AS active_days
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY order_count DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: customer_order_aggregates — the pipeline's customer back-fill aggregate
+# (etl_pipeline_spark.py:1388-1396): groupBy key, min/max date, count.
+# ---------------------------------------------------------------------------
+
+
+def q_customer_order_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.min(F.to_date("o_orderdate")).alias("first_order_date"),
+        F.max(F.to_date("o_orderdate")).alias("last_order_date"),
+        F.count("*").alias("total_orders"),
+    )
+
+
+ORACLE_CUSTOMER_AGGREGATES = """
+SELECT o_custkey,
+       MIN(CAST(o_orderdate AS DATE)) AS first_order_date,
+       MAX(CAST(o_orderdate AS DATE)) AS last_order_date,
+       COUNT(*)                       AS total_orders
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: orphan_lineitems — anti-join integrity check (schema.sql:188-191).
+# ---------------------------------------------------------------------------
+
+
+def q_orphan_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    orphans = li.join(
+        orders, li.l_orderkey == orders.o_orderkey, "left_anti"
+    )
+    return orphans.agg(F.count("*").alias("orphan_count"))
+
+
+ORACLE_ORPHANS = """
+SELECT COUNT(*) AS orphan_count
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IS NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: distinct_event_users — union + distinct dedup across inputs
+# (etl_pipeline_spark.py:988-994).
+# ---------------------------------------------------------------------------
+
+
+def q_distinct_event_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    a = events.filter(F.col("event_type").isin("click", "view")).select("user_id")
+    b = events.filter(F.col("event_type").isin("purchase", "signup")).select(
+        "user_id"
+    )
+    return a.union(b).distinct().orderBy("user_id")
+
+
+ORACLE_DISTINCT_USERS = """
+SELECT DISTINCT user_id FROM (
+  SELECT user_id FROM events WHERE event_type IN ('click', 'view')
+  UNION ALL
+  SELECT user_id FROM events WHERE event_type IN ('purchase', 'signup')
+) u
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: calendar_dim — the date-dimension generator (etl_pipeline_spark.py:757-811)
+# over the orders date range, with every derived column per the documented
+# contract (day_of_week 0=Monday, full month names, weekend flag).
+# ---------------------------------------------------------------------------
+
+
+def q_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min(F.to_date("o_orderdate")).alias("lo"),
+        F.max(F.to_date("o_orderdate")).alias("hi"),
+    )
+    dates = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 day"))
+        ).alias("date_actual")
+    )
+    d = F.col("date_actual")
+    return dates.select(
+        date_key(d).alias("date_key"),
+        d.alias("date_actual"),
+        F.year(d).cast("int").alias("year"),
+        F.month(d).cast("int").alias("month"),
+        F.dayofmonth(d).cast("int").alias("day"),
+        F.quarter(d).cast("int").alias("quarter"),
+        day_of_week_monday0(d).cast("int").alias("day_of_week"),
+        month_name(d).alias("month_name"),
+        is_weekend(d).alias("is_weekend"),
+    ).orderBy("date_key")
+
+
+ORACLE_CALENDAR = """
+WITH r AS (
+  SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+         MAX(CAST(o_orderdate AS DATE)) AS hi
+  FROM orders
+),
+d AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+           AS date_actual
+  FROM r
+)
+SELECT CAST(strftime(date_actual, '%Y%m%d') AS INT)  AS date_key,
+       date_actual,
+       CAST(year(date_actual) AS INT)                AS year,
+       CAST(month(date_actual) AS INT)               AS month,
+       CAST(day(date_actual) AS INT)                 AS day,
+       CAST(quarter(date_actual) AS INT)             AS quarter,
+       CAST(isodow(date_actual) - 1 AS INT)          AS day_of_week,
+       monthname(date_actual)                        AS month_name,
+       isodow(date_actual) >= 6                      AS is_weekend
+FROM d
+ORDER BY date_key
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: forward_fill_events — the reference's LOCF primitive
+# (etl_pipeline_spark.py:1114-1122) as a grouped forward-fill: carry the
+# last purchase amount forward along each user's event timeline.
+# ---------------------------------------------------------------------------
+
+
+def q_forward_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    tagged = events.withColumn(
+        "purchase_value",
+        F.when(F.col("event_type") == "purchase", F.col("value")),
+    )
+    filled = forward_fill_grouped(
+        tagged,
+        partition_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        value_col="purchase_value",
+        out_col="last_purchase_value",
+    )
+    return filled.select(
+        "event_id",
+        "user_id",
+        F.round("last_purchase_value", 2).alias("last_purchase_value"),
+    ).orderBy("event_id")
+
+
+ORACLE_FORWARD_FILL = """
+SELECT event_id, user_id,
+       ROUND(LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END
+                        IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS last_purchase_value
+FROM events
+ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: join_drop_accounting — broadcast key-mapping joins with dropped-row
+# accounting (etl_pipeline_spark.py:1149-1172).
+# ---------------------------------------------------------------------------
+
+
+def q_join_drop_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey")
+    joined = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey, "left"
+    ).join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey, "left")
+    return joined.agg(
+        F.count("*").alias("total_rows"),
+        F.count("p_partkey").alias("with_part"),
+        F.count("s_suppkey").alias("with_supplier"),
+        F.sum(
+            (
+                F.col("p_partkey").isNull() | F.col("s_suppkey").isNull()
+            ).cast("bigint")
+        ).alias("dropped_rows"),
+    )
+
+
+ORACLE_JOIN_DROP = """
+SELECT COUNT(*)            AS total_rows,
+       COUNT(p_partkey)    AS with_part,
+       COUNT(s_suppkey)    AS with_supplier,
+       SUM(CASE WHEN p_partkey IS NULL OR s_suppkey IS NULL
+                THEN 1 ELSE 0 END) AS dropped_rows
+FROM lineitem
+LEFT JOIN part     ON l_partkey = p_partkey
+LEFT JOIN supplier ON l_suppkey = s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q: table_counts — row-count verification via UNION ALL (schema.sql:179-185).
+# ---------------------------------------------------------------------------
+
+_COUNT_TABLES = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events")
+
+
+def q_table_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = [
+        _t(spark, sf_dir, name).agg(
+            F.lit(name).alias("table_name"), F.count("*").alias("row_count")
+        )
+        for name in _COUNT_TABLES
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("table_name")
+
+
+ORACLE_TABLE_COUNTS = "\nUNION ALL\n".join(
+    f"SELECT '{name}' AS table_name, COUNT(*) AS row_count FROM {name}"
+    for name in _COUNT_TABLES
+) + "\nORDER BY table_name"
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+#: name -> (spark builder, duckdb oracle SQL or None for rows-only checks)
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    "pricing_summary": (q_pricing_summary, ORACLE_PRICING_SUMMARY),
+    "top_parts_by_count": (q_top_parts_by_count, ORACLE_TOP_PARTS),
+    "top_discounted_parts_having": (
+        q_top_discounted_parts_having,
+        ORACLE_TOP_DISCOUNTED_HAVING,
+    ),
+    "orders_trend_by_year": (q_orders_trend_by_year, ORACLE_ORDERS_TREND),
+    "daily_event_summary": (q_daily_event_summary, ORACLE_DAILY_EVENTS),
+    "most_active_customers": (q_most_active_customers, ORACLE_MOST_ACTIVE),
+    "customer_order_aggregates": (
+        q_customer_order_aggregates,
+        ORACLE_CUSTOMER_AGGREGATES,
+    ),
+    "orphan_lineitems": (q_orphan_lineitems, ORACLE_ORPHANS),
+    "distinct_event_users": (q_distinct_event_users, ORACLE_DISTINCT_USERS),
+    "calendar_dim": (q_calendar_dim, ORACLE_CALENDAR),
+    "forward_fill_events": (q_forward_fill_events, ORACLE_FORWARD_FILL),
+    "join_drop_accounting": (q_join_drop_accounting, ORACLE_JOIN_DROP),
+    "table_counts": (q_table_counts, ORACLE_TABLE_COUNTS),
+}

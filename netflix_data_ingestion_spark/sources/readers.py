@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TESTDATA_TABLES = (
     "region",
@@ -36,8 +37,20 @@ def read_lines(spark: SparkSession, path: str | list[str]) -> DataFrame:
 
 
 def read_table(spark: SparkSession, root: str, name: str) -> DataFrame:
-    """Read one engine/testdata table stored as Parquet."""
-    return spark.read.parquet(os.path.join(root, f"{name}.parquet"))
+    """Read one engine/testdata table stored as Parquet.
+
+    Handles TIMESTAMP(NANOS) parquet columns (which Spark's vectorized
+    reader rejects): reads them as raw int64 nanos via the legacy conf and
+    converts to microsecond timestamps JVM-side.  Sub-microsecond
+    precision is truncated — acceptable for event-time analytics.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(root, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return df
 
 
 def load_testdata(
