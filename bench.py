@@ -1,0 +1,63 @@
+"""Benchmark harness — runs the headline queries and prints ONE JSON line.
+
+Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python bench.py
+
+Each query is materialized with the ``noop`` sink (full execution, no
+driver collect) after a warm-up of the input file listing.  Output:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": 0.1}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: every contract query (reference-parity + beyond-reference)
+BENCH_QUERIES: list[str] | None = None  # None = all registered queries
+
+
+def main() -> None:
+    from netflix_data_ingestion_spark.plans.contract import REGISTRY
+    from netflix_data_ingestion_spark.session import build_session
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1)) if m else None
+
+    spark = build_session(app_name="bench")
+    # warm up the JVM + file listing so the first query isn't charged for it
+    spark.range(1000).selectExpr("sum(id)").collect()
+    names = BENCH_QUERIES or list(REGISTRY)
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn, _ = REGISTRY[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -69,22 +69,24 @@ FACT_RATINGS_SCHEMA = T.StructType(
 # CHECK-constraint predicates (schema.sql:32-35, 57, 100)
 # ---------------------------------------------------------------------------
 
-CHECKS: dict[str, dict[str, Column]] = {
-    "dim_date": {
-        "month_range": F.col("month").between(1, 12),
-        "day_range": F.col("day").between(1, 31),
-        "quarter_range": F.col("quarter").between(1, 4),
-        "day_of_week_range": F.col("day_of_week").between(0, 6),
-    },
-    "dim_movie": {
-        # release_year BETWEEN 1890 AND 2010, NULL allowed (schema.sql:57)
-        "release_year_range": F.col("release_year").isNull()
-        | F.col("release_year").between(1890, 2010),
-    },
-    "fact_ratings": {
-        "rating_range": F.col("rating").between(1, 5),
-    },
-}
+def checks() -> dict[str, dict[str, Column]]:
+    """CHECK predicates per table (built lazily — Columns need a live session)."""
+    return {
+        "dim_date": {
+            "month_range": F.col("month").between(1, 12),
+            "day_range": F.col("day").between(1, 31),
+            "quarter_range": F.col("quarter").between(1, 4),
+            "day_of_week_range": F.col("day_of_week").between(0, 6),
+        },
+        "dim_movie": {
+            # release_year BETWEEN 1890 AND 2010, NULL allowed (schema.sql:57)
+            "release_year_range": F.col("release_year").isNull()
+            | F.col("release_year").between(1890, 2010),
+        },
+        "fact_ratings": {
+            "rating_range": F.col("rating").between(1, 5),
+        },
+    }
 
 
 def validate(df: DataFrame, table: str) -> tuple[DataFrame, DataFrame]:
@@ -94,10 +96,10 @@ def validate(df: DataFrame, table: str) -> tuple[DataFrame, DataFrame]:
     callers keep the valid side and account for the invalid side, the same
     way the reference logs dropped rows (etl_pipeline_spark.py:1163-1172).
     """
-    checks = CHECKS.get(table, {})
-    if not checks:
+    table_checks = checks().get(table, {})
+    if not table_checks:
         return df, df.limit(0)
     pred = None
-    for c in checks.values():
+    for c in table_checks.values():
         pred = c if pred is None else (pred & c)
     return df.filter(pred), df.filter(~pred)

@@ -1,0 +1,27 @@
+"""Driver-contract smoke: entry() + every query runs at sf0.001 and each
+oracle key maps to a registered query (full value comparison lives in
+tools/check_correctness.py, run at sf0.01)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as entry_mod
+
+
+def test_entry_returns_rows(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+
+
+def test_all_queries_run_at_smoke_scale(spark, sf_dir):
+    for name, fn in entry_mod.queries().items():
+        df = fn(spark, sf_dir)
+        assert df.count() >= 0, name
+
+
+def test_oracle_keys_subset_of_queries():
+    assert set(entry_mod.oracle_sql()) <= set(entry_mod.queries())
