@@ -1,0 +1,272 @@
+"""Deduplication operators — beyond-reference (BASELINE.json north star).
+
+The reference's only dedup is union+distinct over customer ids
+(etl_pipeline_spark.py:988-994).  A training-data pipeline needs document
+dedup at corpus scale; this module provides the standard ladder:
+
+- exact dedup          hash-groupBy (one shuffle on the digest)
+- n-gram Jaccard       shingle self-join — exact pairwise, quadratic in
+                       docs sharing a shingle; the verification stage
+- MinHash + LSH        the scale path: per-doc signatures via min-hashing,
+                       banding, bucket self-join — candidate generation is
+                       linear in corpus size + bucket-local joins
+- SimHash              64-bit fingerprints for hamming-style near-dup
+
+Determinism discipline: every hash is ``md5`` over explicit strings, so
+an external SQL engine (the DuckDB oracle) reproduces results bit-for-bit
+— no engine-specific hash functions (Spark's ``hash()``/``xxhash64`` are
+murmur-based and unportable).  A minhash here is the lexicographic MIN of
+``md5(seed || '|' || shingle)`` hex strings — md5 is uniform, so the hex
+min is a valid minwise sample.
+
+Scale notes (100 TB posture):
+- shingle explosion is a flatMap (narrow); the only shuffles are the
+  groupBys on (doc, seed) / (band, band_key) — both key-partitioned and
+  combinable map-side;
+- LSH bucket joins are self-joins on band_key: bounded by bucket size,
+  resistant to corpus growth (tune bands/rows to the target similarity);
+- the exact Jaccard verifier should only run on LSH candidates at scale
+  (compose: lsh_candidate_pairs -> join shingle sets); the standalone
+  all-pairs form here is the small-corpus / correctness baseline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HEX = "0123456789abcdef"
+
+
+def tokens(text: Column) -> Column:
+    """Lowercase word tokens, empty strings removed (portable regex)."""
+    return F.filter(
+        F.split(F.lower(text), "[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+
+
+def shingles(tok: Column, n: int) -> Column:
+    """Distinct word n-gram shingles (space-joined) from a token array."""
+    return F.array_distinct(
+        F.when(
+            F.size(tok) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tok) - (n - 1)),
+                lambda i: F.array_join(F.slice(tok, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Assign each row to its exact-duplicate group.
+
+    Returns (id, content_hash, canonical_id, group_size): canonical is the
+    min id sharing the md5 digest.  One shuffle on the digest.
+    """
+    hashed = df.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("content_hash")
+    )
+    groups = hashed.groupBy("content_hash").agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count("*").alias("group_size"),
+    )
+    return hashed.join(groups, "content_hash").select(
+        id_col, "content_hash", "canonical_id", "group_size"
+    )
+
+
+def shingle_table(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, shingle) — exploded distinct n-gram shingles per doc."""
+    return df.select(
+        F.col(id_col),
+        F.explode(shingles(tokens(F.col(text_col)), n)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard similarity >= threshold.
+
+    Self-join on shingle -> intersection counts; Jaccard from per-doc
+    distinct-shingle sizes.  All-pairs exact form (baseline); at corpus
+    scale run it only on LSH candidates.
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col(f"a.shingle") == F.col(f"b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("intersection"))
+    )
+    sa = sizes.select(
+        F.col(id_col).alias("id_a"), F.col("n_shingles").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col(id_col).alias("id_b"), F.col("n_shingles").alias("size_b")
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("intersection")
+            / (F.col("size_a") + F.col("size_b") - F.col("intersection")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            "intersection",
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+
+
+def minhash_band_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band, band_key) — LSH banding of md5-minhash signatures.
+
+    minhash_s = lexicographic MIN over shingles of md5(s || '|' || shingle);
+    band_key  = md5 of the band's minhashes joined in seed order.
+    """
+    rows_per_band = num_hashes // bands
+    sh = shingle_table(df, id_col, text_col, n)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    hashed = sh.select(F.col(id_col), F.col("shingle"), seeds).withColumn(
+        "h",
+        F.md5(
+            F.concat(
+                F.col("seed").cast("string"), F.lit("|"), F.col("shingle")
+            )
+        ),
+    )
+    sigs = hashed.groupBy(id_col, "seed").agg(F.min("h").alias("mh"))
+    banded = sigs.withColumn(
+        "band", F.floor(F.col("seed") / rows_per_band).cast("int")
+    )
+    # order minhashes inside a band by zero-padded seed prefix, then hash
+    return banded.groupBy(id_col, "band").agg(
+        F.md5(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(
+                        F.concat(
+                            F.lpad(F.col("seed").cast("string"), 2, "0"),
+                            F.lit(":"),
+                            F.col("mh"),
+                        )
+                    )
+                ),
+                "|",
+            )
+        ).alias("band_key")
+    )
+
+
+def minhash_lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Distinct candidate near-dup pairs: docs sharing >= 1 LSH band bucket."""
+    bt = minhash_band_table(df, id_col, text_col, n, num_hashes, bands)
+    a = bt.alias("a")
+    b = bt.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash fingerprint per doc, returned as a 16-char hex string.
+
+    Token hash = first 16 hex chars of md5(token) (64 bits); contributions
+    are weighted by token frequency.  Bit j of output digit i is the sign
+    of the weighted sum of bit j of digit i across token hashes.  Pure
+    integer arithmetic over hex-digit values -> portable to any SQL engine.
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    counted = tok.groupBy(id_col, "token").agg(F.count("*").alias("cnt"))
+    hashed = counted.withColumn("h", F.substring(F.md5("token"), 1, 16))
+    positions = hashed.select(
+        F.col(id_col),
+        F.col("cnt"),
+        F.explode(F.sequence(F.lit(1), F.lit(16))).alias("i"),
+        F.col("h"),
+    ).withColumn(
+        "d", F.expr(f"instr('{HEX}', substring(h, i, 1)) - 1")
+    )
+
+    def bit_sum(j: int) -> Column:
+        bit = (F.floor(F.col("d") / (2**j)) % 2).cast("long")
+        return F.sum(F.col("cnt") * (2 * bit - 1))
+
+    digit_sums = positions.groupBy(id_col, "i").agg(
+        bit_sum(0).alias("s0"),
+        bit_sum(1).alias("s1"),
+        bit_sum(2).alias("s2"),
+        bit_sum(3).alias("s3"),
+    )
+    digits = digit_sums.withColumn(
+        "v",
+        (F.col("s3") > 0).cast("int") * 8
+        + (F.col("s2") > 0).cast("int") * 4
+        + (F.col("s1") > 0).cast("int") * 2
+        + (F.col("s0") > 0).cast("int"),
+    ).withColumn("ch", F.substring(F.lit(HEX), 1, 16).substr(F.col("v") + 1, F.lit(1)))
+    return digits.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.concat(
+                            F.lpad(F.col("i").cast("string"), 2, "0"),
+                            F.lit(":"),
+                            F.col("ch"),
+                        )
+                    )
+                ),
+                lambda x: F.right(x, F.lit(1)),
+            ),
+            "",
+        ).alias("simhash64")
+    )

@@ -1,0 +1,168 @@
+"""Similarity search over embedding columns — beyond-reference.
+
+Brute-force cosine top-k is the correctness baseline: a cross join
+between a (small) query set and the corpus, vector math via
+``F.zip_with``/``F.aggregate`` (JVM-side, whole-stage codegen — no Python
+transfer), ranked per query with a deterministic tie-break.  At 100 TB
+the query side is broadcast and the corpus scan is embarrassingly
+parallel — the cross join is a BroadcastNestedLoopJoin whose cost is
+(corpus rows x query rows), linear in the corpus for a fixed query set.
+
+The scale path is LSH bucketing (random hyperplane signs): each vector
+gets a small bucket id; candidates are restricted to the query's bucket,
+cutting the scanned fraction to ~1/2^planes per query at some recall
+cost.  Hyperplane components derive from md5 hex digits, so the
+bucketing is reproducible in any SQL engine (the DuckDB oracle runs the
+identical construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from netflix_data_ingestion_spark.functions.vectors import cosine
+
+HEX = "0123456789abcdef"
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k for each query vector.
+
+    Returns (query_id, neighbor_id, cosine_sim) with cosine rounded to 6
+    decimals (also the ranking key, so cross-engine float noise cannot
+    reorder the cut) and neighbor id as tie-break.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
+
+
+def _hyperplane_component(plane: F.Column, dim: F.Column) -> F.Column:
+    """Deterministic pseudo-random component in [-7.5, 7.5].
+
+    Value of the first hex digit of md5('<plane>:<dim>') minus 7.5 —
+    crude but adequate for sign-random projections, and portable.
+    """
+    digit = F.expr(
+        f"instr('{HEX}', substring(md5(concat(plane, ':', dim)), 1, 1)) - 1"
+    )
+    return digit - F.lit(7.5)
+
+
+def lsh_bucket(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+) -> DataFrame:
+    """(id, bucket) — sign pattern of `planes` random-hyperplane projections."""
+    pos = df.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col)).alias("dim0", "x"),
+    ).select(
+        F.col(id_col),
+        (F.col("dim0") + 1).cast("string").alias("dim"),
+        F.col("x").cast("double").alias("x"),
+    )
+    planes_df = pos.select(
+        F.col(id_col),
+        F.col("dim"),
+        F.col("x"),
+        F.explode(F.sequence(F.lit(1), F.lit(planes))).alias("plane0"),
+    ).withColumn("plane", F.col("plane0").cast("string"))
+    proj = (
+        planes_df.withColumn(
+            "contrib", F.col("x") * _hyperplane_component(F.col("plane"), F.col("dim"))
+        )
+        .groupBy(id_col, "plane0")
+        .agg(F.sum("contrib").alias("s"))
+        .withColumn("bit", F.when(F.col("s") > 0, F.lit("1")).otherwise(F.lit("0")))
+    )
+    return proj.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.concat(
+                            F.lpad(F.col("plane0").cast("string"), 2, "0"),
+                            F.lit(":"),
+                            F.col("bit"),
+                        )
+                    )
+                ),
+                lambda x: F.right(x, F.lit(1)),
+            ),
+            "",
+        ).alias("bucket")
+    ).select(id_col, "bucket")
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: exact cosine ranking restricted to the query's
+    LSH bucket.  May return < k rows per query (recall/cost trade-off)."""
+    buckets = lsh_bucket(
+        corpus.unionByName(queries).distinct(), id_col, vec_col, planes
+    )
+    q = (
+        queries.join(buckets, id_col)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.col("bucket").alias("q_bucket"),
+        )
+    )
+    c = (
+        corpus.join(buckets, id_col)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.col("bucket").alias("c_bucket"),
+        )
+    )
+    scored = (
+        q.join(c, F.col("q_bucket") == F.col("c_bucket"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )

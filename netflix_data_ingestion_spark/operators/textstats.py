@@ -1,0 +1,162 @@
+"""Text analysis operators — beyond-reference (BASELINE.json north star).
+
+Language-ID, quality scoring, token counting, and document
+fingerprinting over a ``documents(doc_id, text, ...)`` corpus.  Every
+operator is built-in-expression composition (whole-stage codegen; no
+UDFs), and every hash is md5 so the DuckDB oracle reproduces results
+exactly.
+
+At 100 TB all of these are narrow per-row transforms except the
+fingerprint winnowing (a per-doc window over shingle positions — keyed
+shuffle on doc_id) and the lang-ID lexicon join (broadcast: the lexicon
+is tiny).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from netflix_data_ingestion_spark.operators.dedup import tokens
+
+# tiny stopword lexicons for the languages present in the corpus;
+# lang-ID here is a frequency heuristic, not a model
+LEXICON: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es": ("el", "la", "de", "y", "que", "en", "un", "una", "es", "los"),
+    "de": ("der", "die", "das", "und", "ist", "von", "ein", "eine", "zu", "mit"),
+    "fr": ("le", "la", "les", "de", "et", "un", "une", "est", "que", "dans"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "不", "人", "这"),
+}
+
+STOPWORDS_EN = LEXICON["en"]
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_tokens, n_chars, avg_token_len) — whitespace/punct tokenization."""
+    tok = tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.size(tok).cast("bigint").alias("n_tokens"),
+        F.length(text_col).cast("bigint").alias("n_chars"),
+        F.round(
+            F.aggregate(
+                tok, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+            )
+            / F.size(tok),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic document quality: character-class ratios + stopword ratio.
+
+    score = 0.4*alpha_ratio + 0.3*stopword_ratio
+          + 0.3*(1 - special_ratio), rounded to 6.
+    """
+    t = F.col(text_col)
+    n = F.length(t).cast("double")
+    alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", "")).cast("double")
+    digit = F.length(F.regexp_replace(t, "[^0-9]", "")).cast("double")
+    space = F.length(F.regexp_replace(t, "[^ ]", "")).cast("double")
+    special = n - alpha - digit - space
+
+    tok = tokens(t)
+    n_tokens = F.size(tok)
+    n_stop = F.size(F.filter(tok, lambda x: x.isin(*STOPWORDS_EN)))
+
+    alpha_ratio = F.round(alpha / n, 6)
+    special_ratio = F.round(special / n, 6)
+    stop_ratio = F.round(n_stop / n_tokens, 6)
+    return df.select(
+        F.col(id_col),
+        alpha_ratio.alias("alpha_ratio"),
+        special_ratio.alias("special_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        F.round(
+            0.4 * alpha_ratio + 0.3 * stop_ratio + 0.3 * (1 - special_ratio), 6
+        ).alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, predicted_lang) — argmax of stopword-lexicon hits; 'und' if none.
+
+    The lexicon join is a broadcast (the lexicon is ~50 rows); tie-break
+    is lexicographic on language code for determinism.
+    """
+    spark = df.sparkSession
+    lex = spark.createDataFrame(
+        [(lang, w) for lang, words in LEXICON.items() for w in words],
+        "lang string, word string",
+    )
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word")
+    )
+    hits = (
+        tok.join(F.broadcast(lex), "word")
+        .groupBy(id_col, "lang")
+        .agg(F.count("*").alias("hits"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("hits").desc(), F.col("lang").asc()
+    )
+    best = (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col(id_col), F.col("lang").alias("predicted_lang"))
+    )
+    return df.select(id_col).join(best, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("predicted_lang"), F.lit("und")).alias("predicted_lang"),
+    )
+
+
+def winnow_fingerprint(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprint (local-min sampling of k-gram hashes).
+
+    For each position p, hash the word n-gram starting there (md5); take
+    the min hash over each sliding window of `window` consecutive
+    positions; the distinct set of those minima is the fingerprint.
+    Returns (id, n_fingerprints, fp_digest) where fp_digest is md5 of the
+    sorted minima joined by '|'.
+    """
+    tok = tokens(F.col(text_col))
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                F.size(tok) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tok) - (n - 1)),
+                    lambda i: F.array_join(F.slice(tok, i, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "gram"),
+    ).withColumn("h", F.md5("gram"))
+
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    mins = (
+        grams.withColumn("win_min", F.min("h").over(w))
+        .withColumn("max_pos", F.max("pos").over(Window.partitionBy(id_col)))
+        .filter(F.col("pos") <= F.col("max_pos") - (window - 1))
+        .select(F.col(id_col), F.col("win_min"))
+        .distinct()
+    )
+    return mins.groupBy(id_col).agg(
+        F.count("*").alias("n_fingerprints"),
+        F.md5(
+            F.array_join(F.array_sort(F.collect_list("win_min")), "|")
+        ).alias("fp_digest"),
+    )

@@ -54,11 +54,13 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
             ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            (F.round(F.sum("l_quantity"), 2) / F.count("*")).alias("avg_qty"),
+            (F.round(F.sum("l_extendedprice"), 2) / F.count("*")).alias(
+                "avg_price"
+            ),
+            (F.round(F.sum("l_discount"), 2) / F.count("*")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -69,10 +71,10 @@ ORACLE_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 2)                              AS sum_qty,
        ROUND(SUM(l_extendedprice), 2)                         AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)      AS sum_disc_price,
-       ROUND(AVG(l_quantity), 2)                              AS avg_qty,
-       ROUND(AVG(l_extendedprice), 2)                         AS avg_price,
-       ROUND(AVG(l_discount), 6)                              AS avg_disc,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)      AS sum_disc_price,
+       ROUND(SUM(l_quantity), 2) / COUNT(*)                   AS avg_qty,
+       ROUND(SUM(l_extendedprice), 2) / COUNT(*)              AS avg_price,
+       ROUND(SUM(l_discount), 2) / COUNT(*)                   AS avg_disc,
        COUNT(*)                                               AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2001-09-02'
@@ -95,7 +97,7 @@ def q_top_parts_by_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_partkey", "p_name")
         .agg(
             F.count("*").alias("order_count"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            (F.round(F.sum("l_extendedprice"), 2) / F.count("*")).alias("avg_price"),
         )
         .orderBy(F.col("order_count").desc(), F.col("p_partkey").asc())
         .limit(10)
@@ -105,7 +107,7 @@ def q_top_parts_by_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TOP_PARTS = """
 SELECT p_partkey, p_name,
        COUNT(*)                         AS order_count,
-       ROUND(AVG(l_extendedprice), 2)   AS avg_price
+       ROUND(SUM(l_extendedprice), 2) / COUNT(*)   AS avg_price
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_partkey, p_name
 ORDER BY order_count DESC, p_partkey ASC
@@ -127,7 +129,7 @@ def q_top_discounted_parts_having(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("p_partkey", "p_name")
         .agg(
             F.count("*").alias("order_count"),
-            F.round(F.avg("l_discount"), 6).alias("avg_discount"),
+            (F.round(F.sum("l_discount"), 2) / F.count("*")).alias("avg_discount"),
         )
         .filter(F.col("order_count") >= 5)
         .orderBy(F.col("avg_discount").desc(), F.col("p_partkey").asc())
@@ -138,7 +140,7 @@ def q_top_discounted_parts_having(spark: SparkSession, sf_dir: str) -> DataFrame
 ORACLE_TOP_DISCOUNTED_HAVING = """
 SELECT p_partkey, p_name,
        COUNT(*)                    AS order_count,
-       ROUND(AVG(l_discount), 6)   AS avg_discount
+       ROUND(SUM(l_discount), 2) / COUNT(*)   AS avg_discount
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_partkey, p_name
 HAVING COUNT(*) >= 5
@@ -159,7 +161,7 @@ def q_orders_trend_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
         .agg(
             F.count("*").alias("order_count"),
-            F.round(F.avg("o_totalprice"), 2).alias("avg_total"),
+            (F.round(F.sum("o_totalprice"), 2) / F.count("*")).alias("avg_total"),
             F.countDistinct("o_custkey").alias("unique_customers"),
         )
         .orderBy("order_year")
@@ -169,7 +171,7 @@ def q_orders_trend_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_ORDERS_TREND = """
 SELECT CAST(year(o_orderdate) AS INT)   AS order_year,
        COUNT(*)                         AS order_count,
-       ROUND(AVG(o_totalprice), 2)      AS avg_total,
+       ROUND(SUM(o_totalprice), 2) / COUNT(*) AS avg_total,
        COUNT(DISTINCT o_custkey)        AS unique_customers
 FROM orders
 GROUP BY 1
@@ -189,7 +191,7 @@ def q_daily_event_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.to_date("ts").alias("event_date"))
         .agg(
             F.count("*").alias("event_count"),
-            F.round(F.avg("value"), 2).alias("avg_value"),
+            (F.round(F.sum("value"), 2) / F.count("*")).alias("avg_value"),
             F.countDistinct("user_id").alias("unique_users"),
             F.countDistinct("event_type").alias("unique_types"),
         )
@@ -200,7 +202,7 @@ def q_daily_event_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_DAILY_EVENTS = """
 SELECT CAST(ts AS DATE)              AS event_date,
        COUNT(*)                      AS event_count,
-       ROUND(AVG(value), 2)          AS avg_value,
+       ROUND(SUM(value), 2) / COUNT(*) AS avg_value,
        COUNT(DISTINCT user_id)       AS unique_users,
        COUNT(DISTINCT event_type)    AS unique_types
 FROM events
@@ -485,6 +487,8 @@ ORACLE_TABLE_COUNTS = "\nUNION ALL\n".join(
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+from netflix_data_ingestion_spark.plans.contract_llm import REGISTRY_LLM
+
 #: name -> (spark builder, duckdb oracle SQL or None for rows-only checks)
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "pricing_summary": (q_pricing_summary, ORACLE_PRICING_SUMMARY),
@@ -506,4 +510,5 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "forward_fill_events": (q_forward_fill_events, ORACLE_FORWARD_FILL),
     "join_drop_accounting": (q_join_drop_accounting, ORACLE_JOIN_DROP),
     "table_counts": (q_table_counts, ORACLE_TABLE_COUNTS),
+    **REGISTRY_LLM,
 }

@@ -1,0 +1,466 @@
+"""Driver-contract queries: beyond-reference LLM-pipeline operators.
+
+Dedup, similarity search, text analysis, multimodal metadata, and
+event-time windowing over the testdata ``documents`` / ``embeddings`` /
+``events`` tables (BASELINE.json north star).  Same parity discipline as
+plans/contract.py; every hash both engines compute is md5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from netflix_data_ingestion_spark.operators import dedup, similarity, textstats
+from netflix_data_ingestion_spark.operators.multimodal import (
+    attach_binary_payload,
+    media_metadata,
+)
+from netflix_data_ingestion_spark.sources.readers import read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# shared DuckDB CTE: tokenized + shingled documents (n=3)
+_DUCK_TOKS = """
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS tk
+  FROM documents
+)
+"""
+
+_DUCK_SHINGLES = (
+    _DUCK_TOKS
+    + """,
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+  FROM toks, unnest(range(1, len(tk) - 1)) AS u(i)
+)
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# Dedup: exact
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "doc_id", "text").orderBy("doc_id")
+
+
+ORACLE_DEDUP_EXACT = """
+WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+g AS (SELECT content_hash, MIN(doc_id) AS canonical_id,
+             COUNT(*) AS group_size
+      FROM h GROUP BY 1)
+SELECT h.doc_id, h.content_hash, g.canonical_id, g.group_size
+FROM h JOIN g USING (content_hash)
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup: exact pairwise n-gram Jaccard (threshold 0.8)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8
+    ).orderBy("id_a", "id_b")
+
+
+ORACLE_DEDUP_NGRAM = f"""
+WITH {_DUCK_SHINGLES},
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS intersection
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, intersection,
+       ROUND(intersection::DOUBLE /
+             (sa.n_shingles + sb.n_shingles - intersection), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE intersection::DOUBLE /
+      (sa.n_shingles + sb.n_shingles - intersection) >= 0.8
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup: MinHash + LSH candidate pairs (16 hashes, 4 bands)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_candidate_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=16, bands=4
+    ).orderBy("id_a", "id_b")
+
+
+ORACLE_DEDUP_MINHASH = f"""
+WITH {_DUCK_SHINGLES},
+hashed AS (
+  SELECT doc_id, seed,
+         md5(seed::VARCHAR || '|' || shingle) AS h
+  FROM sh, unnest(range(0, 16)) AS s(seed)
+),
+sigs AS (SELECT doc_id, seed, MIN(h) AS mh FROM hashed GROUP BY 1, 2),
+bandt AS (
+  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+         md5(string_agg(lpad(seed::VARCHAR, 2, '0') || ':' || mh, '|'
+                        ORDER BY seed)) AS band_key
+  FROM sigs GROUP BY doc_id, CAST(seed // 4 AS INT)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bandt a JOIN bandt b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup: SimHash 64-bit fingerprints
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "doc_id", "text").orderBy("doc_id")
+
+
+ORACLE_DEDUP_SIMHASH = f"""
+WITH {_DUCK_TOKS},
+tok AS (SELECT doc_id, unnest(tk) AS token FROM toks),
+counted AS (SELECT doc_id, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+hashed AS (SELECT doc_id, cnt, substr(md5(token), 1, 16) AS h FROM counted),
+pos AS (
+  SELECT doc_id, cnt, i,
+         strpos('0123456789abcdef', substr(h, i, 1)) - 1 AS d
+  FROM hashed, unnest(range(1, 17)) AS u(i)
+),
+sums AS (
+  SELECT doc_id, i,
+         SUM(cnt * (2 * ((d // 1) % 2) - 1)) AS s0,
+         SUM(cnt * (2 * ((d // 2) % 2) - 1)) AS s1,
+         SUM(cnt * (2 * ((d // 4) % 2) - 1)) AS s2,
+         SUM(cnt * (2 * ((d // 8) % 2) - 1)) AS s3
+  FROM pos GROUP BY 1, 2
+),
+digits AS (
+  SELECT doc_id, i,
+         (s3 > 0)::INT * 8 + (s2 > 0)::INT * 4 +
+         (s1 > 0)::INT * 2 + (s0 > 0)::INT AS v
+  FROM sums
+)
+SELECT doc_id,
+       string_agg(substr('0123456789abcdef', v + 1, 1), '' ORDER BY i)
+         AS simhash64
+FROM digits GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity: brute-force cosine top-10 for query vectors (vec_id < 5)
+# ---------------------------------------------------------------------------
+
+_DUCK_DOT = (
+    "list_sum(list_transform(range(1, len({a}.embedding) + 1), "
+    "i -> {a}.embedding[i]::DOUBLE * {b}.embedding[i]::DOUBLE))"
+)
+
+_DUCK_COSINE_SCORED = f"""
+q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+pairs AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         ROUND({_DUCK_DOT.format(a='q', b='e')} /
+               (sqrt({_DUCK_DOT.format(a='q', b='q')}) *
+                sqrt({_DUCK_DOT.format(a='e', b='e')})), 6) AS cosine_sim
+  FROM q, embeddings e
+  WHERE q.vec_id <> e.vec_id
+)
+"""
+
+
+def q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding")
+    return similarity.brute_force_topk(
+        emb.select("vec_id", "embedding"), queries, k=10
+    ).orderBy("query_id", "neighbor_id")
+
+
+ORACLE_COSINE_TOPK = f"""
+WITH {_DUCK_COSINE_SCORED},
+ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+  FROM pairs
+)
+SELECT query_id, neighbor_id, cosine_sim
+FROM ranked WHERE rn <= 10
+ORDER BY query_id, neighbor_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity: LSH-bucketed approximate top-10 (scale path)
+# ---------------------------------------------------------------------------
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.lsh_topk(emb, queries, k=10, planes=8).orderBy(
+        "query_id", "neighbor_id"
+    )
+
+
+ORACLE_ANN_LSH = f"""
+WITH pos AS (
+  SELECT vec_id, i::VARCHAR AS dim, embedding[i]::DOUBLE AS x,
+         p::VARCHAR AS plane, p AS plane0
+  FROM embeddings,
+       unnest(range(1, len(embedding) + 1)) AS r(i),
+       unnest(range(1, 9)) AS pr(p)
+),
+proj AS (
+  SELECT vec_id, plane0,
+         SUM(x * (strpos('0123456789abcdef',
+                         substr(md5(plane || ':' || dim), 1, 1)) - 1 - 7.5))
+           AS s
+  FROM pos GROUP BY 1, 2
+),
+buckets AS (
+  SELECT vec_id,
+         string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, ''
+                    ORDER BY plane0) AS bucket
+  FROM proj GROUP BY 1
+),
+q AS (SELECT e.vec_id, e.embedding, b.bucket
+      FROM embeddings e JOIN buckets b USING (vec_id) WHERE e.vec_id < 5),
+c AS (SELECT e.vec_id, e.embedding, b.bucket
+      FROM embeddings e JOIN buckets b USING (vec_id)),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND({_DUCK_DOT.format(a='q', b='c')} /
+               (sqrt({_DUCK_DOT.format(a='q', b='q')}) *
+                sqrt({_DUCK_DOT.format(a='c', b='c')})), 6) AS cosine_sim
+  FROM q JOIN c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+  FROM pairs
+)
+SELECT query_id, neighbor_id, cosine_sim
+FROM ranked WHERE rn <= 10
+ORDER BY query_id, neighbor_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.token_stats(docs, "doc_id", "text").orderBy("doc_id")
+
+
+ORACLE_TOKEN_STATS = f"""
+WITH {_DUCK_TOKS}
+SELECT d.doc_id,
+       len(t.tk)::BIGINT AS n_tokens,
+       length(d.text)::BIGINT AS n_chars,
+       ROUND(list_sum(list_transform(t.tk, x -> length(x)))::DOUBLE
+             / len(t.tk), 6) AS avg_token_len
+FROM documents d JOIN toks t USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.quality_score(docs, "doc_id", "text").orderBy("doc_id")
+
+
+_STOP_LIST_SQL = ", ".join(f"'{s}'" for s in textstats.STOPWORDS_EN)
+
+ORACLE_QUALITY = f"""
+WITH {_DUCK_TOKS},
+base AS (
+  SELECT d.doc_id,
+         length(d.text)::DOUBLE AS n,
+         length(regexp_replace(d.text, '[^A-Za-z]', '', 'g'))::DOUBLE AS alpha,
+         length(regexp_replace(d.text, '[^0-9]', '', 'g'))::DOUBLE AS digit,
+         length(regexp_replace(d.text, '[^ ]', '', 'g'))::DOUBLE AS space,
+         len(t.tk) AS n_tokens,
+         len(list_filter(t.tk, x -> x IN ({_STOP_LIST_SQL}))) AS n_stop
+  FROM documents d JOIN toks t USING (doc_id)
+),
+ratios AS (
+  SELECT doc_id,
+         ROUND(alpha / n, 6) AS alpha_ratio,
+         ROUND((n - alpha - digit - space) / n, 6) AS special_ratio,
+         ROUND(n_stop::DOUBLE / n_tokens, 6) AS stopword_ratio
+  FROM base
+)
+SELECT doc_id, alpha_ratio, special_ratio, stopword_ratio,
+       ROUND(0.4 * alpha_ratio + 0.3 * stopword_ratio +
+             0.3 * (1 - special_ratio), 6) AS quality_score
+FROM ratios
+ORDER BY doc_id
+"""
+
+
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.lang_id(docs, "doc_id", "text").orderBy("doc_id")
+
+
+_LEXICON_ROWS = ", ".join(
+    f"('{lang}', '{w}')"
+    for lang, words in textstats.LEXICON.items()
+    for w in words
+    if lang != "zh"  # CJK chars never survive the [a-z0-9] tokenizer
+)
+
+ORACLE_LANG_ID = f"""
+WITH {_DUCK_TOKS},
+lex(lang, word) AS (VALUES {_LEXICON_ROWS}),
+tok AS (SELECT doc_id, unnest(tk) AS word FROM toks),
+hits AS (
+  SELECT t.doc_id, l.lang, COUNT(*) AS hits
+  FROM tok t JOIN lex l ON t.word = l.word
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY hits DESC, lang ASC) AS rn
+  FROM hits
+)
+SELECT d.doc_id,
+       COALESCE(b.lang, 'und') AS predicted_lang
+FROM documents d LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b
+  USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.winnow_fingerprint(
+        docs, "doc_id", "text", n=3, window=4
+    ).orderBy("doc_id")
+
+
+ORACLE_FINGERPRINT = f"""
+WITH {_DUCK_TOKS},
+grams AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(tk[i:i+2], ' ')) AS h
+  FROM toks, unnest(range(1, len(tk) - 1)) AS u(i)
+),
+wins AS (
+  SELECT doc_id, pos,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win_min,
+         MAX(pos) OVER (PARTITION BY doc_id) AS max_pos
+  FROM grams
+),
+mins AS (
+  SELECT DISTINCT doc_id, win_min FROM wins WHERE pos <= max_pos - 3
+)
+SELECT doc_id, COUNT(*) AS n_fingerprints,
+       md5(string_agg(win_min, '|' ORDER BY win_min)) AS fp_digest
+FROM mins GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Event-time tumbling window (batch twin of the streaming ingest path)
+# ---------------------------------------------------------------------------
+
+
+def q_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("event_count"),
+            (F.round(F.sum("value"), 2) / F.count("*")).alias("avg_value"),
+            F.countDistinct("user_id").alias("unique_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_count",
+            "avg_value",
+            "unique_users",
+        )
+        .orderBy("window_start")
+    )
+
+
+ORACLE_TUMBLING = """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+       COUNT(*) AS event_count,
+       ROUND(SUM(value), 2) / COUNT(*) AS avg_value,
+       COUNT(DISTINCT user_id) AS unique_users
+FROM events
+GROUP BY 1
+ORDER BY window_start
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary-column metadata
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs, "doc_id", "text", "image")
+    return media_metadata(media).orderBy("media_id")
+
+
+ORACLE_MULTIMODAL = """
+SELECT doc_id::BIGINT AS media_id,
+       'image' AS media_type,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       sha256(text) AS sha256
+FROM documents
+ORDER BY media_id
+"""
+
+
+REGISTRY_LLM = {
+    "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, ORACLE_DEDUP_MINHASH),
+    "dedup_simhash": (q_dedup_simhash, ORACLE_DEDUP_SIMHASH),
+    "embedding_cosine_topk": (q_embedding_cosine_topk, ORACLE_COSINE_TOPK),
+    "ann_lsh_topk": (q_ann_lsh_topk, ORACLE_ANN_LSH),
+    "doc_token_stats": (q_doc_token_stats, ORACLE_TOKEN_STATS),
+    "doc_quality_score": (q_doc_quality_score, ORACLE_QUALITY),
+    "doc_lang_id": (q_doc_lang_id, ORACLE_LANG_ID),
+    "doc_fingerprint": (q_doc_fingerprint, ORACLE_FINGERPRINT),
+    "events_tumbling_window": (q_events_tumbling_window, ORACLE_TUMBLING),
+    "multimodal_meta": (q_multimodal_meta, ORACLE_MULTIMODAL),
+}

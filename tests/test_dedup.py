@@ -1,0 +1,85 @@
+"""Dedup operators: exact, n-gram Jaccard, MinHash+LSH, SimHash."""
+
+from __future__ import annotations
+
+import pytest
+
+from netflix_data_ingestion_spark.operators import dedup
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat"),  # near dup of 1
+    (4, "completely different words with zero overlap here whatsoever"),
+    (5, "another unrelated document about spark query engines"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id int, text string")
+
+
+def test_exact_dedup_groups(docs):
+    out = {
+        r["doc_id"]: (r["canonical_id"], r["group_size"])
+        for r in dedup.exact_dedup(docs, "doc_id", "text").collect()
+    }
+    assert out[1] == (1, 2)
+    assert out[2] == (1, 2)
+    assert out[3] == (3, 1)
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # identical
+    assert (1, 3) in pairs  # near dup: 6/8 shared 3-gram shingles
+    assert 0.5 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_candidates_cover_high_jaccard(docs):
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_candidate_pairs(
+            docs, "doc_id", "text", n=3, num_hashes=16, bands=4
+        ).collect()
+    }
+    # identical docs share every band
+    assert (1, 2) in cands
+    # unrelated docs should not collide (16 md5 minhashes)
+    assert (4, 5) not in cands
+
+
+def test_simhash_properties(docs):
+    fp = {
+        r["doc_id"]: r["simhash64"]
+        for r in dedup.simhash(docs, "doc_id", "text").collect()
+    }
+    assert all(len(v) == 16 for v in fp.values())  # 64 bits = 16 hex chars
+    assert fp[1] == fp[2]  # identical text -> identical fingerprint
+    assert fp[1] != fp[4]  # different text -> different fingerprint
+
+    def hamming(a: str, b: str) -> int:
+        return sum(
+            bin(int(x, 16) ^ int(y, 16)).count("1") for x, y in zip(a, b)
+        )
+
+    # near-dup closer in hamming space than unrelated docs
+    assert hamming(fp[1], fp[3]) < hamming(fp[1], fp[4])
+
+
+def test_empty_and_short_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "two words"), (4, "exactly three words")],
+        "doc_id int, text string",
+    )
+    # shingle-based ops must not crash on docs shorter than n
+    assert dedup.ngram_jaccard_pairs(docs, "doc_id", "text").count() == 0
+    fps = dedup.simhash(docs, "doc_id", "text").count()
+    assert fps == 3  # empty doc has no tokens -> no fingerprint row

@@ -1,0 +1,63 @@
+"""Similarity search: brute-force cosine top-k + LSH-bucketed variant."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from netflix_data_ingestion_spark.operators import similarity
+
+VECS = [
+    (0, [1.0, 0.0, 0.0]),
+    (1, [1.0, 0.0, 0.0]),      # identical to 0
+    (2, [0.9, 0.1, 0.0]),      # close to 0
+    (3, [0.0, 1.0, 0.0]),      # orthogonal to 0
+    (4, [-1.0, 0.0, 0.0]),     # opposite of 0
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        VECS, "vec_id long, embedding array<float>"
+    )
+
+
+def test_brute_force_ranking(corpus):
+    queries = corpus.filter("vec_id = 0")
+    out = similarity.brute_force_topk(corpus, queries, k=4).collect()
+    ranked = [
+        r["neighbor_id"]
+        for r in sorted(out, key=lambda r: (-r["cosine_sim"], r["neighbor_id"]))
+    ]
+    assert ranked == [1, 2, 3, 4]
+    sims = {r["neighbor_id"]: r["cosine_sim"] for r in out}
+    assert sims[1] == 1.0
+    assert sims[3] == 0.0
+    assert sims[4] == -1.0
+    expected_2 = 0.9 / math.sqrt(0.9**2 + 0.1**2)
+    assert abs(sims[2] - expected_2) < 1e-5
+
+
+def test_k_limit_and_self_exclusion(corpus):
+    queries = corpus.filter("vec_id = 0")
+    out = similarity.brute_force_topk(corpus, queries, k=2).collect()
+    assert len(out) == 2
+    assert all(r["neighbor_id"] != 0 for r in out)
+
+
+def test_lsh_results_subset_of_exact_scores(corpus):
+    queries = corpus.filter("vec_id = 0")
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+        for r in similarity.brute_force_topk(corpus, queries, k=4).collect()
+    }
+    approx = similarity.lsh_topk(corpus, queries, k=4, planes=4).collect()
+    # every LSH hit carries the same (exact) cosine as the brute-force path
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        assert key in exact
+        assert r["cosine_sim"] == exact[key]
+    # identical vectors always share every bucket
+    assert any(r["neighbor_id"] == 1 for r in approx)
