@@ -1,0 +1,119 @@
+"""Structured Streaming ingestion: windows, watermark, dedup, sessions.
+
+Streams are driven end-to-end with availableNow triggers into memory
+sinks; results are compared against the equivalent batch computation on
+the same data (the batch twin is itself oracle-checked in the contract).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from netflix_data_ingestion_spark.streaming import ingest
+
+BASE = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _mk_events(offsets_minutes, user_ids, values, start_id=0):
+    return [
+        (
+            start_id + i,
+            BASE + datetime.timedelta(minutes=m),
+            u,
+            "click",
+            v,
+            "{}",
+        )
+        for i, (m, u, v) in enumerate(zip(offsets_minutes, user_ids, values))
+    ]
+
+
+@pytest.fixture(scope="module")
+def source_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    rows = _mk_events(
+        offsets_minutes=[0, 10, 50, 65, 70, 130, 200, 200],
+        user_ids=[1, 1, 2, 1, 2, 3, 1, 1],
+        values=[1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 7.0],
+    )
+    # duplicate the last event (same event_id+ts) to exercise dedup
+    rows.append(rows[-1])
+    df = spark.createDataFrame(rows, ingest.EVENT_SCHEMA)
+    # two files -> two discoverable chunks
+    df.filter("event_id < 5").coalesce(1).write.mode("overwrite").parquet(
+        str(d / "chunk1")
+    )
+    df.filter("event_id >= 5").coalesce(1).write.mode("overwrite").parquet(
+        str(d / "chunk2")
+    )
+    # single flat dir for the file source
+    flat = tmp_path_factory.mktemp("events_flat")
+    for i, sub in enumerate(["chunk1", "chunk2"]):
+        for f in (d / sub).glob("*.parquet"):
+            (flat / f"part{i}_{f.name}").write_bytes(f.read_bytes())
+    return str(flat)
+
+
+def test_tumbling_counts_match_batch(spark, source_dir):
+    stream = ingest.stream_events(spark, source_dir)
+    assert stream.isStreaming
+    ingest.run_to_memory(
+        ingest.tumbling_counts(stream), "t_tumbling", output_mode="complete"
+    )
+    got = {
+        r["window_start"]: r["event_count"]
+        for r in spark.sql("SELECT * FROM t_tumbling").collect()
+    }
+    batch = spark.read.parquet(source_dir)
+    expected = {
+        r["window_start"]: r["event_count"]
+        for r in ingest.tumbling_counts(batch).collect()
+    }
+    assert got == expected
+    assert sum(got.values()) == 9  # dedup NOT applied here: 9 raw rows
+
+
+def test_streaming_dedup(spark, source_dir):
+    stream = ingest.stream_events(spark, source_dir)
+    ingest.run_to_memory(ingest.dedup_events(stream), "t_dedup")
+    rows = spark.sql("SELECT * FROM t_dedup").collect()
+    assert len(rows) == 8  # 9 raw rows, one exact duplicate removed
+    ids = sorted(r["event_id"] for r in rows)
+    assert ids == list(range(8))
+
+
+def test_sliding_windows(spark, source_dir):
+    stream = ingest.stream_events(spark, source_dir)
+    ingest.run_to_memory(
+        ingest.sliding_type_counts(stream), "t_sliding", output_mode="complete"
+    )
+    rows = spark.sql("SELECT * FROM t_sliding").collect()
+    # event at minute 10 belongs to windows starting at -30 and 0
+    starts = {
+        r["window_start"] for r in rows if r["event_count"] >= 1
+    }
+    assert BASE in starts
+    assert BASE - datetime.timedelta(minutes=30) in starts
+
+
+def test_session_windows(spark, source_dir):
+    stream = ingest.stream_events(spark, source_dir)
+    ingest.run_to_memory(
+        ingest.session_windows(stream, gap="30 minutes"),
+        "t_sessions",
+        output_mode="complete",
+    )
+    rows = spark.sql("SELECT * FROM t_sessions").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    # user 1 events at minutes 0,10 | 65 | 200,200,200(dup) with a 30-min
+    # gap -> three sessions of sizes 2, 1, 3 (dedup not applied here)
+    assert len(by_user[1]) == 3
+    sizes = sorted(r["events_in_session"] for r in by_user[1])
+    assert sizes == [1, 2, 3]
+    # user 3: single event
+    assert len(by_user[3]) == 1
