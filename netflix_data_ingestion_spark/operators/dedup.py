@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from netflix_data_ingestion_spark.operators.util import ensure_parallelism
+
 HEX = "0123456789abcdef"
 
 
@@ -80,6 +82,7 @@ def shingle_table(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
     """(id, shingle) — exploded distinct n-gram shingles per doc."""
+    df = ensure_parallelism(df)
     return df.select(
         F.col(id_col),
         F.explode(shingles(tokens(F.col(text_col)), n)).alias("shingle"),
@@ -221,7 +224,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     of the weighted sum of bit j of digit i across token hashes.  Pure
     integer arithmetic over hex-digit values -> portable to any SQL engine.
     """
-    tok = df.select(
+    tok = ensure_parallelism(df).select(
         F.col(id_col),
         F.explode(tokens(F.col(text_col))).alias("token"),
     )

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from netflix_data_ingestion_spark.functions.vectors import cosine
+from netflix_data_ingestion_spark.operators.util import ensure_parallelism
 
 HEX = "0123456789abcdef"
 
@@ -42,7 +43,7 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
     scored = (
@@ -81,7 +82,7 @@ def lsh_bucket(
     planes: int = 8,
 ) -> DataFrame:
     """(id, bucket) — sign pattern of `planes` random-hyperplane projections."""
-    pos = df.select(
+    pos = ensure_parallelism(df).select(
         F.col(id_col),
         F.posexplode(F.col(vec_col)).alias("dim0", "x"),
     ).select(

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from netflix_data_ingestion_spark.operators.dedup import tokens
+from netflix_data_ingestion_spark.operators.util import ensure_parallelism
 
 # tiny stopword lexicons for the languages present in the corpus;
 # lang-ID here is a frequency heuristic, not a model
@@ -91,7 +92,7 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         [(lang, w) for lang, words in LEXICON.items() for w in words],
         "lang string, word string",
     )
-    tok = df.select(
+    tok = ensure_parallelism(df).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word")
     )
     hits = (
@@ -99,13 +100,12 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .groupBy(id_col, "lang")
         .agg(F.count("*").alias("hits"))
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("hits").desc(), F.col("lang").asc()
-    )
-    best = (
-        hits.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(F.col(id_col), F.col("lang").alias("predicted_lang"))
+    # argmax(hits) with lang-asc tie-break as ONE aggregation: minimize the
+    # struct (-hits, lang) — cheaper than a rank window (no second sort)
+    best = hits.groupBy(id_col).agg(
+        F.min_by(
+            "lang", F.struct((-F.col("hits")).alias("nh"), F.col("lang"))
+        ).alias("predicted_lang")
     )
     return df.select(id_col).join(best, id_col, "left").select(
         F.col(id_col),
@@ -129,7 +129,7 @@ def winnow_fingerprint(
     sorted minima joined by '|'.
     """
     tok = tokens(F.col(text_col))
-    grams = df.select(
+    grams = ensure_parallelism(df).select(
         F.col(id_col),
         F.posexplode(
             F.when(
