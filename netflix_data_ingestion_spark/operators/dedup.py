@@ -133,12 +133,7 @@ def ngram_jaccard_pairs(
             / (F.col("size_a") + F.col("size_b") - F.col("intersection")),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select(
-            "id_a",
-            "id_b",
-            "intersection",
-            F.round("jaccard", 6).alias("jaccard"),
-        )
+        .select("id_a", "id_b", "intersection", "jaccard")
     )
 
 

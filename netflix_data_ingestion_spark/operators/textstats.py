@@ -40,12 +40,12 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col),
         F.size(tok).cast("bigint").alias("n_tokens"),
         F.length(text_col).cast("bigint").alias("n_chars"),
-        F.round(
+        # single int/int double division — bit-identical in any engine
+        (
             F.aggregate(
                 tok, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
-            )
-            / F.size(tok),
-            6,
+            ).cast("double")
+            / F.size(tok).cast("double")
         ).alias("avg_token_len"),
     )
 
@@ -53,31 +53,38 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Heuristic document quality: character-class ratios + stopword ratio.
 
-    score = 0.4*alpha_ratio + 0.3*stopword_ratio
-          + 0.3*(1 - special_ratio), rounded to 6.
+    score = 0.4*alpha_ratio + 0.3*stopword_ratio + 0.3*(1 - special_ratio).
+
+    Numeric discipline: every output is ONE double division of exact
+    integer counts (the composite score uses a common denominator), so
+    any engine computes bit-identical results — no intermediate float
+    rounding that could straddle a decimal boundary differently across
+    engines.
     """
     t = F.col(text_col)
-    n = F.length(t).cast("double")
-    alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", "")).cast("double")
-    digit = F.length(F.regexp_replace(t, "[^0-9]", "")).cast("double")
-    space = F.length(F.regexp_replace(t, "[^ ]", "")).cast("double")
+    n = F.length(t).cast("long")
+    alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", "")).cast("long")
+    digit = F.length(F.regexp_replace(t, "[^0-9]", "")).cast("long")
+    space = F.length(F.regexp_replace(t, "[^ ]", "")).cast("long")
     special = n - alpha - digit - space
 
     tok = tokens(t)
-    n_tokens = F.size(tok)
-    n_stop = F.size(F.filter(tok, lambda x: x.isin(*STOPWORDS_EN)))
+    n_tokens = F.size(tok).cast("long")
+    n_stop = F.size(F.filter(tok, lambda x: x.isin(*STOPWORDS_EN))).cast("long")
 
-    alpha_ratio = F.round(alpha / n, 6)
-    special_ratio = F.round(special / n, 6)
-    stop_ratio = F.round(n_stop / n_tokens, 6)
+    # score = [4*alpha*ntok + 3*nstop*n + 3*ntok*(n - special)] / (10*n*ntok)
+    numer = (
+        4 * alpha * n_tokens + 3 * n_stop * n + 3 * n_tokens * (n - special)
+    ).cast("double")
+    denom = (10 * n * n_tokens).cast("double")
     return df.select(
         F.col(id_col),
-        alpha_ratio.alias("alpha_ratio"),
-        special_ratio.alias("special_ratio"),
-        stop_ratio.alias("stopword_ratio"),
-        F.round(
-            0.4 * alpha_ratio + 0.3 * stop_ratio + 0.3 * (1 - special_ratio), 6
-        ).alias("quality_score"),
+        (alpha.cast("double") / n.cast("double")).alias("alpha_ratio"),
+        (special.cast("double") / n.cast("double")).alias("special_ratio"),
+        (n_stop.cast("double") / n_tokens.cast("double")).alias(
+            "stopword_ratio"
+        ),
+        (numer / denom).alias("quality_score"),
     )
 
 

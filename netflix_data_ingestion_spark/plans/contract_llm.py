@@ -86,8 +86,8 @@ inter AS (
   GROUP BY 1, 2
 )
 SELECT id_a, id_b, intersection,
-       ROUND(intersection::DOUBLE /
-             (sa.n_shingles + sb.n_shingles - intersection), 6) AS jaccard
+       intersection::DOUBLE /
+       (sa.n_shingles + sb.n_shingles - intersection)::DOUBLE AS jaccard
 FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
@@ -288,8 +288,8 @@ WITH {_DUCK_TOKS}
 SELECT d.doc_id,
        len(t.tk)::BIGINT AS n_tokens,
        length(d.text)::BIGINT AS n_chars,
-       ROUND(list_sum(list_transform(t.tk, x -> length(x)))::DOUBLE
-             / len(t.tk), 6) AS avg_token_len
+       list_sum(list_transform(t.tk, x -> length(x)))::DOUBLE
+             / len(t.tk)::DOUBLE AS avg_token_len
 FROM documents d JOIN toks t USING (doc_id)
 ORDER BY doc_id
 """
@@ -306,25 +306,22 @@ ORACLE_QUALITY = f"""
 WITH {_DUCK_TOKS},
 base AS (
   SELECT d.doc_id,
-         length(d.text)::DOUBLE AS n,
-         length(regexp_replace(d.text, '[^A-Za-z]', '', 'g'))::DOUBLE AS alpha,
-         length(regexp_replace(d.text, '[^0-9]', '', 'g'))::DOUBLE AS digit,
-         length(regexp_replace(d.text, '[^ ]', '', 'g'))::DOUBLE AS space,
-         len(t.tk) AS n_tokens,
-         len(list_filter(t.tk, x -> x IN ({_STOP_LIST_SQL}))) AS n_stop
+         length(d.text)::BIGINT AS n,
+         length(regexp_replace(d.text, '[^A-Za-z]', '', 'g'))::BIGINT AS alpha,
+         length(regexp_replace(d.text, '[^0-9]', '', 'g'))::BIGINT AS digit,
+         length(regexp_replace(d.text, '[^ ]', '', 'g'))::BIGINT AS space,
+         len(t.tk)::BIGINT AS n_tokens,
+         len(list_filter(t.tk, x -> x IN ({_STOP_LIST_SQL})))::BIGINT AS n_stop
   FROM documents d JOIN toks t USING (doc_id)
-),
-ratios AS (
-  SELECT doc_id,
-         ROUND(alpha / n, 6) AS alpha_ratio,
-         ROUND((n - alpha - digit - space) / n, 6) AS special_ratio,
-         ROUND(n_stop::DOUBLE / n_tokens, 6) AS stopword_ratio
-  FROM base
 )
-SELECT doc_id, alpha_ratio, special_ratio, stopword_ratio,
-       ROUND(0.4 * alpha_ratio + 0.3 * stopword_ratio +
-             0.3 * (1 - special_ratio), 6) AS quality_score
-FROM ratios
+SELECT doc_id,
+       alpha::DOUBLE / n::DOUBLE AS alpha_ratio,
+       (n - alpha - digit - space)::DOUBLE / n::DOUBLE AS special_ratio,
+       n_stop::DOUBLE / n_tokens::DOUBLE AS stopword_ratio,
+       (4 * alpha * n_tokens + 3 * n_stop * n +
+        3 * n_tokens * (n - (n - alpha - digit - space)))::DOUBLE
+         / (10 * n * n_tokens)::DOUBLE AS quality_score
+FROM base
 ORDER BY doc_id
 """
 

@@ -33,7 +33,10 @@ def normalize(rows: list[dict], cols: list[str]) -> list[tuple]:
         if isinstance(v, float):
             if math.isnan(v):
                 return ("nan",)
-            return round(v, 9)
+            # bit-exact: the queries' numeric discipline (single int/int
+            # divisions, round-of-exact-decimal sums) guarantees identical
+            # doubles across engines — don't mask regressions by rounding
+            return v
         # unify date vs timestamp-at-midnight across engines
         if isinstance(v, _dt.datetime):
             return v
