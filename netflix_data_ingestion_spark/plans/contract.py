@@ -488,6 +488,7 @@ ORACLE_TABLE_COUNTS = "\nUNION ALL\n".join(
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 from netflix_data_ingestion_spark.plans.contract_llm import REGISTRY_LLM
+from netflix_data_ingestion_spark.plans.contract_window import REGISTRY_WINDOW
 
 #: name -> (spark builder, duckdb oracle SQL or None for rows-only checks)
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
@@ -511,4 +512,5 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "join_drop_accounting": (q_join_drop_accounting, ORACLE_JOIN_DROP),
     "table_counts": (q_table_counts, ORACLE_TABLE_COUNTS),
     **REGISTRY_LLM,
+    **REGISTRY_WINDOW,
 }

@@ -1,0 +1,242 @@
+"""Driver-contract queries: window/multi-dim operators beyond the flat
+reference surface — ranking windows, running totals, sessionization
+(the batch twin of streaming/ingest.session_windows), pivot, rollup,
+and approximate count-distinct (rows-only: HLL sketches are not
+engine-portable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from netflix_data_ingestion_spark.sources.readers import read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Ranking window: revenue rank of parts within brand
+# ---------------------------------------------------------------------------
+
+
+def q_part_revenue_rank_in_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    per_part = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("revenue").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        per_part.withColumn("brand_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("brand_rank") <= 3)
+        .orderBy("p_brand", "brand_rank")
+    )
+
+
+ORACLE_BRAND_RANK = """
+WITH per_part AS (
+  SELECT p_brand, p_partkey, ROUND(SUM(l_extendedprice), 2) AS revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+)
+SELECT p_brand, p_partkey, revenue,
+       CAST(ROW_NUMBER() OVER (PARTITION BY p_brand
+                               ORDER BY revenue DESC, p_partkey ASC) AS INT)
+         AS brand_rank
+FROM per_part
+QUALIFY brand_rank <= 3
+ORDER BY p_brand, brand_rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# Running total: cumulative daily event counts
+# ---------------------------------------------------------------------------
+
+
+def q_running_event_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("event_date")).agg(
+        F.count("*").alias("event_count")
+    )
+    w = (
+        Window.orderBy("event_date")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "event_date",
+        "event_count",
+        F.sum("event_count").over(w).alias("running_total"),
+    ).orderBy("event_date")
+
+
+ORACLE_RUNNING_TOTAL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS event_count
+  FROM events GROUP BY 1
+)
+SELECT event_date, event_count,
+       SUM(event_count) OVER (ORDER BY event_date
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS running_total
+FROM daily
+ORDER BY event_date
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (batch twin of streaming session_window): 30-minute gap
+# ---------------------------------------------------------------------------
+
+
+def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count("*").alias("events_in_session"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "events_in_session",
+            "session_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+# gaps-and-islands: a new session starts when the gap from the previous
+# event exceeds 30 minutes; session_start = min(ts) of the island
+ORACLE_SESSIONIZATION = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+islands AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       COUNT(*) AS events_in_session,
+       ROUND(SUM(value), 2) AS session_value
+FROM islands
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pivot: daily event counts by type as columns
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def q_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    out = (
+        events.groupBy(F.to_date("ts").alias("event_date"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .orderBy("event_date")
+    )
+    # pivot yields NULL for absent combos; normalize to 0 for parity
+    return out.select(
+        "event_date",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES],
+    )
+
+
+ORACLE_PIVOT = """
+SELECT CAST(ts AS DATE) AS event_date,
+       COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+       COUNT(*) FILTER (WHERE event_type = 'view')     AS view,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+       COUNT(*) FILTER (WHERE event_type = 'error')    AS error
+FROM events
+GROUP BY 1
+ORDER BY event_date
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rollup: order totals by (year, month) with subtotals and grand total
+# ---------------------------------------------------------------------------
+
+
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        "o_totalprice",
+    )
+    return (
+        base.rollup("order_year", "order_month")
+        .agg(
+            F.count("*").alias("order_count"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy(
+            F.col("order_year").asc_nulls_first(),
+            F.col("order_month").asc_nulls_first(),
+        )
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT CAST(year(o_orderdate) AS INT)  AS order_year,
+       CAST(month(o_orderdate) AS INT) AS order_month,
+       COUNT(*) AS order_count,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY ROLLUP (1, 2)
+ORDER BY order_year ASC NULLS FIRST, order_month ASC NULLS FIRST
+"""
+
+
+# ---------------------------------------------------------------------------
+# Approximate count-distinct (HLL) — rows-only: sketches are not portable
+# ---------------------------------------------------------------------------
+
+
+def q_approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.to_date("ts").alias("event_date"))
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+        .orderBy("event_date")
+    )
+
+
+REGISTRY_WINDOW = {
+    "part_revenue_rank_in_brand": (
+        q_part_revenue_rank_in_brand,
+        ORACLE_BRAND_RANK,
+    ),
+    "running_event_total": (q_running_event_total, ORACLE_RUNNING_TOTAL),
+    "events_sessionization": (q_events_sessionization, ORACLE_SESSIONIZATION),
+    "pivot_event_types": (q_pivot_event_types, ORACLE_PIVOT),
+    "orders_rollup": (q_orders_rollup, ORACLE_ROLLUP),
+    "approx_distinct_users_daily": (q_approx_distinct_users_daily, None),
+}
