@@ -47,9 +47,18 @@ def read_table(spark: SparkSession, root: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(root, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # integer division — float division of ns epochs exceeds double's
-        # 53-bit mantissa and lands 1us off
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        # - integer DIV: float division of ns epochs exceeds double's
+        #   53-bit mantissa and lands 1us off
+        # - TIMESTAMP_NTZ construction: the parquet type is
+        #   isAdjustedToUTC=false (wall clock); timestamp_micros() would
+        #   re-render it through the session timezone
+        df = df.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts DIV 1000, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
     return df
 
 
