@@ -103,7 +103,14 @@ def ngram_jaccard_pairs(
     scale run it only on LSH candidates.
     """
     sh = shingle_table(df, id_col, text_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    # per-doc set sizes as a narrow projection (array size), not a second
+    # aggregation pass over the exploded shingles
+    sizes = df.select(
+        F.col(id_col),
+        F.size(shingles(tokens(F.col(text_col)), n))
+        .cast("long")
+        .alias("n_shingles"),
+    ).filter(F.col("n_shingles") > 0)
 
     a = sh.alias("a")
     b = sh.alias("b")
@@ -147,12 +154,18 @@ def minhash_band_table(
 ) -> DataFrame:
     """(id, band, band_key) — LSH banding of md5-minhash signatures.
 
-    minhash_s = lexicographic MIN over shingles of md5(s || '|' || shingle);
-    band_key  = md5 of the band's minhashes joined in seed order.
+    Hash family: md5(seed || '|' || shingle) split into 4 independent
+    8-hex-char chunks — md5's avalanche makes the chunks independent
+    uniform hashes, so ONE md5 per (seed, shingle) yields FOUR minhash
+    functions (4x less hashing than one md5 per hash function).  With
+    bands == num_hashes/4, band b's key is the md5 of the 4 chunk-minima
+    of seed b.
     """
     rows_per_band = num_hashes // bands
+    if rows_per_band != 4:
+        raise ValueError("this implementation uses 4 chunk-hashes per band")
     sh = shingle_table(df, id_col, text_col, n)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("seed")
     hashed = sh.select(F.col(id_col), F.col("shingle"), seeds).withColumn(
         "h",
         F.md5(
@@ -161,26 +174,17 @@ def minhash_band_table(
             )
         ),
     )
-    sigs = hashed.groupBy(id_col, "seed").agg(F.min("h").alias("mh"))
-    banded = sigs.withColumn(
-        "band", F.floor(F.col("seed") / rows_per_band).cast("int")
+    # 4 chunk-minima in ONE aggregation per (doc, seed)
+    mins = hashed.groupBy(id_col, "seed").agg(
+        *[
+            F.min(F.substring("h", 1 + 8 * c, 8)).alias(f"m{c}")
+            for c in range(4)
+        ]
     )
-    # order minhashes inside a band by zero-padded seed prefix, then hash
-    return banded.groupBy(id_col, "band").agg(
-        F.md5(
-            F.array_join(
-                F.array_sort(
-                    F.collect_list(
-                        F.concat(
-                            F.lpad(F.col("seed").cast("string"), 2, "0"),
-                            F.lit(":"),
-                            F.col("mh"),
-                        )
-                    )
-                ),
-                "|",
-            )
-        ).alias("band_key")
+    return mins.select(
+        F.col(id_col),
+        F.col("seed").alias("band"),
+        F.md5(F.concat_ws("|", "m0", "m1", "m2", "m3")).alias("band_key"),
     )
 
 

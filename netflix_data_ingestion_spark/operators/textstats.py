@@ -91,32 +91,33 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, predicted_lang) — argmax of stopword-lexicon hits; 'und' if none.
 
-    The lexicon join is a broadcast (the lexicon is ~50 rows); tie-break
-    is lexicographic on language code for determinism.
+    Implemented as pure per-row array expressions — per-language hit
+    counts via ``F.filter`` over the token array, argmax via
+    ``array_min`` over (-hits, lang) structs.  NO explode, NO join, NO
+    shuffle: a narrow map over the corpus, which is the shape you want
+    when scoring 100 TB of documents against a fixed lexicon.
+    Tie-break is lexicographic on language code.
     """
-    spark = df.sparkSession
-    lex = spark.createDataFrame(
-        [(lang, w) for lang, words in LEXICON.items() for w in words],
-        "lang string, word string",
+    tok = tokens(F.col(text_col))
+    langs = sorted(LEXICON)
+    hit_cols = {
+        lang: F.size(F.filter(tok, lambda x: x.isin(*LEXICON[lang]))).cast(
+            "long"
+        )
+        for lang in langs
+    }
+    candidates = F.array(
+        *[
+            F.struct((-hit_cols[lang]).alias("nh"), F.lit(lang).alias("lang"))
+            for lang in langs
+        ]
     )
-    tok = ensure_parallelism(df).select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word")
-    )
-    hits = (
-        tok.join(F.broadcast(lex), "word")
-        .groupBy(id_col, "lang")
-        .agg(F.count("*").alias("hits"))
-    )
-    # argmax(hits) with lang-asc tie-break as ONE aggregation: minimize the
-    # struct (-hits, lang) — cheaper than a rank window (no second sort)
-    best = hits.groupBy(id_col).agg(
-        F.min_by(
-            "lang", F.struct((-F.col("hits")).alias("nh"), F.col("lang"))
-        ).alias("predicted_lang")
-    )
-    return df.select(id_col).join(best, id_col, "left").select(
+    best = F.array_min(candidates)
+    return df.select(
         F.col(id_col),
-        F.coalesce(F.col("predicted_lang"), F.lit("und")).alias("predicted_lang"),
+        F.when(best.getField("nh") == 0, F.lit("und"))
+        .otherwise(best.getField("lang"))
+        .alias("predicted_lang"),
     )
 
 

@@ -114,14 +114,14 @@ WITH {_DUCK_SHINGLES},
 hashed AS (
   SELECT doc_id, seed,
          md5(seed::VARCHAR || '|' || shingle) AS h
-  FROM sh, unnest(range(0, 16)) AS s(seed)
+  FROM sh, unnest(range(0, 4)) AS s(seed)
 ),
-sigs AS (SELECT doc_id, seed, MIN(h) AS mh FROM hashed GROUP BY 1, 2),
 bandt AS (
-  SELECT doc_id, CAST(seed // 4 AS INT) AS band,
-         md5(string_agg(lpad(seed::VARCHAR, 2, '0') || ':' || mh, '|'
-                        ORDER BY seed)) AS band_key
-  FROM sigs GROUP BY doc_id, CAST(seed // 4 AS INT)
+  SELECT doc_id, seed AS band,
+         md5(concat_ws('|', MIN(substr(h, 1, 8)), MIN(substr(h, 9, 8)),
+                       MIN(substr(h, 17, 8)), MIN(substr(h, 25, 8))))
+           AS band_key
+  FROM hashed GROUP BY 1, 2
 )
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bandt a JOIN bandt b
@@ -331,32 +331,27 @@ def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.lang_id(docs, "doc_id", "text").orderBy("doc_id")
 
 
-_LEXICON_ROWS = ", ".join(
-    f"('{lang}', '{w}')"
-    for lang, words in textstats.LEXICON.items()
-    for w in words
-    if lang != "zh"  # CJK chars never survive the [a-z0-9] tokenizer
+def _lang_hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in textstats.LEXICON[lang])
+    return f"len(list_filter(tk, x -> x IN ({words})))"
+
+
+_LANG_CASES = " ".join(
+    # argmax with lang-asc tie-break, mirroring array_min over (-hits, lang)
+    f"WHEN {_lang_hits_sql(lang)} >= GREATEST("
+    + ", ".join(_lang_hits_sql(o) for o in sorted(textstats.LEXICON))
+    + f") THEN '{lang}'"
+    for lang in sorted(textstats.LEXICON)
 )
 
 ORACLE_LANG_ID = f"""
-WITH {_DUCK_TOKS},
-lex(lang, word) AS (VALUES {_LEXICON_ROWS}),
-tok AS (SELECT doc_id, unnest(tk) AS word FROM toks),
-hits AS (
-  SELECT t.doc_id, l.lang, COUNT(*) AS hits
-  FROM tok t JOIN lex l ON t.word = l.word
-  GROUP BY 1, 2
-),
-best AS (
-  SELECT doc_id, lang,
-         ROW_NUMBER() OVER (PARTITION BY doc_id
-                            ORDER BY hits DESC, lang ASC) AS rn
-  FROM hits
-)
-SELECT d.doc_id,
-       COALESCE(b.lang, 'und') AS predicted_lang
-FROM documents d LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b
-  USING (doc_id)
+WITH {_DUCK_TOKS}
+SELECT doc_id,
+       CASE WHEN GREATEST({", ".join(_lang_hits_sql(o) for o in sorted(textstats.LEXICON))}) = 0
+            THEN 'und'
+            {_LANG_CASES}
+       END AS predicted_lang
+FROM toks
 ORDER BY doc_id
 """
 
