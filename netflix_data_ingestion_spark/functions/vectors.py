@@ -9,12 +9,31 @@ testdata parquet).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Dot product of two numeric arrays (double)."""
+def infer_dim(df: DataFrame, vec_col: str) -> int | None:
+    """Array length of the first row's vector (embedding tables are
+    fixed-dim; parquet list schemas don't carry the length)."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    return None if row is None else int(row["d"])
+
+
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Dot product of two numeric arrays (double).
+
+    With `dim` given, the sum is UNROLLED into a left-associative chain of
+    ``F.get`` terms — bit-identical to the sequential fold (IEEE
+    ``0.0 + x == x``, same association order) but inside whole-stage
+    codegen, where the higher-order-function fold is interpreted per row
+    (~10x slower in all-pairs scoring).
+    """
+    if dim is not None:
+        out = F.get(a, 0).cast("double") * F.get(b, 0).cast("double")
+        for i in range(1, dim):
+            out = out + F.get(a, i).cast("double") * F.get(b, i).cast("double")
+        return out
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -22,8 +41,13 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def norm(a: Column) -> Column:
-    """L2 norm of a numeric array (double)."""
+def norm(a: Column, dim: int | None = None) -> Column:
+    """L2 norm of a numeric array (double); see `dot` for the `dim` fast path."""
+    if dim is not None:
+        sq = F.get(a, 0).cast("double") * F.get(a, 0).cast("double")
+        for i in range(1, dim):
+            sq = sq + F.get(a, i).cast("double") * F.get(a, i).cast("double")
+        return F.sqrt(sq)
     return F.sqrt(
         F.aggregate(
             a,
@@ -33,6 +57,6 @@ def norm(a: Column) -> Column:
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     """Cosine similarity; NULL-safe only as far as Spark array ops are."""
-    return dot(a, b) / (norm(a) * norm(b))
+    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))

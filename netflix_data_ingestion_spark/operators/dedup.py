@@ -272,3 +272,83 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             "",
         ).alias("simhash64")
     )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """(id_a, id_b, cosine_sim) — embedding near-dup pairs above `threshold`.
+
+    Exact all-pairs cosine over an ``array<float>`` embedding column: the
+    semantic-dedup analog of `ngram_jaccard_pairs` (the reference has no
+    embedding surface; beyond-reference north star).
+
+    Execution is a block matrix product, the shape that survives scale:
+    the corpus matrix is shipped to every task like the build side of a
+    broadcast join; each task scores its Arrow batch of rows against the
+    whole matrix in numpy.  The accumulation is DIM-SEQUENTIAL
+    (``acc += outer(A[:, i], M[:, i])`` for i in 0..dim), so every pair's
+    dot product has the exact left-associative order of the scalar fold —
+    bit-identical to the SQL oracle, unlike a BLAS matmul which reorders
+    the summation.  Raw (unrounded) cosines leave Python with 1e-6 slack
+    below the threshold; ROUND-then-compare happens JVM-side so the final
+    cut uses Spark's exact HALF_UP semantics, matching the oracle.
+
+    Scale path: the broadcast side must fit in task memory (~1e6 x 1e3
+    dims = 4 GB ceiling).  Beyond that, LSH-bucket first
+    (`similarity.lsh_bucket` / minhash bands) and run this scorer per
+    bucket via ``applyInPandas``, exactly like the Jaccard/MinHash split.
+    """
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    spark = df.sparkSession
+    pdf = df.select(id_col, vec_col).toPandas()
+    ids_all = pdf[id_col].to_numpy()
+    M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    n, d = M.shape
+    # dim-sequential norms (same fold order as functions.vectors.norm)
+    sq = np.zeros(n)
+    for i in range(d):
+        sq += M[:, i] * M[:, i]
+    nrm_all = np.sqrt(sq)
+    bc = spark.sparkContext.broadcast((ids_all, M, nrm_all))
+    slack = float(threshold) - 1e-6
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_ids, b_m, b_nrm = bc.value
+        for pin in batches:
+            a_ids = pin[id_col].to_numpy()
+            A = np.stack([np.asarray(v, dtype=np.float64) for v in pin[vec_col]])
+            acc = np.zeros((len(a_ids), len(b_ids)))
+            for i in range(A.shape[1]):
+                acc += np.outer(A[:, i], b_m[:, i])
+            asq = np.zeros(len(a_ids))
+            for i in range(A.shape[1]):
+                asq += A[:, i] * A[:, i]
+            cos = acc / np.outer(np.sqrt(asq), b_nrm)
+            keep = (a_ids[:, None] < b_ids[None, :]) & (cos >= slack)
+            ai, bj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "id_a": a_ids[ai],
+                    "id_b": b_ids[bj],
+                    "raw_cos": cos[ai, bj],
+                }
+            )
+
+    out_schema = (
+        f"id_a {df.schema[id_col].dataType.simpleString()}, "
+        f"id_b {df.schema[id_col].dataType.simpleString()}, raw_cos double"
+    )
+    return (
+        ensure_parallelism(df.select(id_col, vec_col))
+        .mapInPandas(score, out_schema)
+        .withColumn("cosine_sim", F.round(F.col("raw_cos"), 6))
+        .filter(F.col("cosine_sim") >= F.lit(threshold))
+        .select("id_a", "id_b", "cosine_sim")
+    )

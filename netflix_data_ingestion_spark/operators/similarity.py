@@ -50,7 +50,8 @@ def brute_force_topk(
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
-            "cosine_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
+            "cosine_sim",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -156,7 +157,113 @@ def lsh_topk(
         q.join(c, F.col("q_bucket") == F.col("c_bucket"))
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
-            "cosine_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
+            "cosine_sim",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+) -> DataFrame:
+    """(list_id, centroid) — deterministic coarse quantizer: the `nlist`
+    lowest-id corpus vectors.  A production IVF trains centroids offline
+    (k-means over a sample); sampled centroids keep this reproducible in
+    any engine, and the probe/assignment machinery is identical."""
+    return (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(nlist)
+        .select(F.col(id_col).alias("list_id"), F.col(vec_col).alias("centroid"))
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, list_id) — each vector to its max-cosine centroid (argmax as a
+    single min_by aggregation; ties break to the lowest list id).
+
+    The centroid table is broadcast, so assignment is a narrow pass over
+    the corpus — no shuffle until the tiny per-id argmax.  At 100 TB the
+    assignment is written once as a table partitioned by list_id, making
+    every probe a partition-pruned scan of ~nprobe/nlist of the corpus.
+    """
+    scored = (
+        ensure_parallelism(corpus)
+        .crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "sim",
+            F.round(cosine(F.col(vec_col), F.col("centroid")), 6),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.min_by(
+            "list_id", F.struct((-F.col("sim")).alias("ns"), F.col("list_id"))
+        ).alias("list_id")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate top-k via IVF: each query probes its `nprobe` nearest
+    inverted lists and ranks exactly within them.  May return < k rows
+    per query — recall grows with nprobe/nlist (nprobe == nlist is exact
+    brute force)."""
+    cent = ivf_centroids(corpus, id_col, vec_col, nlist)
+    assign = ivf_assign(corpus, cent, id_col, vec_col)
+    qp = queries.crossJoin(F.broadcast(cent)).withColumn(
+        "sim", F.round(cosine(F.col(vec_col), F.col("centroid")), 6)
+    )
+    wq = Window.partitionBy(id_col).orderBy(
+        F.col("sim").desc(), F.col("list_id").asc()
+    )
+    probes = (
+        qp.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select(F.col(id_col).alias("query_id"), "list_id")
+    )
+    cand = probes.join(
+        assign.select(F.col(id_col).alias("neighbor_id"), "list_id"),
+        "list_id",
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = (
+        cand.join(
+            queries.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+            ),
+            "query_id",
+        )
+        .join(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("c_vec"),
+            ),
+            "neighbor_id",
+        )
+        .withColumn(
+            "cosine_sim",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -274,6 +274,106 @@ ORDER BY query_id, neighbor_id
 
 
 # ---------------------------------------------------------------------------
+# Dedup: embedding-cosine near-dup pairs (semantic dedup)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return dedup.cosine_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.4
+    ).orderBy("id_a", "id_b")
+
+
+ORACLE_DEDUP_COSINE = f"""
+WITH sides AS (
+  SELECT vec_id, embedding,
+         sqrt({_DUCK_DOT.format(a='embeddings', b='embeddings')}) AS nrm
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND({_DUCK_DOT.format(a='a', b='b')} / (a.nrm * b.nrm), 6)
+           AS cosine_sim
+  FROM sides a JOIN sides b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine_sim FROM pairs
+WHERE cosine_sim >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity: IVF approximate top-10 (coarse-quantizer scale path)
+# ---------------------------------------------------------------------------
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk(
+        emb, queries, k=10, nlist=16, nprobe=4
+    ).orderBy("query_id", "neighbor_id")
+
+
+_DUCK_DOT_EC = (
+    "list_sum(list_transform(range(1, len({e}.embedding) + 1), "
+    "i -> {e}.embedding[i]::DOUBLE * {c}.centroid[i]::DOUBLE))"
+)
+_DUCK_DOT_CC = (
+    "list_sum(list_transform(range(1, len({c}.centroid) + 1), "
+    "i -> {c}.centroid[i]::DOUBLE * {c}.centroid[i]::DOUBLE))"
+)
+
+ORACLE_ANN_IVF = f"""
+WITH cent AS (
+  SELECT vec_id AS list_id, embedding AS centroid
+  FROM embeddings ORDER BY vec_id LIMIT 16
+),
+asg0 AS (
+  SELECT e.vec_id, c.list_id,
+         ROUND({_DUCK_DOT_EC.format(e='e', c='c')} /
+               (sqrt({_DUCK_DOT.format(a='e', b='e')}) *
+                sqrt({_DUCK_DOT_CC.format(c='c')})), 6) AS sim
+  FROM embeddings e, cent c
+),
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT vec_id, list_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, list_id ASC) AS rn
+    FROM asg0) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, list_id FROM (
+    SELECT vec_id, list_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, list_id ASC) AS rn
+    FROM asg0 WHERE vec_id < 5) WHERE rn <= 4
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a USING (list_id)
+  WHERE p.query_id <> a.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         ROUND({_DUCK_DOT.format(a='q', b='c')} /
+               (sqrt({_DUCK_DOT.format(a='q', b='q')}) *
+                sqrt({_DUCK_DOT.format(a='c', b='c')})), 6) AS cosine_sim
+  FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+            JOIN embeddings c ON c.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine_sim FROM (
+  SELECT scored.*,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+  FROM scored) WHERE rn <= 10
+ORDER BY query_id, neighbor_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
 
@@ -447,8 +547,10 @@ REGISTRY_LLM = {
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, ORACLE_DEDUP_MINHASH),
     "dedup_simhash": (q_dedup_simhash, ORACLE_DEDUP_SIMHASH),
+    "dedup_embedding_cosine": (q_dedup_embedding_cosine, ORACLE_DEDUP_COSINE),
     "embedding_cosine_topk": (q_embedding_cosine_topk, ORACLE_COSINE_TOPK),
     "ann_lsh_topk": (q_ann_lsh_topk, ORACLE_ANN_LSH),
+    "ann_ivf_topk": (q_ann_ivf_topk, ORACLE_ANN_IVF),
     "doc_token_stats": (q_doc_token_stats, ORACLE_TOKEN_STATS),
     "doc_quality_score": (q_doc_quality_score, ORACLE_QUALITY),
     "doc_lang_id": (q_doc_lang_id, ORACLE_LANG_ID),

@@ -83,3 +83,25 @@ def test_empty_and_short_docs(spark):
     assert dedup.ngram_jaccard_pairs(docs, "doc_id", "text").count() == 0
     fps = dedup.simhash(docs, "doc_id", "text").count()
     assert fps == 3  # empty doc has no tokens -> no fingerprint row
+
+
+def test_cosine_near_dup_pairs(spark):
+    from netflix_data_ingestion_spark.operators.dedup import cosine_near_dup_pairs
+
+    vecs = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.0]),       # exact dup of 0 -> cosine 1.0
+        (2, [0.9, 0.1]),       # near-dup of 0/1
+        (3, [0.0, 1.0]),       # orthogonal -> excluded at 0.5
+        (4, [-1.0, 0.0]),      # negative -> excluded
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = {(r["id_a"], r["id_b"]): r["cosine_sim"]
+           for r in cosine_near_dup_pairs(df, threshold=0.5).collect()}
+    assert set(out) == {(0, 1), (0, 2), (1, 2)}
+    assert out[(0, 1)] == 1.0
+    import math
+    expected = round(0.9 / math.sqrt(0.9**2 + 0.1**2), 6)
+    assert abs(out[(0, 2)] - expected) < 1e-9
+    # pairs are upper-triangle only
+    assert all(a < b for a, b in out)

@@ -61,3 +61,27 @@ def test_lsh_results_subset_of_exact_scores(corpus):
         assert r["cosine_sim"] == exact[key]
     # identical vectors always share every bucket
     assert any(r["neighbor_id"] == 1 for r in approx)
+
+
+def test_ivf_centroids_deterministic(corpus):
+    cent = similarity.ivf_centroids(corpus, nlist=2).collect()
+    assert sorted(r["list_id"] for r in cent) == [0, 1]
+
+
+def test_ivf_assign_nearest_centroid(corpus):
+    cent = similarity.ivf_centroids(corpus, nlist=2)
+    # centroids 0 and 1 are identical vectors -> every assignment ties,
+    # tie-break must pick the LOWEST list id
+    assign = {r["vec_id"]: r["list_id"] for r in
+              similarity.ivf_assign(corpus, cent).collect()}
+    assert assign[0] == 0 and assign[2] == 0
+    assert assign[3] == 0  # orthogonal ties at 0.0 for both -> lowest id
+    assert len(assign) == 5
+
+
+def test_ivf_topk_exact_when_nprobe_covers_all_lists(corpus):
+    queries = corpus.filter("vec_id = 0")
+    exact = similarity.brute_force_topk(corpus, queries, k=4).collect()
+    ivf = similarity.ivf_topk(corpus, queries, k=4, nlist=2, nprobe=2).collect()
+    key = lambda r: (r["query_id"], r["neighbor_id"], r["cosine_sim"])
+    assert sorted(map(key, ivf)) == sorted(map(key, exact))
