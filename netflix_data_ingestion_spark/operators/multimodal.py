@@ -101,3 +101,122 @@ def media_metadata(df: DataFrame) -> DataFrame:
         "n_bytes",
         "sha256",
     )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_offset", T.LongType(), False),
+        T.StructField("frame_len", T.LongType(), False),
+        T.StructField("frame_md5", T.StringType(), True),
+    ]
+)
+
+_FRAME_STRIDE = 256
+_MAX_FRAMES = 8
+
+
+def frame_sample_stub(df: DataFrame, real_decode: bool = False) -> DataFrame:
+    """Arrow-batched 'video frame sampling' over MEDIA_SCHEMA rows.
+
+    A real implementation would demux the container and decode I-frames
+    (``real_decode=True`` raises — no codec libraries in this
+    environment); the stub samples deterministic byte windows so the
+    one-row-in / many-rows-out ``mapInPandas`` plumbing (schema, batch
+    fan-out, partitioning) is exercised and oracle-checkable:
+    min(8, max(1, n_bytes // 256)) frames per payload, frame i covering
+    bytes [i*256, i*256 + min(256, n_bytes - i*256)), fingerprinted by
+    md5.  Fan-out happens inside the Arrow batch — no explode shuffle.
+    """
+    if real_decode:
+        raise NotImplementedError(
+            "real frame sampling requires video codec libraries not "
+            "present in this environment; wire pyav/ffmpeg here on a "
+            "real cluster"
+        )
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "media_id": [],
+                "frame_idx": [],
+                "frame_offset": [],
+                "frame_len": [],
+                "frame_md5": [],
+            }
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = b"" if payload is None else bytes(payload)
+                n = len(b)
+                n_frames = min(_MAX_FRAMES, max(1, n // _FRAME_STRIDE))
+                for i in range(n_frames):
+                    off = i * _FRAME_STRIDE
+                    ln = min(_FRAME_STRIDE, n - off)
+                    out["media_id"].append(media_id)
+                    out["frame_idx"].append(i)
+                    out["frame_offset"].append(off)
+                    out["frame_len"].append(ln)
+                    out["frame_md5"].append(
+                        hashlib.md5(b[off : off + ln]).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("sha256", T.StringType(), True),
+        T.StructField("out_width", T.IntegerType(), True),
+        T.StructField("out_height", T.IntegerType(), True),
+    ]
+)
+
+
+def resize_stub(
+    df: DataFrame, max_width: int = 256, max_height: int = 256,
+    real_decode: bool = False,
+) -> DataFrame:
+    """Arrow-batched 'image resize' over MEDIA_SCHEMA rows.
+
+    The stub truncates the payload proportionally to the fake resize
+    ratio (keeping the binary-in / binary-out plumbing honest) and
+    recomputes n_bytes/sha256 on the new payload; ``real_decode=True``
+    raises (no image libraries in this environment).
+    """
+    if real_decode:
+        raise NotImplementedError(
+            "real resize requires an image library not present in this "
+            "environment; wire PIL here on a real cluster"
+        )
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {k.name: [] for k in RESIZE_SCHEMA}
+            for media_id, payload, mt in zip(
+                pdf["media_id"], pdf["payload"], pdf["media_type"]
+            ):
+                b = b"" if payload is None else bytes(payload)
+                n = len(b)
+                # fake source dims (same derivation as decode_stub_features)
+                w, h = n % 1920 + 1, n % 1080 + 1
+                scale = min(max_width / w, max_height / h, 1.0)
+                ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
+                nb = max(1, int(n * scale)) if n else 0
+                out = b[:nb]
+                rows["media_id"].append(media_id)
+                rows["payload"].append(out)
+                rows["media_type"].append(mt)
+                rows["n_bytes"].append(len(out))
+                rows["sha256"].append(hashlib.sha256(out).hexdigest())
+                rows["out_width"].append(ow)
+                rows["out_height"].append(oh)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(batches, RESIZE_SCHEMA)

@@ -542,6 +542,41 @@ ORDER BY media_id
 """
 
 
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from netflix_data_ingestion_spark.operators.multimodal import (
+        frame_sample_stub,
+    )
+    from netflix_data_ingestion_spark.operators.util import ensure_parallelism
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs, "doc_id", "text", "video")
+    return frame_sample_stub(ensure_parallelism(media)).orderBy(
+        "media_id", "frame_idx"
+    )
+
+
+# documents are pure ASCII, so VARCHAR substring == byte slice and
+# octet_length == length; frame windows mirror multimodal._FRAME_STRIDE/_MAX_FRAMES
+ORACLE_FRAME_SAMPLE = """
+WITH m AS (
+  SELECT doc_id::BIGINT AS media_id, text,
+         octet_length(encode(text))::BIGINT AS n_bytes
+  FROM documents
+),
+f AS (
+  SELECT media_id, text, n_bytes, i::INT AS frame_idx,
+         (i * 256)::BIGINT AS frame_offset
+  FROM m, unnest(range(0, LEAST(8, GREATEST(1, n_bytes // 256)))) AS r(i)
+)
+SELECT media_id, frame_idx, frame_offset,
+       LEAST(256, n_bytes - frame_offset)::BIGINT AS frame_len,
+       md5(substring(text, (frame_offset + 1)::INT,
+                     LEAST(256, n_bytes - frame_offset)::INT)) AS frame_md5
+FROM f
+ORDER BY media_id, frame_idx
+"""
+
+
 REGISTRY_LLM = {
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM),
@@ -557,4 +592,5 @@ REGISTRY_LLM = {
     "doc_fingerprint": (q_doc_fingerprint, ORACLE_FINGERPRINT),
     "events_tumbling_window": (q_events_tumbling_window, ORACLE_TUMBLING),
     "multimodal_meta": (q_multimodal_meta, ORACLE_MULTIMODAL),
+    "multimodal_frame_sample": (q_multimodal_frame_sample, ORACLE_FRAME_SAMPLE),
 }

@@ -42,3 +42,60 @@ def test_decode_stub_batches(media):
 def test_real_decode_is_gated(media):
     with pytest.raises(NotImplementedError):
         multimodal.decode_stub_features(media, real_decode=True)
+
+
+def test_frame_sample_windows(spark):
+    import hashlib
+
+    from netflix_data_ingestion_spark.operators.multimodal import (
+        attach_binary_payload,
+        frame_sample_stub,
+    )
+
+    rows = [
+        (1, "x" * 100),         # < 256 bytes -> exactly 1 frame, len 100
+        (2, "y" * 600),         # 2 full frames (600//256 = 2)
+        (3, "z" * 5000),        # capped at 8 frames
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    media = attach_binary_payload(df, "doc_id", "text", "video")
+    out = frame_sample_stub(media).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert len(by_id[1]) == 1 and by_id[1][0]["frame_len"] == 100
+    assert len(by_id[2]) == 2
+    assert [r["frame_offset"] for r in sorted(by_id[2], key=lambda r: r["frame_idx"])] == [0, 256]
+    assert len(by_id[3]) == 8
+    expected = hashlib.md5(b"x" * 100).hexdigest()
+    assert by_id[1][0]["frame_md5"] == expected
+
+
+def test_resize_stub_shrinks_payload(spark):
+    from netflix_data_ingestion_spark.operators.multimodal import (
+        attach_binary_payload,
+        resize_stub,
+    )
+
+    df = spark.createDataFrame([(1, "a" * 1000)], "doc_id long, text string")
+    media = attach_binary_payload(df, "doc_id", "text", "image")
+    row = resize_stub(media, max_width=100, max_height=100).collect()[0]
+    assert row["out_width"] <= 100 and row["out_height"] <= 100
+    assert row["n_bytes"] < 1000 and row["n_bytes"] == len(row["payload"])
+
+
+def test_stubs_refuse_real_decode(spark):
+    import pytest as _pytest
+
+    from netflix_data_ingestion_spark.operators.multimodal import (
+        attach_binary_payload,
+        frame_sample_stub,
+        resize_stub,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    media = attach_binary_payload(df, "doc_id", "text", "video")
+    with _pytest.raises(NotImplementedError):
+        frame_sample_stub(media, real_decode=True)
+    with _pytest.raises(NotImplementedError):
+        resize_stub(media, real_decode=True)
