@@ -487,6 +487,7 @@ ORACLE_TABLE_COUNTS = "\nUNION ALL\n".join(
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+from netflix_data_ingestion_spark.plans.contract_extra import REGISTRY_EXTRA
 from netflix_data_ingestion_spark.plans.contract_llm import REGISTRY_LLM
 from netflix_data_ingestion_spark.plans.contract_window import REGISTRY_WINDOW
 
@@ -513,4 +514,5 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "table_counts": (q_table_counts, ORACLE_TABLE_COUNTS),
     **REGISTRY_LLM,
     **REGISTRY_WINDOW,
+    **REGISTRY_EXTRA,
 }

@@ -1,0 +1,233 @@
+"""Driver-contract queries: extended relational surface.
+
+Multi-dimensional aggregation (CUBE), semi/anti set semantics (EXISTS,
+EXCEPT), argmax-by-struct, discrete (interpolation-free) percentiles,
+and a correlated-subquery shape — operators a warehouse user of the
+reference's star schema reaches for next, each with a DuckDB oracle
+twin.  Cross-engine exactness discipline: aggregates rounded once,
+argmax ties broken through struct ordering on exact (non-aggregated)
+values, medians picked discretely by rank so no interpolation
+arithmetic exists to diverge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from netflix_data_ingestion_spark.sources.readers import read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# CUBE: all aggregation slices of (order year, status) in one pass
+# ---------------------------------------------------------------------------
+
+
+def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("int")
+    )
+    return (
+        orders.cube("order_year", "o_orderstatus")
+        .agg(
+            F.count("*").alias("count_order"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy(
+            F.col("order_year").asc_nulls_first(),
+            F.col("o_orderstatus").asc_nulls_first(),
+        )
+    )
+
+
+ORACLE_ORDERS_CUBE = """
+SELECT year(o_orderdate)::INT AS order_year, o_orderstatus,
+       COUNT(*) AS count_order,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY CUBE(order_year, o_orderstatus)
+ORDER BY order_year NULLS FIRST, o_orderstatus NULLS FIRST
+"""
+
+
+# ---------------------------------------------------------------------------
+# Left-semi join (EXISTS): customers with at least one urgent order
+# ---------------------------------------------------------------------------
+
+
+def q_customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_URGENT_SEMI = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# EXCEPT: customers active in 1995 who placed nothing in 1996
+# ---------------------------------------------------------------------------
+
+
+def q_lapsed_customers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "yr", F.year("o_orderdate")
+    )
+    in_1995 = orders.filter(F.col("yr") == 1995).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    in_1996 = orders.filter(F.col("yr") == 1996).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    # exceptAll would keep duplicates; EXCEPT DISTINCT is the set form
+    return in_1995.subtract(in_1996).orderBy("c_custkey")
+
+
+ORACLE_LAPSED_EXCEPT = """
+SELECT o_custkey AS c_custkey FROM orders WHERE year(o_orderdate) = 1995
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders WHERE year(o_orderdate) = 1996
+ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Argmax by struct ordering: priciest part per brand, tie-broken by key
+# ---------------------------------------------------------------------------
+
+
+def q_brand_priciest_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    # struct max = lexicographic (value, key): ties on the exact parquet
+    # double break deterministically to the HIGHEST partkey in both engines
+    best = part.groupBy("p_brand").agg(
+        F.max(
+            F.struct(
+                F.col("p_retailprice").alias("v"), F.col("p_partkey").alias("k")
+            )
+        ).alias("m")
+    )
+    return best.select(
+        "p_brand",
+        F.col("m.v").alias("max_retailprice"),
+        F.col("m.k").alias("priciest_partkey"),
+    ).orderBy("p_brand")
+
+
+ORACLE_BRAND_PRICIEST = """
+SELECT p_brand,
+       (max({'v': p_retailprice, 'k': p_partkey})).v AS max_retailprice,
+       (max({'v': p_retailprice, 'k': p_partkey})).k AS priciest_partkey
+FROM part
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# Discrete median: per-segment median order value, rank-picked (no
+# interpolation arithmetic -> no cross-engine float divergence)
+# ---------------------------------------------------------------------------
+
+
+def q_median_order_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    j = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).select("c_mktsegment", "o_totalprice", "o_orderkey")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    wn = Window.partitionBy("c_mktsegment")
+    ranked = j.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    return (
+        ranked.filter(F.col("rn") == F.ceil(F.col("n") / 2))
+        .select(
+            "c_mktsegment",
+            F.col("o_totalprice").alias("median_price"),
+            F.col("n").alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_MEDIAN_SEGMENT = """
+WITH j AS (
+  SELECT c.c_mktsegment, o.o_totalprice, o.o_orderkey
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+ranked AS (
+  SELECT c_mktsegment, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM j
+)
+SELECT c_mktsegment, o_totalprice AS median_price, n AS n_orders
+FROM ranked WHERE rn = CEIL(n / 2.0)
+ORDER BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# Correlated-subquery shape: orders strictly above their customer's average
+# ---------------------------------------------------------------------------
+
+
+def q_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust_avg = orders.groupBy("o_custkey").agg(
+        (F.sum("o_totalprice") / F.count("*")).alias("avg_price")
+    )
+    return (
+        orders.join(cust_avg, "o_custkey")
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_above"))
+        .orderBy("o_custkey")
+    )
+
+
+ORACLE_ABOVE_AVG = """
+WITH ca AS (
+  SELECT o_custkey, SUM(o_totalprice) / COUNT(*) AS avg_price
+  FROM orders GROUP BY 1
+)
+SELECT o.o_custkey, COUNT(*) AS n_above
+FROM orders o JOIN ca USING (o_custkey)
+WHERE o.o_totalprice > ca.avg_price
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+REGISTRY_EXTRA = {
+    "orders_cube": (q_orders_cube, ORACLE_ORDERS_CUBE),
+    "customers_with_urgent_orders": (
+        q_customers_with_urgent_orders,
+        ORACLE_URGENT_SEMI,
+    ),
+    "lapsed_customers_except": (q_lapsed_customers_except, ORACLE_LAPSED_EXCEPT),
+    "brand_priciest_part": (q_brand_priciest_part, ORACLE_BRAND_PRICIEST),
+    "median_order_by_segment": (q_median_order_by_segment, ORACLE_MEDIAN_SEGMENT),
+    "orders_above_customer_avg": (q_orders_above_customer_avg, ORACLE_ABOVE_AVG),
+}
