@@ -102,39 +102,54 @@ def ngram_jaccard_pairs(
     distinct-shingle sizes.  All-pairs exact form (baseline); at corpus
     scale run it only on LSH candidates.
     """
+    # NOTE two Catalyst traps shaped this plan, measured at sf0.1:
+    # (1) putting size(sh_arr) in the same projection as explode(sh_arr)
+    #     collapses into the Generate operator and re-evaluates the whole
+    #     shingle expression PER EXPLODED ROW (~150x per doc: 0.7s -> 7s);
+    #     sizes therefore come from a separate narrow projection joined
+    #     back by id (5k-row broadcast build, cheap);
+    # (2) the exploded side looks tiny to the size estimator (source
+    #     parquet bytes), so Catalyst broadcast-hashes 260k exploded rows
+    #     through the driver — the shuffle_hash hint keeps the pair join
+    #     executor-side.
     sh = shingle_table(df, id_col, text_col, n)
-    # per-doc set sizes as a narrow projection (array size), not a second
-    # aggregation pass over the exploded shingles
-    sizes = df.select(
+    # ensure_parallelism matters here too: this narrow projection pays the
+    # full interpreted shingle evaluation per row (~1ms/doc) and the
+    # testdata parquet arrives as ONE partition
+    sizes = ensure_parallelism(df).select(
         F.col(id_col),
         F.size(shingles(tokens(F.col(text_col)), n))
         .cast("long")
         .alias("n_shingles"),
     ).filter(F.col("n_shingles") > 0)
+    sh = sh.join(F.broadcast(sizes), id_col)
 
+    # LENGTH FILTER inside the pair join: jaccard >= t forces
+    # min(|A|,|B|) >= t * max(|A|,|B|), so size-incompatible pairs are
+    # pruned before the pair shuffle (the standard similarity-join
+    # prefilter; at corpus scale it also tempers hot-shingle skew)
     a = sh.alias("a")
-    b = sh.alias("b")
+    b = sh.hint("shuffle_hash").alias("b")
+    thr = F.lit(float(threshold))
     inter = (
         a.join(
             b,
-            (F.col(f"a.shingle") == F.col(f"b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.col("a.n_shingles") >= thr * F.col("b.n_shingles"))
+            & (F.col("b.n_shingles") >= thr * F.col("a.n_shingles")),
         )
         .groupBy(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
-        .agg(F.count("*").alias("intersection"))
-    )
-    sa = sizes.select(
-        F.col(id_col).alias("id_a"), F.col("n_shingles").alias("size_a")
-    )
-    sb = sizes.select(
-        F.col(id_col).alias("id_b"), F.col("n_shingles").alias("size_b")
+        .agg(
+            F.count("*").alias("intersection"),
+            F.first("a.n_shingles").alias("size_a"),
+            F.first("b.n_shingles").alias("size_b"),
+        )
     )
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("intersection")
             / (F.col("size_a") + F.col("size_b") - F.col("intersection")),

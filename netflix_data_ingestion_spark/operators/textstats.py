@@ -36,7 +36,7 @@ STOPWORDS_EN = LEXICON["en"]
 def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, n_tokens, n_chars, avg_token_len) — whitespace/punct tokenization."""
     tok = tokens(F.col(text_col))
-    return df.select(
+    return ensure_parallelism(df).select(
         F.col(id_col),
         F.size(tok).cast("bigint").alias("n_tokens"),
         F.length(text_col).cast("bigint").alias("n_chars"),
@@ -77,7 +77,7 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         4 * alpha * n_tokens + 3 * n_stop * n + 3 * n_tokens * (n - special)
     ).cast("double")
     denom = (10 * n * n_tokens).cast("double")
-    return df.select(
+    return ensure_parallelism(df).select(
         F.col(id_col),
         (alpha.cast("double") / n.cast("double")).alias("alpha_ratio"),
         (special.cast("double") / n.cast("double")).alias("special_ratio"),
@@ -113,7 +113,7 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ]
     )
     best = F.array_min(candidates)
-    return df.select(
+    return ensure_parallelism(df).select(
         F.col(id_col),
         F.when(best.getField("nh") == 0, F.lit("und"))
         .otherwise(best.getField("lang"))
