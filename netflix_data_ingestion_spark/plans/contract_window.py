@@ -229,7 +229,50 @@ def q_approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_events_asof_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click attributed to the user's most recent prior (or
+    simultaneous) view — the canonical as-of join."""
+    from netflix_data_ingestion_spark.operators.asof import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        clicks,
+        views,
+        on="ts",
+        by=("user_id",),
+        right_cols=("event_id", "value"),
+        prefix="view_",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("view_event_id"),
+        F.col("view_value"),
+    ).orderBy("event_id")
+
+
+ORACLE_ASOF = """
+SELECT l.event_id, l.user_id, l.ts,
+       r.event_id AS view_event_id, r.value AS view_value
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id
+"""
+
+
 REGISTRY_WINDOW = {
+    "events_asof_view_attribution": (
+        q_events_asof_view_attribution,
+        ORACLE_ASOF,
+    ),
     "part_revenue_rank_in_brand": (
         q_part_revenue_rank_in_brand,
         ORACLE_BRAND_RANK,

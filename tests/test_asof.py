@@ -1,0 +1,79 @@
+"""As-of join: union/forward-fill vs cogrouped merge_asof equivalence."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from netflix_data_ingestion_spark.operators.asof import (
+    asof_join,
+    asof_join_cogrouped,
+)
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+LEFT = [
+    (1, 10, _ts("2024-01-01T00:05:00")),   # after r100 -> matches r100
+    (2, 10, _ts("2024-01-01T00:10:00")),   # exactly at r101 -> inclusive
+    (3, 10, _ts("2024-01-01T00:00:30")),   # before any right -> NULL
+    (4, 20, _ts("2024-01-01T09:00:00")),   # key with no right rows -> NULL
+]
+RIGHT = [
+    (100, 10, _ts("2024-01-01T00:01:00"), 1.5),
+    (101, 10, _ts("2024-01-01T00:10:00"), 2.5),
+    (102, 30, _ts("2024-01-01T00:00:00"), 9.9),  # key absent from left
+]
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        LEFT, "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        RIGHT, "event_id long, user_id long, ts timestamp, value double"
+    )
+    return left, right
+
+
+EXPECTED = {
+    1: (100, 1.5),
+    2: (101, 2.5),
+    3: (None, None),
+    4: (None, None),
+}
+
+
+def test_asof_join_union_semantics(spark):
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right, on="ts", by=("user_id",),
+        right_cols=("event_id", "value"), prefix="m_",
+    ).collect()
+    got = {r["event_id"]: (r["m_event_id"], r["m_value"]) for r in out}
+    assert got == EXPECTED
+    assert len(out) == len(LEFT)  # left join: every left row survives
+
+
+def test_asof_join_cogrouped_matches_union(spark):
+    left, right = _frames(spark)
+    a = asof_join(
+        left, right, on="ts", by=("user_id",),
+        right_cols=("event_id", "value"), prefix="m_",
+    )
+    b = asof_join_cogrouped(
+        left, right, on="ts", by=("user_id",),
+        right_cols=("event_id", "value"), prefix="m_",
+    )
+    key = lambda r: tuple(str(x) for x in r)
+    assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))
+    assert a.columns == b.columns
+
+
+def test_asof_forward_unimplemented(spark):
+    import pytest
+
+    left, right = _frames(spark)
+    with pytest.raises(NotImplementedError):
+        asof_join(left, right, direction="forward")
