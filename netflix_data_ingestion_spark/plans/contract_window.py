@@ -268,10 +268,68 @@ ORDER BY l.event_id
 """
 
 
+def q_error_context_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per error event: how many other same-user events occurred in the
+    5 minutes leading up to it (bucketed range join, not nested-loop)."""
+    from netflix_data_ingestion_spark.operators.rangejoin import (
+        range_join_bucketed,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_event_id"),
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 5 MINUTES")).alias("start_ts"),
+        F.col("ts").alias("end_ts"),
+    )
+    points = events.select("event_id", "user_id", "ts")
+    paired = range_join_bucketed(
+        points, errors, "ts", "start_ts", "end_ts", ("user_id",), 300
+    ).filter(F.col("event_id") != F.col("error_event_id"))
+    counts = paired.groupBy("error_event_id", "user_id").agg(
+        F.count("*").alias("n_context_events")
+    )
+    return (
+        errors.select("error_event_id", "user_id")
+        .join(counts, ["error_event_id", "user_id"], "left")
+        .select(
+            "error_event_id",
+            "user_id",
+            F.coalesce("n_context_events", F.lit(0)).alias("n_context_events"),
+        )
+        .orderBy("error_event_id")
+    )
+
+
+ORACLE_RANGE_JOIN = """
+WITH err AS (
+  SELECT event_id AS error_event_id, user_id,
+         ts - INTERVAL 5 MINUTE AS start_ts, ts AS end_ts
+  FROM events WHERE event_type = 'error'
+),
+cnt AS (
+  SELECT e.error_event_id, e.user_id, COUNT(*) AS n_context_events
+  FROM err e JOIN events p
+    ON p.user_id = e.user_id
+   AND p.ts BETWEEN e.start_ts AND e.end_ts
+   AND p.event_id <> e.error_event_id
+  GROUP BY 1, 2
+)
+SELECT e.error_event_id, e.user_id,
+       COALESCE(c.n_context_events, 0) AS n_context_events
+FROM err e LEFT JOIN cnt c USING (error_event_id, user_id)
+ORDER BY error_event_id
+"""
+
+
 REGISTRY_WINDOW = {
     "events_asof_view_attribution": (
         q_events_asof_view_attribution,
         ORACLE_ASOF,
+    ),
+    "error_context_range_join": (
+        q_error_context_range_join,
+        ORACLE_RANGE_JOIN,
     ),
     "part_revenue_rank_in_brand": (
         q_part_revenue_rank_in_brand,

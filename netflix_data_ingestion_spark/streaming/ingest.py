@@ -140,3 +140,129 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+STREAK_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("streak", T.LongType(), True),
+        T.StructField("last_ts", T.TimestampType(), True),
+    ]
+)
+
+STREAK_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("streak_len", T.LongType(), True),
+        T.StructField("ended_at", T.TimestampType(), True),
+    ]
+)
+
+
+def error_streaks(
+    events: DataFrame,
+    min_streak: int = 2,
+    watermark: str = "2 hours",
+    timeout_ms: int = 30 * 60 * 1000,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per user,
+    track consecutive 'error' events; emit (user_id, streak_len,
+    ended_at) whenever a non-error event breaks a streak of at least
+    `min_streak`, or the state times out (processing-time) mid-streak.
+
+    This is the escape hatch for stateful logic the built-in windowed
+    aggregates can't express (the streak length depends on event
+    ORDER, not on a time bucket).  State is one (streak, last_ts) pair
+    per user — bounded, partitioned by key, and expired by timeout, the
+    discipline any 100 TB streaming state needs.  Batch twin for tests:
+    `error_streaks_batch`.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            streak, last_ts = state.get
+            state.remove()
+            if streak is not None and streak >= min_streak:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id],
+                        "streak_len": [streak],
+                        "ended_at": [last_ts],
+                    }
+                )
+            return
+        streak, last_ts = state.get if state.exists else (0, None)
+        out_rows: list[tuple[int, int, object]] = []
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        for ts, etype in zip(rows["ts"], rows["event_type"]):
+            if etype == "error":
+                streak += 1
+                last_ts = ts
+            else:
+                if streak >= min_streak:
+                    out_rows.append((user_id, streak, last_ts))
+                streak, last_ts = 0, None
+        state.update((streak, last_ts))
+        state.setTimeoutDuration(timeout_ms)
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows, columns=["user_id", "streak_len", "ended_at"]
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=STREAK_OUTPUT_SCHEMA,
+            stateStructType=STREAK_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="ProcessingTimeTimeout",
+        )
+    )
+
+
+def error_streaks_batch(events: DataFrame, min_streak: int = 2) -> DataFrame:
+    """Batch twin of `error_streaks` (completed streaks only): pure
+    DataFrame gaps-and-islands — group consecutive errors via the
+    row_number-difference trick, keep groups broken by a later event."""
+    from pyspark.sql import Window
+
+    w_user = Window.partitionBy("user_id").orderBy("ts")
+    typed = events.select(
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("is_err"),
+    )
+    numbered = typed.withColumn("rn", F.row_number().over(w_user)).withColumn(
+        "grp", F.col("rn") - F.sum("is_err").over(w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    )
+    streaks = (
+        numbered.filter(F.col("is_err") == 1)
+        .groupBy("user_id", "grp")
+        .agg(
+            F.count("*").alias("streak_len"),
+            F.max("ts").alias("ended_at"),
+            F.max("rn").alias("max_rn"),
+        )
+    )
+    # a streak is 'completed' iff some row follows it for that user
+    last_rn = typed.withColumn("rn", F.row_number().over(w_user)).groupBy(
+        "user_id"
+    ).agg(F.max("rn").alias("last_rn"))
+    return (
+        streaks.join(last_rn, "user_id")
+        .filter(
+            (F.col("streak_len") >= min_streak)
+            & (F.col("max_rn") < F.col("last_rn"))
+        )
+        .select("user_id", "streak_len", "ended_at")
+    )

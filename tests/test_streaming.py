@@ -117,3 +117,53 @@ def test_session_windows(spark, source_dir):
     assert sizes == [1, 2, 3]
     # user 3: single event
     assert len(by_user[3]) == 1
+
+
+@pytest.fixture(scope="module")
+def streak_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("streak_events")
+    rows = []
+    # user 1: error error error click  -> completed streak of 3
+    # user 2: error click              -> streak of 1, below min_streak
+    # user 3: click error error        -> trailing streak, NOT completed
+    seq = [
+        (1, "error"), (1, "error"), (1, "error"), (1, "click"),
+        (2, "error"), (2, "click"),
+        (3, "click"), (3, "error"), (3, "error"),
+    ]
+    for i, (u, et) in enumerate(seq):
+        rows.append(
+            (i, BASE + datetime.timedelta(minutes=i), u, et, 1.0, "{}")
+        )
+    df = spark.createDataFrame(rows, ingest.EVENT_SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(str(d))
+    return str(d)
+
+
+def test_error_streaks_stateful(spark, streak_dir):
+    stream = ingest.stream_events(spark, streak_dir)
+    out = ingest.error_streaks(stream, min_streak=2)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("streaks")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["streak_len"])
+        for r in spark.table("streaks").collect()
+    }
+    # only user 1's broken streak of 3 qualifies (user 3's never breaks
+    # within the data; timeout flush doesn't fire in availableNow runs)
+    assert got == {(1, 3)}
+
+
+def test_error_streaks_batch_twin(spark, streak_dir):
+    events = spark.read.parquet(streak_dir)
+    got = {
+        (r["user_id"], r["streak_len"])
+        for r in ingest.error_streaks_batch(events, min_streak=2).collect()
+    }
+    assert got == {(1, 3)}
