@@ -220,7 +220,55 @@ ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Deep star join: revenue by (region, nation, year) across 5 tables
+# (TPC-H Q5 shape) — the dims broadcast, only the fact chain shuffles
+# ---------------------------------------------------------------------------
+
+
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+        .orderBy("region_name", "nation_name", "order_year")
+    )
+
+
+ORACLE_REGIONAL_REVENUE = """
+SELECT r.r_name AS region_name, n.n_name AS nation_name,
+       year(o.o_orderdate)::INT AS order_year,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
 REGISTRY_EXTRA = {
+    "regional_revenue": (q_regional_revenue, ORACLE_REGIONAL_REVENUE),
     "orders_cube": (q_orders_cube, ORACLE_ORDERS_CUBE),
     "customers_with_urgent_orders": (
         q_customers_with_urgent_orders,
