@@ -267,8 +267,130 @@ ORDER BY 1, 2, 3
 """
 
 
+# ---------------------------------------------------------------------------
+# lag(): inter-event gaps per user; avg as one exact integer division
+# ---------------------------------------------------------------------------
+
+
+def q_user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    gaps = events.select(
+        "user_id",
+        # microsecond diffs: exact integers in both engines — DuckDB's
+        # date_diff('second') counts BOUNDARY crossings while Spark's
+        # timestampdiff(SECOND) truncates elapsed time, so second-level
+        # gaps disagree by 1; at microsecond granularity the two
+        # definitions coincide (timestamps are exactly-us precision)
+        F.expr(
+            "timestampdiff(MICROSECOND, lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts ASC, event_id ASC), ts)"
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.max("gap_us").alias("max_gap_us"),
+            (
+                F.sum("gap_us").cast("double")
+                / F.count("*").cast("double")
+            ).alias("avg_gap_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_USER_GAPS = """
+WITH g AS (
+  SELECT user_id,
+         date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts ASC, event_id ASC),
+                   ts) AS gap_us
+  FROM events
+)
+SELECT user_id, COUNT(*) AS n_gaps, MAX(gap_us) AS max_gap_us,
+       SUM(gap_us)::DOUBLE / COUNT(*)::DOUBLE AS avg_gap_us
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# ntile(): account-balance quartiles (unique-ified ordering for parity)
+# ---------------------------------------------------------------------------
+
+
+def q_customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    # single global window: fine at dimension cardinality; range-partition
+    # by balance bands before ntile at fact scale
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    quartiled = cust.select(
+        "c_custkey", F.ntile(4).over(w).cast("int").alias("quartile"),
+        "c_acctbal",
+    )
+    return (
+        quartiled.groupBy("quartile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+        .orderBy("quartile")
+    )
+
+
+ORACLE_BALANCE_QUARTILES = """
+WITH q AS (
+  SELECT c_custkey,
+         ntile(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC)::INT
+           AS quartile,
+         c_acctbal
+  FROM customer
+)
+SELECT quartile, COUNT(*) AS n_customers,
+       MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
+FROM q GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# INTERSECT: customers active in BOTH 1995 and 1996
+# ---------------------------------------------------------------------------
+
+
+def q_retained_customers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").withColumn("yr", F.year("o_orderdate"))
+    in_1995 = orders.filter(F.col("yr") == 1995).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    in_1996 = orders.filter(F.col("yr") == 1996).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return in_1995.intersect(in_1996).orderBy("c_custkey")
+
+
+ORACLE_RETAINED_INTERSECT = """
+SELECT o_custkey AS c_custkey FROM orders WHERE year(o_orderdate) = 1995
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders WHERE year(o_orderdate) = 1996
+ORDER BY c_custkey
+"""
+
+
 REGISTRY_EXTRA = {
     "regional_revenue": (q_regional_revenue, ORACLE_REGIONAL_REVENUE),
+    "user_event_gaps": (q_user_event_gaps, ORACLE_USER_GAPS),
+    "customer_balance_quartiles": (
+        q_customer_balance_quartiles,
+        ORACLE_BALANCE_QUARTILES,
+    ),
+    "retained_customers_intersect": (
+        q_retained_customers_intersect,
+        ORACLE_RETAINED_INTERSECT,
+    ),
     "orders_cube": (q_orders_cube, ORACLE_ORDERS_CUBE),
     "customers_with_urgent_orders": (
         q_customers_with_urgent_orders,

@@ -1,0 +1,82 @@
+"""Physical-plan quality gates: pushdown, pruning, broadcast, codegen.
+
+These assert the *shape* of the plans Catalyst produces for our queries —
+the properties that decide whether a query that works at sf0.1 still
+works at 100 TB (scan only what you project, push filters to the scan,
+broadcast true dimensions).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from netflix_data_ingestion_spark.sources.readers import read_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushed_to_parquet_scan(spark):
+    orders = read_table(spark, SF_DIR, "orders")
+    q = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    plan = _plan(q)
+    assert "PushedFilters: [" in plan
+    assert "o_orderstatus" in plan.split("PushedFilters:")[1][:200]
+
+
+def test_column_pruning_reaches_scan(spark):
+    li = read_table(spark, SF_DIR, "lineitem")
+    q = li.select("l_orderkey", "l_quantity")
+    plan = _plan(q)
+    # ReadSchema must contain ONLY the projected columns
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_comment" not in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_small_dim_join_broadcasts(spark):
+    li = read_table(spark, SF_DIR, "lineitem")
+    part = read_table(spark, SF_DIR, "part")
+    q = li.join(part, li.l_partkey == part.p_partkey).select(
+        "l_orderkey", "p_brand"
+    )
+    assert "BroadcastHashJoin" in _plan(q)
+
+
+def test_aggregation_has_partial_combine(spark):
+    """groupBy must plan map-side partial aggregation before the shuffle."""
+    orders = read_table(spark, SF_DIR, "orders")
+    q = orders.groupBy("o_orderstatus").agg(F.count("*"))
+    plan = _plan(q)
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_whole_stage_codegen_present(spark):
+    orders = read_table(spark, SF_DIR, "orders")
+    q = orders.filter(F.col("o_totalprice") > 100).groupBy(
+        "o_orderstatus"
+    ).agg(F.round(F.sum("o_totalprice"), 2))
+    q.collect()  # AQE only finalizes (and codegens) on execution
+    plan = _plan(q)
+    assert "WholeStageCodegen" in plan or "*(" in plan
+
+
+def test_fact_partition_pruning(spark, tmp_path):
+    """Year-partitioned fact writes must prune to the filtered partition."""
+    orders = read_table(spark, SF_DIR, "orders").withColumn(
+        "yr", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_part")
+    orders.write.partitionBy("yr").mode("overwrite").parquet(path)
+    q = spark.read.parquet(path).filter(F.col("yr") == 1995)
+    plan = _plan(q)
+    # partition filter shows in the scan's PartitionFilters, and the scan
+    # must not enumerate every year
+    assert "PartitionFilters: [" in plan
+    assert "yr" in plan.split("PartitionFilters:")[1][:200]
