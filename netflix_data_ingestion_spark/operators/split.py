@@ -1,0 +1,65 @@
+"""Deterministic hash-based dataset splitting — beyond-reference.
+
+Train/validation/test splits for a training-data pipeline must be
+STABLE: re-running the pipeline, adding files, or changing partitioning
+must never move a document across splits.  Random sampling
+(``df.sample``/TABLESAMPLE) is seed- and partitioning-dependent; the
+portable discipline is to hash the document id with a salt and cut
+[0, 1) into bands:
+
+    frac(id) = int(md5(salt|id)[:8], 16) / 2^32
+
+md5 keeps the assignment reproducible in ANY engine (same rule is one
+SQL expression in the DuckDB oracle) and the salt versions the split —
+bump it to reshuffle, keep it to guarantee stability.  Changing split
+RATIOS only moves documents across adjacent bands (monotone cut
+points), never between train and test arbitrarily.
+
+Scale: a narrow map — no shuffle, no state, embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TWO_32 = float(2**32)
+
+
+def split_fraction(id_col: Column, salt: str = "v1") -> Column:
+    """Deterministic uniform [0, 1) fraction from (salt, id)."""
+    h = F.substring(
+        F.md5(F.concat_ws("|", F.lit(salt), id_col.cast("string"))), 1, 8
+    )
+    return F.conv(h, 16, 10).cast("double") / F.lit(TWO_32)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: dict[str, float] | None = None,
+    salt: str = "v1",
+) -> DataFrame:
+    """Adds a `split` column assigning each row to a named band.
+
+    `splits` maps name -> weight (normalized); band order is the given
+    dict order, so {"train": .9, "test": .1} puts frac < 0.9 in train.
+    """
+    splits = splits or {"train": 0.9, "test": 0.1}
+    total = sum(splits.values())
+    frac = split_fraction(F.col(id_col), salt)
+    expr: Column | None = None
+    cum = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        cum += splits[name] / total
+        cond = frac < F.lit(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    expr = (
+        F.lit(names[-1])
+        if expr is None
+        else expr.otherwise(F.lit(names[-1]))
+    )
+    return df.withColumn("split", expr)

@@ -577,7 +577,114 @@ ORDER BY media_id, frame_idx
 """
 
 
+# ---------------------------------------------------------------------------
+# Semi-structured: JSON property extraction + aggregation
+# ---------------------------------------------------------------------------
+
+
+def q_event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.select(
+            F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+            "value",
+        )
+        .groupBy("prop_k")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("prop_k")
+    )
+
+
+ORACLE_PROPS_JSON = """
+SELECT json_extract_string(props, '$.k')::INT AS prop_k,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# UNNEST/explode aggregation: global top-20 tokens across the corpus
+# ---------------------------------------------------------------------------
+
+
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from netflix_data_ingestion_spark.operators.util import ensure_parallelism
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = ensure_parallelism(docs).select(
+        F.explode(textstats.tokens(F.col("text"))).alias("token")
+    )
+    return (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+ORACLE_TOP_TOKENS = f"""
+WITH {_DUCK_TOKS},
+tok AS (SELECT unnest(tk) AS token FROM toks)
+SELECT token, COUNT(*) AS n
+FROM tok GROUP BY 1
+ORDER BY n DESC, token ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash split: stable train/val/test assignment
+# ---------------------------------------------------------------------------
+
+
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from netflix_data_ingestion_spark.operators.split import hash_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out = hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="v1"
+    )
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("split")
+    )
+
+
+ORACLE_TRAIN_TEST_SPLIT = """
+WITH f AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('v1|' || doc_id::VARCHAR), 1, 8))::UBIGINT::DOUBLE
+           / 4294967296.0 AS frac
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CASE WHEN frac < 0.8 THEN 'train'
+              WHEN frac < 0.9 THEN 'val'
+              ELSE 'test' END AS split
+  FROM f
+)
+SELECT split, COUNT(*) AS n_docs,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM s GROUP BY 1 ORDER BY 1
+"""
+
+
 REGISTRY_LLM = {
+    "event_props_json": (q_event_props_json, ORACLE_PROPS_JSON),
+    "top_tokens": (q_top_tokens, ORACLE_TOP_TOKENS),
+    "train_test_split": (q_train_test_split, ORACLE_TRAIN_TEST_SPLIT),
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, ORACLE_DEDUP_MINHASH),

@@ -105,3 +105,26 @@ def test_cosine_near_dup_pairs(spark):
     assert abs(out[(0, 2)] - expected) < 1e-9
     # pairs are upper-triangle only
     assert all(a < b for a, b in out)
+
+
+def test_hash_split_stability(spark):
+    """Assignments must not move when the corpus grows or ratios change
+    only at adjacent cut points."""
+    from netflix_data_ingestion_spark.operators.split import hash_split
+
+    small = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["doc_id"]: r["split"] for r in hash_split(small, "doc_id", splits).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(big, "doc_id", splits).collect()}
+    assert all(b[k] == v for k, v in a.items())  # growth never remaps
+    # widening train only promotes val/test rows INTO train
+    c = {r["doc_id"]: r["split"]
+         for r in hash_split(big, "doc_id", {"train": 0.9, "test": 0.1}).collect()}
+    for k, v in b.items():
+        if v == "train":
+            assert c[k] == "train"
+    # roughly proportional
+    from collections import Counter
+    cnt = Counter(b.values())
+    assert 700 < cnt["train"] < 900
