@@ -367,3 +367,60 @@ def cosine_near_dup_pairs(
         .filter(F.col("cosine_sim") >= F.lit(threshold))
         .select("id_a", "id_b", "cosine_sim")
     )
+
+
+def near_dup_pairs_at_scale(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """The composed corpus-scale near-dup pipeline: MinHash-LSH candidate
+    generation -> exact Jaccard verification on candidates only.
+
+    Same output schema as `ngram_jaccard_pairs`, but the exact scorer
+    touches O(candidates) pairs instead of O(docs sharing a shingle)² —
+    the only shape that survives a 100 TB corpus.  Recall is the LSH
+    band probability 1-(1-J^r)^b (≈0.999998 at J=0.99 with 4x4), so a
+    vanishing fraction of true pairs can be missed; the all-pairs form
+    is the audit tool, this is the production path.
+
+    Verification joins the candidates back to per-doc DISTINCT shingle
+    arrays and intersects them per pair (`array_intersect` — no shingle
+    explosion in the verify stage at all).
+    """
+    cand = minhash_lsh_candidate_pairs(
+        df, id_col, text_col, n, num_hashes, bands
+    )
+    arrs = ensure_parallelism(df).select(
+        F.col(id_col),
+        shingles(tokens(F.col(text_col)), n).alias("sh_arr"),
+    )
+    a = arrs.select(
+        F.col(id_col).alias("id_a"),
+        F.col("sh_arr").alias("arr_a"),
+        F.size("sh_arr").cast("long").alias("size_a"),
+    )
+    b = arrs.select(
+        F.col(id_col).alias("id_b"),
+        F.col("sh_arr").alias("arr_b"),
+        F.size("sh_arr").cast("long").alias("size_b"),
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "intersection",
+            F.size(F.array_intersect("arr_a", "arr_b")).cast("long"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("intersection")
+            / (F.col("size_a") + F.col("size_b") - F.col("intersection")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "intersection", "jaccard")
+    )

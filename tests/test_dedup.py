@@ -128,3 +128,19 @@ def test_hash_split_stability(spark):
     from collections import Counter
     cnt = Counter(b.values())
     assert 700 < cnt["train"] < 900
+
+
+def test_near_dup_at_scale_matches_all_pairs(spark):
+    """LSH-candidates + exact verify must find the same pairs as the
+    quadratic all-pairs scorer on the testdata corpus (planted near-dups
+    are at J~0.99 where 4x4 band recall is ~0.999998)."""
+    from netflix_data_ingestion_spark.operators.dedup import (
+        near_dup_pairs_at_scale,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.8)
+    scaled = near_dup_pairs_at_scale(docs, "doc_id", "text", 3, 0.8)
+    key = lambda r: (r["id_a"], r["id_b"], r["intersection"], round(r["jaccard"], 9))
+    assert sorted(map(key, exact.collect())) == sorted(map(key, scaled.collect()))
