@@ -266,3 +266,39 @@ def error_streaks_batch(events: DataFrame, min_streak: int = 2) -> DataFrame:
         )
         .select("user_id", "streak_len", "ended_at")
     )
+
+
+def enrich_with_dim(
+    events: DataFrame, dim: DataFrame, key: str = "user_id"
+) -> DataFrame:
+    """Stream-static join: enrich a (possibly streaming) event frame with
+    a static dimension.  Catalyst broadcasts the static side per
+    micro-batch, so the stream never shuffles — the standard pattern for
+    attaching slowly-changing reference data to a 100 TB/day stream
+    (refresh the dim by restarting the query or reading a versioned
+    table)."""
+    return events.join(F.broadcast(dim), key, "left")
+
+
+def write_idempotent_parquet(
+    stream: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """foreachBatch sink writing each micro-batch to parquet exactly once:
+    the batch id keys an overwrite-by-partition, so replayed batches
+    (failure recovery) land in the same partition instead of duplicating
+    — idempotence without a transactional table format."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_dir)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )

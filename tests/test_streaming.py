@@ -167,3 +167,41 @@ def test_error_streaks_batch_twin(spark, streak_dir):
         for r in ingest.error_streaks_batch(events, min_streak=2).collect()
     }
     assert got == {(1, 3)}
+
+
+def test_stream_static_enrichment(spark, source_dir):
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    )
+    stream = ingest.stream_events(spark, source_dir)
+    q = (
+        ingest.enrich_with_dim(stream, dim)
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("enriched").collect()
+    tiers = {r["user_id"]: r["tier"] for r in rows}
+    assert tiers[1] == "gold" and tiers[2] == "silver"
+    assert tiers[3] is None  # left join keeps unmatched stream rows
+
+
+def test_idempotent_foreachbatch_sink(spark, source_dir, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = ingest.stream_events(spark, source_dir)
+    q = ingest.write_idempotent_parquet(stream, out, ckpt).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+    # re-running with the same checkpoint replays nothing -> same count
+    q2 = ingest.write_idempotent_parquet(
+        ingest.stream_events(spark, source_dir), out, ckpt
+    ).trigger(availableNow=True).start()
+    q2.awaitTermination(120)
+    n2 = spark.read.parquet(out).count()
+    assert n1 == n2 == 9  # all fixture rows, exactly once
