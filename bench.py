@@ -33,8 +33,19 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
 
     spark = build_session(app_name="bench")
-    # warm up the JVM + file listing so the first query isn't charged for it
+    # warm up the JVM + file listing + parquet footers so the first query
+    # isn't charged for session-scoped one-time costs
     spark.range(1000).selectExpr("sum(id)").collect()
+    from netflix_data_ingestion_spark.sources.readers import (
+        TESTDATA_TABLES,
+        read_table,
+    )
+
+    for t in TESTDATA_TABLES:
+        try:
+            read_table(spark, SF_DIR, t).limit(1).collect()
+        except Exception:
+            pass  # missing table: the queries that need it will surface it
     names = BENCH_QUERIES or list(REGISTRY)
 
     timings: dict[str, float] = {}
