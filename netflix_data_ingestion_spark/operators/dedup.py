@@ -244,48 +244,32 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     counted = tok.groupBy(id_col, "token").agg(F.count("*").alias("cnt"))
     hashed = counted.withColumn("h", F.substring(F.md5("token"), 1, 16))
-    positions = hashed.select(
+
+    # all 64 weighted bit-sums as aggregation expressions over the token
+    # rows directly — the naive form explodes 16 digit positions per
+    # token (16x the shuffle) to reach the same sums; integer sums are
+    # order-independent, so results (and the SQL oracle) are unchanged
+    def bit_sum(i: int, j: int) -> Column:
+        d = F.expr(f"instr('{HEX}', substring(h, {i}, 1)) - 1")
+        bit = (F.floor(d / (2**j)) % 2).cast("long")
+        return F.sum(F.col("cnt") * (2 * bit - 1)).alias(f"s_{i}_{j}")
+
+    sums = hashed.groupBy(id_col).agg(
+        *[bit_sum(i, j) for i in range(1, 17) for j in range(4)]
+    )
+
+    def digit_char(i: int) -> Column:
+        v = (
+            (F.col(f"s_{i}_3") > 0).cast("int") * 8
+            + (F.col(f"s_{i}_2") > 0).cast("int") * 4
+            + (F.col(f"s_{i}_1") > 0).cast("int") * 2
+            + (F.col(f"s_{i}_0") > 0).cast("int")
+        )
+        return F.substring(F.lit(HEX), 1, 16).substr(v + 1, F.lit(1))
+
+    return sums.select(
         F.col(id_col),
-        F.col("cnt"),
-        F.explode(F.sequence(F.lit(1), F.lit(16))).alias("i"),
-        F.col("h"),
-    ).withColumn(
-        "d", F.expr(f"instr('{HEX}', substring(h, i, 1)) - 1")
-    )
-
-    def bit_sum(j: int) -> Column:
-        bit = (F.floor(F.col("d") / (2**j)) % 2).cast("long")
-        return F.sum(F.col("cnt") * (2 * bit - 1))
-
-    digit_sums = positions.groupBy(id_col, "i").agg(
-        bit_sum(0).alias("s0"),
-        bit_sum(1).alias("s1"),
-        bit_sum(2).alias("s2"),
-        bit_sum(3).alias("s3"),
-    )
-    digits = digit_sums.withColumn(
-        "v",
-        (F.col("s3") > 0).cast("int") * 8
-        + (F.col("s2") > 0).cast("int") * 4
-        + (F.col("s1") > 0).cast("int") * 2
-        + (F.col("s0") > 0).cast("int"),
-    ).withColumn("ch", F.substring(F.lit(HEX), 1, 16).substr(F.col("v") + 1, F.lit(1)))
-    return digits.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.concat(
-                            F.lpad(F.col("i").cast("string"), 2, "0"),
-                            F.lit(":"),
-                            F.col("ch"),
-                        )
-                    )
-                ),
-                lambda x: F.right(x, F.lit(1)),
-            ),
-            "",
-        ).alias("simhash64")
+        F.concat(*[digit_char(i) for i in range(1, 17)]).alias("simhash64"),
     )
 
 
