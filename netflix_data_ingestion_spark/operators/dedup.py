@@ -180,27 +180,34 @@ def minhash_band_table(
     if rows_per_band != 4:
         raise ValueError("this implementation uses 4 chunk-hashes per band")
     sh = shingle_table(df, id_col, text_col, n)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("seed")
-    hashed = sh.select(F.col(id_col), F.col("shingle"), seeds).withColumn(
-        "h",
-        F.md5(
-            F.concat(
-                F.col("seed").cast("string"), F.lit("|"), F.col("shingle")
+    # all (band x chunk) minima as aggregation expressions over the
+    # shingle rows directly — the seed explode would put `bands` copies
+    # of every shingle row through the shuffle to reach the same minima;
+    # md5 count is identical, shuffle volume is 1/bands
+    aggs = []
+    for seed in range(bands):
+        h = F.md5(F.concat(F.lit(f"{seed}|"), F.col("shingle")))
+        for c in range(4):
+            aggs.append(
+                F.min(F.substring(h, 1 + 8 * c, 8)).alias(f"m_{seed}_{c}")
             )
-        ),
-    )
-    # 4 chunk-minima in ONE aggregation per (doc, seed)
-    mins = hashed.groupBy(id_col, "seed").agg(
+    mins = sh.groupBy(id_col).agg(*aggs)
+    band_structs = F.array(
         *[
-            F.min(F.substring("h", 1 + 8 * c, 8)).alias(f"m{c}")
-            for c in range(4)
+            F.struct(
+                F.lit(seed).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[f"m_{seed}_{c}" for c in range(4)]
+                    )
+                ).alias("band_key"),
+            )
+            for seed in range(bands)
         ]
     )
     return mins.select(
-        F.col(id_col),
-        F.col("seed").alias("band"),
-        F.md5(F.concat_ws("|", "m0", "m1", "m2", "m3")).alias("band_key"),
-    )
+        F.col(id_col), F.explode(band_structs).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
 
 
 def minhash_lsh_candidate_pairs(
