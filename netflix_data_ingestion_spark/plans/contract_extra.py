@@ -1,5 +1,9 @@
 """Driver-contract queries: extended relational surface.
 
+The reference's declared query layer (/root/reference/schema.sql:131-237,
+README.md:450-474) stops at star joins + group-by/having/order/limit;
+everything here is capability the same warehouse user reaches for next.
+
 Multi-dimensional aggregation (CUBE), semi/anti set semantics (EXISTS,
 EXCEPT), argmax-by-struct, discrete (interpolation-free) percentiles,
 and a correlated-subquery shape — operators a warehouse user of the

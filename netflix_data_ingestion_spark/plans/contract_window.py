@@ -1,5 +1,6 @@
 """Driver-contract queries: window/multi-dim operators beyond the flat
-reference surface — ranking windows, running totals, sessionization
+reference surface (the reference's declared query layer stops at
+group-by/order-by/limit SQL, /root/reference/schema.sql:131-237) — ranking windows, running totals, sessionization
 (the batch twin of streaming/ingest.session_windows), pivot, rollup,
 and approximate count-distinct (rows-only: HLL sketches are not
 engine-portable).
