@@ -59,6 +59,46 @@ ORDER BY order_year NULLS FIRST, o_orderstatus NULLS FIRST
 
 
 # ---------------------------------------------------------------------------
+# GROUPING SETS: two independent, non-hierarchical slices in one pass —
+# the shape CUBE (all 2^n slices) and ROLLUP (hierarchical prefixes)
+# cannot express.  One shuffle instead of two single-dimension group-bys.
+# ---------------------------------------------------------------------------
+
+
+def q_lineitem_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate").cast("int")
+    )
+    return (
+        li.groupingSets(
+            [["ship_year"], ["l_returnflag"]], "ship_year", "l_returnflag"
+        )
+        .agg(
+            F.count("*").alias("count_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_revenue"),
+        )
+        .orderBy(
+            F.col("ship_year").asc_nulls_first(),
+            F.col("l_returnflag").asc_nulls_first(),
+        )
+    )
+
+
+ORACLE_LINEITEM_GROUPING_SETS = """
+SELECT year(l_shipdate)::INT AS ship_year, l_returnflag,
+       COUNT(*) AS count_items,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue
+FROM lineitem
+GROUP BY GROUPING SETS ((ship_year), (l_returnflag))
+ORDER BY ship_year NULLS FIRST, l_returnflag NULLS FIRST
+"""
+
+
+# ---------------------------------------------------------------------------
 # Left-semi join (EXISTS): customers with at least one urgent order
 # ---------------------------------------------------------------------------
 
@@ -396,6 +436,10 @@ REGISTRY_EXTRA = {
         ORACLE_RETAINED_INTERSECT,
     ),
     "orders_cube": (q_orders_cube, ORACLE_ORDERS_CUBE),
+    "lineitem_grouping_sets": (
+        q_lineitem_grouping_sets,
+        ORACLE_LINEITEM_GROUPING_SETS,
+    ),
     "customers_with_urgent_orders": (
         q_customers_with_urgent_orders,
         ORACLE_URGENT_SEMI,
