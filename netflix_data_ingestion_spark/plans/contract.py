@@ -447,8 +447,8 @@ ORACLE_JOIN_DROP = """
 SELECT COUNT(*)            AS total_rows,
        COUNT(p_partkey)    AS with_part,
        COUNT(s_suppkey)    AS with_supplier,
-       SUM(CASE WHEN p_partkey IS NULL OR s_suppkey IS NULL
-                THEN 1 ELSE 0 END) AS dropped_rows
+       CAST(SUM(CASE WHEN p_partkey IS NULL OR s_suppkey IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS dropped_rows
 FROM lineitem
 LEFT JOIN part     ON l_partkey = p_partkey
 LEFT JOIN supplier ON l_suppkey = s_suppkey

@@ -84,8 +84,9 @@ WITH daily AS (
   FROM events GROUP BY 1
 )
 SELECT event_date, event_count,
-       SUM(event_count) OVER (ORDER BY event_date
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       CAST(SUM(event_count) OVER (ORDER BY event_date
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT)
          AS running_total
 FROM daily
 ORDER BY event_date
@@ -118,12 +119,15 @@ def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # gaps-and-islands: a new session starts when the gap from the previous
-# event exceeds 30 minutes; session_start = min(ts) of the island
+# event reaches 30 minutes; session_start = min(ts) of the island.
+# ">=" matches Spark's half-open session_window merge rule: events merge
+# only while next_ts < prev_ts + gap, so a gap of exactly 30 minutes
+# starts a NEW session in both engines.
 ORACLE_SESSIONIZATION = """
 WITH flagged AS (
   SELECT user_id, ts, value,
          CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                   > INTERVAL 30 MINUTE
+                   >= INTERVAL 30 MINUTE
               OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM events
