@@ -24,8 +24,6 @@ from pyspark.sql import functions as F
 from netflix_data_ingestion_spark.functions.vectors import cosine
 from netflix_data_ingestion_spark.operators.util import ensure_parallelism
 
-HEX = "0123456789abcdef"
-
 
 def brute_force_topk(
     corpus: DataFrame,
@@ -64,16 +62,73 @@ def brute_force_topk(
     )
 
 
-def _hyperplane_component(plane: F.Column, dim: F.Column) -> F.Column:
-    """Deterministic pseudo-random component in [-7.5, 7.5].
+def _plane_components(plane: int, dim: int) -> list[float]:
+    """Driver-side precompute of one hyperplane's components.
 
-    Value of the first hex digit of md5('<plane>:<dim>') minus 7.5 —
-    crude but adequate for sign-random projections, and portable.
+    Same construction as the runtime fold: value of the first hex digit
+    of md5('<plane>:<dim>') minus 7.5 (pseudo-random in [-7.5, 7.5],
+    reproducible in any engine that has md5).
     """
-    digit = F.expr(
-        f"instr('{HEX}', substring(md5(concat(plane, ':', dim)), 1, 1)) - 1"
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{plane}:{d}".encode()).hexdigest()[0], 16) - 7.5
+        for d in range(1, dim + 1)
+    ]
+
+
+def _plane_projection(
+    vec: F.Column, plane: int, dim: int | None = None
+) -> F.Column:
+    """One hyperplane projection Σ_d vec[d]·component(plane, d) as a single
+    JVM fold over the array column — a zero-shuffle narrow map (replaces
+    the former n×dims×planes posexplode + groupBy, which shuffled ~8,000
+    rows per 1k-dim vector to compute 8 dot products).
+
+    With `dim` given, the components are precomputed driver-side and
+    embedded as an array literal (no md5 at runtime); otherwise they are
+    derived per-element from md5, still inside one projection.  Products
+    of float32 inputs and half-integer components are exact in double, so
+    every partial sum is exact and the fold order cannot change the sign.
+    """
+    if dim is not None:
+        comp = F.lit(_plane_components(plane, dim))
+        terms = F.zip_with(vec, comp, lambda x, c: x.cast("double") * c)
+    else:
+        plane_s = F.lit(str(plane))
+        terms = F.zip_with(
+            vec,
+            F.sequence(F.lit(1), F.size(vec)),
+            lambda x, d: x.cast("double")
+            * (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(plane_s, F.lit(":"), d.cast("string"))),
+                        1,
+                        1,
+                    ),
+                    16,
+                    10,
+                ).cast("double")
+                - 7.5
+            ),
+        )
+    return F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def bucket_expr(
+    vec: F.Column, planes: int = 8, dim: int | None = None
+) -> F.Column:
+    """Sign pattern of `planes` random-hyperplane projections as a bit
+    string — one narrow expression, usable in any projection."""
+    return F.concat(
+        *[
+            F.when(_plane_projection(vec, p, dim) > 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
+            for p in range(1, planes + 1)
+        ]
     )
-    return digit - F.lit(7.5)
 
 
 def lsh_bucket(
@@ -81,47 +136,16 @@ def lsh_bucket(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     planes: int = 8,
+    dim: int | None = None,
 ) -> DataFrame:
-    """(id, bucket) — sign pattern of `planes` random-hyperplane projections."""
-    pos = ensure_parallelism(df).select(
+    """(id, bucket) — sign pattern of `planes` random-hyperplane projections.
+
+    Pure projection: no explode, no shuffle, no join — the plan is a
+    single narrow map over the scan, so at 100 TB this is one pass."""
+    return ensure_parallelism(df).select(
         F.col(id_col),
-        F.posexplode(F.col(vec_col)).alias("dim0", "x"),
-    ).select(
-        F.col(id_col),
-        (F.col("dim0") + 1).cast("string").alias("dim"),
-        F.col("x").cast("double").alias("x"),
+        bucket_expr(F.col(vec_col), planes, dim).alias("bucket"),
     )
-    planes_df = pos.select(
-        F.col(id_col),
-        F.col("dim"),
-        F.col("x"),
-        F.explode(F.sequence(F.lit(1), F.lit(planes))).alias("plane0"),
-    ).withColumn("plane", F.col("plane0").cast("string"))
-    proj = (
-        planes_df.withColumn(
-            "contrib", F.col("x") * _hyperplane_component(F.col("plane"), F.col("dim"))
-        )
-        .groupBy(id_col, "plane0")
-        .agg(F.sum("contrib").alias("s"))
-        .withColumn("bit", F.when(F.col("s") > 0, F.lit("1")).otherwise(F.lit("0")))
-    )
-    return proj.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.concat(
-                            F.lpad(F.col("plane0").cast("string"), 2, "0"),
-                            F.lit(":"),
-                            F.col("bit"),
-                        )
-                    )
-                ),
-                lambda x: F.right(x, F.lit(1)),
-            ),
-            "",
-        ).alias("bucket")
-    ).select(id_col, "bucket")
 
 
 def lsh_topk(
@@ -131,27 +155,24 @@ def lsh_topk(
     vec_col: str = "embedding",
     k: int = 10,
     planes: int = 8,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: exact cosine ranking restricted to the query's
-    LSH bucket.  May return < k rows per query (recall/cost trade-off)."""
-    buckets = lsh_bucket(
-        corpus.unionByName(queries).distinct(), id_col, vec_col, planes
+    LSH bucket.  May return < k rows per query (recall/cost trade-off).
+
+    The bucket is a narrow expression computed inline on each side (the
+    former union+distinct+join-back of a bucket table is gone), so the
+    only shuffle left is the bucket-equi join itself — and the query side
+    is tiny, so Catalyst broadcasts it."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        bucket_expr(F.col(vec_col), planes, dim).alias("q_bucket"),
     )
-    q = (
-        queries.join(buckets, id_col)
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("q_vec"),
-            F.col("bucket").alias("q_bucket"),
-        )
-    )
-    c = (
-        corpus.join(buckets, id_col)
-        .select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("c_vec"),
-            F.col("bucket").alias("c_bucket"),
-        )
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        bucket_expr(F.col(vec_col), planes, dim).alias("c_bucket"),
     )
     scored = (
         q.join(c, F.col("q_bucket") == F.col("c_bucket"))

@@ -224,7 +224,10 @@ ORDER BY query_id, neighbor_id
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     queries = emb.filter(F.col("vec_id") < 5)
-    return similarity.lsh_topk(emb, queries, k=10, planes=8).orderBy(
+    # dim=64 (the testdata embedding width) precomputes the hyperplane
+    # components driver-side, so the runtime plan has no md5 at all —
+    # just a literal-array fold per plane.
+    return similarity.lsh_topk(emb, queries, k=10, planes=8, dim=64).orderBy(
         "query_id", "neighbor_id"
     )
 
