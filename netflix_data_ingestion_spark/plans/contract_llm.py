@@ -131,6 +131,64 @@ ORDER BY id_a, id_b
 
 
 # ---------------------------------------------------------------------------
+# Dedup: composed scale path — LSH candidates -> exact Jaccard verify
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_near_dup_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production 100 TB dedup path (operators/dedup.py
+    near_dup_pairs_at_scale): MinHash-LSH candidate generation followed by
+    exact Jaccard verification on candidates only — O(candidates) verify
+    work instead of the all-pairs quadratic audit form."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.near_dup_pairs_at_scale(
+        docs, "doc_id", "text", n=3, threshold=0.8, num_hashes=16, bands=4
+    ).orderBy("id_a", "id_b")
+
+
+# candidates = the dedup_minhash_lsh banding CTE; verify = list_intersect
+# over per-doc DISTINCT shingle lists (mirrors Spark's array_intersect on
+# array_distinct shingle arrays — both sides deduplicate before counting)
+ORACLE_DEDUP_NEAR_DUP_SCALE = f"""
+WITH {_DUCK_SHINGLES},
+hashed AS (
+  SELECT doc_id, seed,
+         md5(seed::VARCHAR || '|' || shingle) AS h
+  FROM sh, unnest(range(0, 4)) AS s(seed)
+),
+bandt AS (
+  SELECT doc_id, seed AS band,
+         md5(concat_ws('|', MIN(substr(h, 1, 8)), MIN(substr(h, 9, 8)),
+                       MIN(substr(h, 17, 8)), MIN(substr(h, 25, 8))))
+           AS band_key
+  FROM hashed GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandt a JOIN bandt b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+arrs AS (
+  SELECT doc_id, list(shingle) AS arr, COUNT(*) AS n_shingles
+  FROM sh GROUP BY 1
+),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(sa.arr, sb.arr))::BIGINT AS intersection,
+         sa.n_shingles + sb.n_shingles AS size_sum
+  FROM cand c
+  JOIN arrs sa ON sa.doc_id = c.id_a
+  JOIN arrs sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, intersection,
+       intersection::DOUBLE / (size_sum - intersection)::DOUBLE AS jaccard
+FROM verified
+WHERE intersection::DOUBLE / (size_sum - intersection) >= 0.8
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # Dedup: SimHash 64-bit fingerprints
 # ---------------------------------------------------------------------------
 
@@ -691,6 +749,7 @@ REGISTRY_LLM = {
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, ORACLE_DEDUP_MINHASH),
+    "dedup_near_dup_scale": (q_dedup_near_dup_scale, ORACLE_DEDUP_NEAR_DUP_SCALE),
     "dedup_simhash": (q_dedup_simhash, ORACLE_DEDUP_SIMHASH),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, ORACLE_DEDUP_COSINE),
     "embedding_cosine_topk": (q_embedding_cosine_topk, ORACLE_COSINE_TOPK),
