@@ -304,9 +304,10 @@ def cosine_near_dup_pairs(
     cut uses Spark's exact HALF_UP semantics, matching the oracle.
 
     Scale path: the broadcast side must fit in task memory (~1e6 x 1e3
-    dims = 4 GB ceiling).  Beyond that, LSH-bucket first
-    (`similarity.lsh_bucket` / minhash bands) and run this scorer per
-    bucket via ``applyInPandas``, exactly like the Jaccard/MinHash split.
+    dims = 4 GB ceiling).  This is the AUDIT twin (exact all-pairs, small
+    corpora); the production path is `cosine_near_dup_pairs_at_scale`
+    below — multi-table LSH candidates + JVM-side verify, no driver
+    collect — exactly mirroring the Jaccard/MinHash split.
     """
     import numpy as np
     import pandas as pd
@@ -360,6 +361,145 @@ def cosine_near_dup_pairs(
     )
 
 
+def cosine_lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 6,
+    tables: int = 8,
+    dim: int | None = None,
+) -> DataFrame:
+    """Distinct candidate pairs sharing a random-hyperplane LSH bucket in
+    >= 1 of `tables` independent hash tables (OR-amplification).
+
+    One hyperplane table alone has recall (1-θ/π)^planes per pair — ~4%
+    at cosine 0.5 with 8 planes — useless for dedup; OR-ing `tables`
+    independent tables amplifies to 1-(1-p)^tables (~52% at cosine 0.5
+    with 6x8; push planes up / tables up for tighter thresholds or
+    bigger corpora — 2^planes is the bucket count, so planes must grow
+    with log(n) to keep bucket-local joins bounded).
+
+    Plan shape: ONE narrow projection computes all `tables` buckets per
+    row (an array of structs, exploded — no scalar expressions beside
+    the explode, dodging the Generate double-eval trap), then a
+    bucket-local self-join on (table, bucket).  Shuffle carries only
+    (id, table, bucket) rows — never the vectors.
+    """
+    from netflix_data_ingestion_spark.operators import similarity
+
+    table_structs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                similarity.bucket_expr(
+                    F.col(vec_col), planes, dim, plane_offset=t * planes
+                ).alias("bucket"),
+            )
+            for t in range(tables)
+        ]
+    )
+    bt = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.explode(table_structs).alias("tb"))
+        .select(
+            id_col,
+            F.col("tb.tbl").alias("tbl"),
+            F.col("tb.bucket").alias("bucket"),
+        )
+        .filter(F.col("bucket").isNotNull())
+    )
+    a = bt.alias("a")
+    b = bt.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def cosine_near_dup_pairs_at_scale(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    planes: int = 6,
+    tables: int = 8,
+    dim: int | None = None,
+) -> DataFrame:
+    """The production semantic-dedup path: multi-table LSH candidate
+    generation -> exact cosine verification on candidates only.
+
+    Same output schema as `cosine_near_dup_pairs` (the all-pairs audit
+    twin), but nothing ever funnels through the driver: buckets are a
+    narrow projection, the candidate join shuffles ids only, and the
+    verify stage joins the embeddings back and scores each Arrow batch
+    of candidate pairs vectorized in numpy — whole plan is
+    scan -> narrow map -> key-partitioned joins -> mapInPandas, the only
+    shape that survives a 100 TB embedding corpus.  Recall is the
+    OR-amplified LSH probability (see `cosine_lsh_candidate_pairs`);
+    the all-pairs twin is the audit tool.
+
+    Scoring parity: accumulation is DIM-SEQUENTIAL
+    (``acc += A[:, d] * B[:, d]``), the exact left-associative order of
+    the scalar fold, so cosines are bit-identical to the JVM expression
+    and the SQL oracle (a BLAS matmul would reorder the summation); the
+    ROUND-then-threshold cut stays JVM-side for HALF_UP parity.  An
+    interpreted-HOF JVM cosine here measured ~4x slower at sf0.1 (the
+    candidate set is ~1M pairs; per-pair fold cost dominates).
+    """
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    cand = cosine_lsh_candidate_pairs(
+        df, id_col, vec_col, planes, tables, dim
+    )
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+    )
+    pairs = cand.join(a, "id_a").join(b, "id_b")
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pin in batches:
+            if len(pin) == 0:
+                continue
+            A = np.stack([np.asarray(v, dtype=np.float64) for v in pin["vec_a"]])
+            B = np.stack([np.asarray(v, dtype=np.float64) for v in pin["vec_b"]])
+            acc = np.zeros(len(pin))
+            na = np.zeros(len(pin))
+            nb = np.zeros(len(pin))
+            for d in range(A.shape[1]):
+                acc += A[:, d] * B[:, d]
+                na += A[:, d] * A[:, d]
+                nb += B[:, d] * B[:, d]
+            yield pd.DataFrame(
+                {
+                    "id_a": pin["id_a"],
+                    "id_b": pin["id_b"],
+                    "raw_cos": acc / (np.sqrt(na) * np.sqrt(nb)),
+                }
+            )
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    return (
+        pairs.mapInPandas(score, f"id_a {id_t}, id_b {id_t}, raw_cos double")
+        .withColumn("cosine_sim", F.round(F.col("raw_cos"), 6))
+        .filter(F.col("cosine_sim") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
 def near_dup_pairs_at_scale(
     df: DataFrame,
     id_col: str,
@@ -382,35 +522,54 @@ def near_dup_pairs_at_scale(
     Verification joins the candidates back to per-doc DISTINCT shingle
     arrays and intersects them per pair (`array_intersect` — no shingle
     explosion in the verify stage at all).
+
+    Verify-stage shape: the shingle-array projection is the expensive
+    part (interpreted HOF, ~1ms/doc), so it must be evaluated ONCE — a
+    two-sided `cand JOIN arrs a JOIN arrs b` plans the projection twice
+    (measured 2x at sf0.1).  Instead the pair list is exploded to long
+    format (pair, side, id), joined against the single arrs projection,
+    and regrouped per pair with min_by/max_by ('a' < 'b') — one
+    projection pass, one join, and the regroup shuffles only
+    candidate-matched arrays.
     """
     cand = minhash_lsh_candidate_pairs(
         df, id_col, text_col, n, num_hashes, bands
     )
     arrs = ensure_parallelism(df).select(
-        F.col(id_col),
+        F.col(id_col).alias("jid"),
         shingles(tokens(F.col(text_col)), n).alias("sh_arr"),
     )
-    a = arrs.select(
-        F.col(id_col).alias("id_a"),
-        F.col("sh_arr").alias("arr_a"),
-        F.size("sh_arr").cast("long").alias("size_a"),
-    )
-    b = arrs.select(
-        F.col(id_col).alias("id_b"),
-        F.col("sh_arr").alias("arr_b"),
-        F.size("sh_arr").cast("long").alias("size_b"),
+    long = cand.select(
+        "id_a",
+        "id_b",
+        F.explode(
+            F.array(
+                F.struct(F.lit("a").alias("side"), F.col("id_a").alias("jid")),
+                F.struct(F.lit("b").alias("side"), F.col("id_b").alias("jid")),
+            )
+        ).alias("s"),
+    ).select("id_a", "id_b", F.col("s.side").alias("side"), F.col("s.jid").alias("jid"))
+    paired = (
+        long.join(arrs, "jid")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.min_by("sh_arr", "side").alias("arr_a"),
+            F.max_by("sh_arr", "side").alias("arr_b"),
+        )
     )
     return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn(
+        paired.withColumn(
             "intersection",
             F.size(F.array_intersect("arr_a", "arr_b")).cast("long"),
         )
         .withColumn(
             "jaccard",
             F.col("intersection")
-            / (F.col("size_a") + F.col("size_b") - F.col("intersection")),
+            / (
+                F.size("arr_a").cast("long")
+                + F.size("arr_b").cast("long")
+                - F.col("intersection")
+            ),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "intersection", "jaccard")

@@ -88,8 +88,11 @@ def _plane_projection(
     With `dim` given, the components are precomputed driver-side and
     embedded as an array literal (no md5 at runtime); otherwise they are
     derived per-element from md5, still inside one projection.  Products
-    of float32 inputs and half-integer components are exact in double, so
-    every partial sum is exact and the fold order cannot change the sign.
+    of float32 inputs and half-integer components are exact in double;
+    the partial SUMS can still round (doubles with differing exponents),
+    so the sign is stable except for projections within rounding error
+    of zero — rare enough that cross-engine bucket parity holds in
+    practice, but not an absolute invariant.
     """
     if dim is not None:
         comp = F.lit(_plane_components(plane, dim))
@@ -117,18 +120,37 @@ def _plane_projection(
 
 
 def bucket_expr(
-    vec: F.Column, planes: int = 8, dim: int | None = None
+    vec: F.Column,
+    planes: int = 8,
+    dim: int | None = None,
+    plane_offset: int = 0,
 ) -> F.Column:
     """Sign pattern of `planes` random-hyperplane projections as a bit
-    string — one narrow expression, usable in any projection."""
-    return F.concat(
+    string — one narrow expression, usable in any projection.
+
+    `plane_offset` shifts the hyperplane ids (planes offset+1..offset+n),
+    giving independent hash tables for OR-amplified multi-table LSH
+    (dedup.cosine_lsh_candidate_pairs).
+
+    NULL-gated: a NULL, empty, or (with `dim` given) mis-sized vector
+    yields a NULL bucket instead of silently collapsing into the all-'0'
+    bucket (zip_with null-pads length mismatches, making every projection
+    NULL and every bit '0' — which would cross-join all bad rows).
+    Callers drop NULL buckets; the SQL oracle's unnest emits no rows for
+    NULL/empty arrays, so the engines agree.
+    """
+    raw = F.concat(
         *[
             F.when(_plane_projection(vec, p, dim) > 0, F.lit("1")).otherwise(
                 F.lit("0")
             )
-            for p in range(1, planes + 1)
+            for p in range(plane_offset + 1, plane_offset + planes + 1)
         ]
     )
+    guard = (
+        F.size(vec) == F.lit(dim) if dim is not None else F.size(vec) > 0
+    )
+    return F.when(guard, raw)
 
 
 def lsh_bucket(
@@ -141,10 +163,15 @@ def lsh_bucket(
     """(id, bucket) — sign pattern of `planes` random-hyperplane projections.
 
     Pure projection: no explode, no shuffle, no join — the plan is a
-    single narrow map over the scan, so at 100 TB this is one pass."""
-    return ensure_parallelism(df).select(
-        F.col(id_col),
-        bucket_expr(F.col(vec_col), planes, dim).alias("bucket"),
+    single narrow map over the scan, so at 100 TB this is one pass.
+    Rows with NULL/empty/mis-sized vectors are dropped (see bucket_expr)."""
+    return (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col),
+            bucket_expr(F.col(vec_col), planes, dim).alias("bucket"),
+        )
+        .filter(F.col("bucket").isNotNull())
     )
 
 

@@ -365,6 +365,73 @@ ORDER BY id_a, id_b
 
 
 # ---------------------------------------------------------------------------
+# Dedup: embedding-cosine scale path (multi-table LSH -> verify)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_cosine_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production semantic-dedup path (operators/dedup.py
+    cosine_near_dup_pairs_at_scale): OR-amplified multi-table hyperplane
+    LSH candidates, exact JVM-side cosine verify — no driver collect,
+    unlike the all-pairs audit twin `dedup_embedding_cosine`."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = dedup.cosine_near_dup_pairs_at_scale(
+        emb, "vec_id", "embedding", threshold=0.4, planes=6, tables=8, dim=64
+    )
+    # deterministic order WITHOUT a global orderBy: the range-partitioner's
+    # sampling pass would re-run the post-shuffle tail (the Arrow scorer
+    # over ~250k candidate pairs — measured +2.3s at sf0.1); the result is
+    # a few hundred rows, so shuffle them to one partition and sort there.
+    return out.repartition(1).sortWithinPartitions("id_a", "id_b")
+
+
+# buckets mirror similarity.bucket_expr with plane ids t*6+1..t*6+6 per
+# table t in 0..7: component(plane, d) = first-hex-digit(md5(plane:d)) - 7.5
+ORACLE_DEDUP_COSINE_SCALE = f"""
+WITH pos AS (
+  SELECT vec_id, i::VARCHAR AS dim, embedding[i]::DOUBLE AS x, p AS plane0
+  FROM embeddings,
+       unnest(range(1, len(embedding) + 1)) AS r(i),
+       unnest(range(1, 49)) AS pr(p)
+),
+proj AS (
+  SELECT vec_id, (plane0 - 1) // 6 AS tbl, plane0,
+         SUM(x * (strpos('0123456789abcdef',
+                         substr(md5(plane0::VARCHAR || ':' || dim), 1, 1))
+                  - 1 - 7.5)) AS s
+  FROM pos GROUP BY 1, 2, 3
+),
+buckets AS (
+  SELECT vec_id, tbl,
+         string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, ''
+                    ORDER BY plane0) AS bucket
+  FROM proj GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+sides AS (
+  SELECT vec_id, embedding,
+         sqrt({_DUCK_DOT.format(a='embeddings', b='embeddings')}) AS nrm
+  FROM embeddings
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         ROUND({_DUCK_DOT.format(a='a', b='b')} / (a.nrm * b.nrm), 6)
+           AS cosine_sim
+  FROM cand c
+  JOIN sides a ON a.vec_id = c.id_a
+  JOIN sides b ON b.vec_id = c.id_b
+)
+SELECT id_a, id_b, cosine_sim FROM scored
+WHERE cosine_sim >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # Similarity: IVF approximate top-10 (coarse-quantizer scale path)
 # ---------------------------------------------------------------------------
 
@@ -752,6 +819,7 @@ REGISTRY_LLM = {
     "dedup_near_dup_scale": (q_dedup_near_dup_scale, ORACLE_DEDUP_NEAR_DUP_SCALE),
     "dedup_simhash": (q_dedup_simhash, ORACLE_DEDUP_SIMHASH),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, ORACLE_DEDUP_COSINE),
+    "dedup_cosine_scale": (q_dedup_cosine_scale, ORACLE_DEDUP_COSINE_SCALE),
     "embedding_cosine_topk": (q_embedding_cosine_topk, ORACLE_COSINE_TOPK),
     "ann_lsh_topk": (q_ann_lsh_topk, ORACLE_ANN_LSH),
     "ann_ivf_topk": (q_ann_ivf_topk, ORACLE_ANN_IVF),

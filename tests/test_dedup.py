@@ -144,3 +144,61 @@ def test_near_dup_at_scale_matches_all_pairs(spark):
     scaled = near_dup_pairs_at_scale(docs, "doc_id", "text", 3, 0.8)
     key = lambda r: (r["id_a"], r["id_b"], r["intersection"], round(r["jaccard"], 9))
     assert sorted(map(key, exact.collect())) == sorted(map(key, scaled.collect()))
+
+
+def test_cosine_scale_subset_of_all_pairs(spark):
+    """Every pair the LSH-bucketed production path emits must appear in
+    the all-pairs audit twin with the IDENTICAL rounded cosine (the
+    verify stage is exact; only recall differs)."""
+    from netflix_data_ingestion_spark.operators.dedup import (
+        cosine_near_dup_pairs,
+        cosine_near_dup_pairs_at_scale,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    audit = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in cosine_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    scale = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in cosine_near_dup_pairs_at_scale(
+            emb, threshold=0.4, planes=6, tables=8, dim=64
+        ).collect()
+    }
+    assert scale  # OR-amplified recall must find a nonempty subset
+    assert set(scale) <= set(audit)
+    assert all(audit[k] == v for k, v in scale.items())
+
+
+def test_lsh_bucket_null_gating(spark):
+    """NULL / empty / mis-sized vectors must drop out (NULL bucket), not
+    collapse into the all-'0' bucket and cross-join every bad row."""
+    from netflix_data_ingestion_spark.operators.dedup import (
+        cosine_lsh_candidate_pairs,
+    )
+    from netflix_data_ingestion_spark.operators.similarity import lsh_bucket
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),   # exact dup of 0
+        (2, None),                    # NULL vector
+        (3, []),                      # empty vector
+        (4, [1.0, 0.0]),              # mis-sized (dim=4 declared)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    buckets = lsh_bucket(df, planes=4, dim=4)
+    assert {r["vec_id"] for r in buckets.collect()} == {0, 1}
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_lsh_candidate_pairs(
+            df, planes=4, tables=4, dim=4
+        ).collect()
+    }
+    assert cands == {(0, 1)}
+    # dim=None path: NULL/empty still drop, the 2-dim row now buckets
+    assert {r["vec_id"] for r in lsh_bucket(df, planes=4).collect()} == {
+        0, 1, 4,
+    }
