@@ -170,10 +170,19 @@ class StarPipeline:
     # -- validation (reference validate_existing_data_safety analog) --------
 
     def validate(self) -> dict[str, bool]:
-        """Recount every completed table and compare with the manifest."""
+        """Recount every completed table and compare with the manifest.
+
+        A manifest row whose table directory is gone is NOT a failure —
+        by `_is_complete`'s own definition that stage is simply
+        incomplete and `run()` will rebuild it; only a table that exists
+        with the WRONG contents is a safety violation (the CLI's exit-2
+        gate, mirroring the reference's DB-vs-checkpoint pre-flight).
+        """
         manifest = self._load_manifest()
         out = {}
         for name, meta in manifest.items():
+            if not os.path.isdir(self._table_path(name)):
+                continue
             actual = self.read(name).count()
             out[name] = actual == meta["rows"]
         return out
