@@ -75,8 +75,15 @@ def forward_fill_global(
     tagged = df.withColumn(_PART, F.spark_partition_id())
 
     # deterministic double-traversal hazard: the tiny carry aggregate and
-    # the main pass must see identical partition tags, so pin the lineage
-    tagged.persist()
+    # the main pass must see identical partition tags.  Pin via an EAGER
+    # localCheckpoint, not persist(): checkpoint blocks are GC-scoped
+    # (freed when the caller drops the result — no CacheManager entry
+    # leaking until session end), and the truncated lineage freezes
+    # partition identity outright instead of hoping a recompute after
+    # cache eviction repartitions identically.  Trade-off: on executor
+    # loss the job fails fast instead of recomputing — callers
+    # (idempotent staged parquet writes) just re-run the stage.
+    tagged = tagged.localCheckpoint(eager=True)
 
     local_w = (
         Window.partitionBy(_PART)

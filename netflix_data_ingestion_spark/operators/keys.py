@@ -48,16 +48,19 @@ def surrogate_key_ranged(
     """Distributed deterministic numbering: range partition + local
     row_number + broadcast per-partition offsets.
 
-    The input is persisted for the two traversals (tiny count pass + main
-    pass) so both see identical range-partition boundaries.
+    The input is pinned for the two traversals (tiny count pass + main
+    pass) so both see identical range-partition boundaries — via an
+    EAGER localCheckpoint rather than persist(), so the blocks are freed
+    when the caller drops the result instead of leaking a CacheManager
+    entry until session end (see ffill.forward_fill_global for the full
+    rationale).
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = (
         df.repartitionByRange(n, *natural_cols)
         .sortWithinPartitions(*natural_cols)
         .withColumn(_PID, F.spark_partition_id())
-    )
-    ranged.persist()
+    ).localCheckpoint(eager=True)
 
     counts = {r[_PID]: r["cnt"] for r in ranged.groupBy(_PID).agg(F.count("*").alias("cnt")).collect()}
     offsets, acc = [], 0

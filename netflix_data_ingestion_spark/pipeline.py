@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from netflix_data_ingestion_spark.plans import star
 from netflix_data_ingestion_spark.sources.movies import parse_movie_lines
 from netflix_data_ingestion_spark.sources.ratings import read_and_parse
+from netflix_data_ingestion_spark.sources.writers import write_partitioned
 
 MANIFEST = "_manifest.json"
 
@@ -97,10 +98,11 @@ class StarPipeline:
             return StageResult(name, self._load_manifest()[name]["rows"], 0.0, True)
         t0 = time.time()
         df = build()
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(self._table_path(name))
+        # retrying writer (reference bulk-load parity): transient sink
+        # failures back off instead of aborting the stage
+        write_partitioned(
+            df, self._table_path(name), partition_by, mode="overwrite"
+        )
         rows = self.read(name).count()
         secs = time.time() - t0
         self._record(name, rows, secs)

@@ -102,4 +102,8 @@ def validate(df: DataFrame, table: str) -> tuple[DataFrame, DataFrame]:
     pred = None
     for c in table_checks.values():
         pred = c if pred is None else (pred & c)
-    return df.filter(pred), df.filter(~pred)
+    # three-valued logic: a NULL-evaluating predicate (e.g. NULL rating
+    # against BETWEEN) is excluded by BOTH filter(pred) and filter(~pred);
+    # coalesce to FALSE so such rows land on the invalid side and the
+    # drop accounting stays exact (valid + invalid == input)
+    return df.filter(pred), df.filter(~F.coalesce(pred, F.lit(False)))

@@ -36,6 +36,47 @@ def read_lines(spark: SparkSession, path: str | list[str]) -> DataFrame:
     return spark.read.text(path)
 
 
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 8,
+) -> DataFrame:
+    """JDBC read-back source (reference etl_pipeline_spark.py:1375-1385
+    parity — it re-reads its own tables over JDBC for post-processing).
+
+    Without `partition_column` the whole table arrives through ONE
+    connection in ONE task — fine for dimension reads, wrong for facts;
+    pass a numeric column + bounds to split the scan into
+    `num_partitions` parallel range queries (the standard Spark JDBC
+    parallelism contract).  Parquet is this engine's primary storage —
+    this source exists for interop with an existing warehouse.
+    """
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+    )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "partition_column requires lower_bound and upper_bound"
+            )
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    return reader.load()
+
+
 def read_table(spark: SparkSession, root: str, name: str) -> DataFrame:
     """Read one engine/testdata table stored as Parquet.
 

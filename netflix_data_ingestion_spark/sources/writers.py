@@ -10,7 +10,51 @@ sink (executor-side ``df.write.jdbc``, no driver funnel).
 
 from __future__ import annotations
 
+import logging
+import time
+from collections.abc import Callable
+from typing import TypeVar
+
 from pyspark.sql import DataFrame, SparkSession
+
+logger = logging.getLogger(__name__)
+
+_T = TypeVar("_T")
+
+
+def with_retry(
+    action: Callable[[], _T],
+    attempts: int = 3,
+    backoff_seconds: float = 10.0,
+    sleep: Callable[[float], None] = time.sleep,
+) -> _T:
+    """Run a sink action with linear-backoff retries (reference parity:
+    the bulk load retries 3x with 10/20/30s waits,
+    etl_pipeline_spark.py:1254-1310).
+
+    Transient sink failures (connection reset, lease timeout, throttled
+    object store) shouldn't abort an hours-long pipeline stage; attempt
+    *n* waits ``backoff_seconds * n`` before retrying.  The last failure
+    re-raises.  ``sleep`` is injectable for tests.
+    """
+    if attempts < 1:
+        raise ValueError("attempts must be >= 1")
+    for attempt in range(1, attempts + 1):
+        try:
+            return action()
+        except Exception as exc:  # noqa: BLE001 — sink errors are opaque
+            if attempt == attempts:
+                raise
+            wait = backoff_seconds * attempt
+            logger.warning(
+                "sink attempt %d/%d failed (%s); retrying in %.0fs",
+                attempt,
+                attempts,
+                exc,
+                wait,
+            )
+            sleep(wait)
+    raise AssertionError("unreachable")
 
 
 def write_partitioned(
@@ -18,14 +62,20 @@ def write_partitioned(
     path: str,
     partition_by: list[str] | None = None,
     mode: str = "overwrite",
+    attempts: int = 3,
+    backoff_seconds: float = 10.0,
 ) -> None:
     """Partitioned Parquet write — date-derived partition columns give
     partition pruning on time-ranged queries (the reference's roadmap
-    wish, README.md:819)."""
-    w = df.write.mode(mode)
-    if partition_by:
-        w = w.partitionBy(*partition_by)
-    w.parquet(path)
+    wish, README.md:819).  Retries transient failures (`with_retry`)."""
+
+    def _write() -> None:
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+
+    with_retry(_write, attempts=attempts, backoff_seconds=backoff_seconds)
 
 
 def write_bucketed(
@@ -57,12 +107,21 @@ def write_jdbc(
     mode: str = "append",
     properties: dict[str, str] | None = None,
     max_connections: int = 20,
+    attempts: int = 3,
+    backoff_seconds: float = 10.0,
 ) -> None:
     """Executor-side JDBC sink (parity with reference K1/K2): coalesce
     bounds concurrent connections like the reference's coalesce(20)
-    (etl_pipeline_spark.py:1028)."""
-    df.coalesce(max_connections).write.jdbc(
-        url, table, mode=mode, properties=properties or {}
+    (etl_pipeline_spark.py:1028).  Retries transient failures
+    (`with_retry`, reference etl_pipeline_spark.py:1254-1310 parity);
+    use mode='append' only with idempotent/staging targets since a
+    mid-write failure can leave partial rows before the retry."""
+    with_retry(
+        lambda: df.coalesce(max_connections).write.jdbc(
+            url, table, mode=mode, properties=properties or {}
+        ),
+        attempts=attempts,
+        backoff_seconds=backoff_seconds,
     )
 
 

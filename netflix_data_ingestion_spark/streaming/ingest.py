@@ -97,9 +97,16 @@ def dedup_events(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
 
     The streaming analog of the reference's union+distinct customer dedup
     (etl_pipeline_spark.py:988-994): state is bounded by the watermark.
+
+    Keyed on event_id ALONE (`dropDuplicatesWithinWatermark`): a replayed
+    event_id whose ts drifted (late re-delivery, producer retry with a
+    fresh timestamp) is still a duplicate and is dropped — unlike
+    ``dropDuplicates([id, ts])``, which only drops byte-identical
+    replays.  State per key expires once the watermark passes the FIRST
+    arrival's event time plus the delay, so memory stays bounded.
     """
-    return events.withWatermark("ts", watermark).dropDuplicates(
-        ["event_id", "ts"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
     )
 
 

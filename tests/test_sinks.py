@@ -1,0 +1,94 @@
+"""Sink retry/backoff, CHECK-validate NULL accounting, JDBC read-back."""
+
+from __future__ import annotations
+
+import pytest
+
+from netflix_data_ingestion_spark import schemas
+from netflix_data_ingestion_spark.sources.readers import read_jdbc
+from netflix_data_ingestion_spark.sources.writers import (
+    with_retry,
+    write_partitioned,
+)
+
+
+def test_with_retry_succeeds_after_transient_failures():
+    calls, sleeps = [], []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) < 3:
+            raise RuntimeError("transient")
+        return "ok"
+
+    assert (
+        with_retry(flaky, attempts=3, backoff_seconds=10, sleep=sleeps.append)
+        == "ok"
+    )
+    assert len(calls) == 3
+    assert sleeps == [10.0, 20.0]  # linear backoff, reference 10/20/30s shape
+
+
+def test_with_retry_exhausts_and_reraises():
+    calls, sleeps = [], []
+
+    def always_fails():
+        calls.append(1)
+        raise RuntimeError("permanent")
+
+    with pytest.raises(RuntimeError, match="permanent"):
+        with_retry(
+            always_fails, attempts=3, backoff_seconds=1, sleep=sleeps.append
+        )
+    assert len(calls) == 3
+    assert sleeps == [1.0, 2.0]
+
+
+def test_write_partitioned_retries_injected_sink_failure(
+    spark, tmp_path, monkeypatch
+):
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    calls = []
+    orig = DataFrameWriter.parquet
+
+    def flaky(self, path, **kw):
+        calls.append(1)
+        if len(calls) == 1:
+            raise RuntimeError("injected transient sink failure")
+        return orig(self, path, **kw)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", flaky)
+    df = spark.range(10)
+    write_partitioned(df, str(tmp_path / "t"), backoff_seconds=0)
+    assert len(calls) == 2
+    assert spark.read.parquet(str(tmp_path / "t")).count() == 10
+
+
+def test_validate_routes_null_predicate_rows_to_invalid(spark):
+    """NULL rating evaluates the CHECK to NULL; both filter(pred) and
+    filter(~pred) would drop it — it must be COUNTED as invalid so
+    valid + invalid == input (exact drop accounting)."""
+    df = spark.createDataFrame([(1,), (7,), (None,)], "rating int")
+    valid, invalid = schemas.validate(df, "fact_ratings")
+    assert valid.count() == 1
+    assert invalid.count() == 2  # out-of-range 7 AND the NULL
+    assert valid.count() + invalid.count() == df.count()
+
+
+def test_read_jdbc_partition_bounds_required(spark):
+    with pytest.raises(ValueError, match="lower_bound"):
+        read_jdbc(spark, "jdbc:derby:memory:x", "t", partition_column="id")
+
+
+def test_read_jdbc_roundtrip_if_driver_available(spark, tmp_path):
+    """Round-trip through a real JDBC database when a driver exists on
+    the classpath; skipped in driverless environments (this container
+    ships no JDBC jars — parquet is the primary storage)."""
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    try:
+        spark.range(5).write.jdbc(url, "t", mode="overwrite")
+    except Exception as exc:  # noqa: BLE001
+        pytest.skip(f"no JDBC driver available: {type(exc).__name__}")
+    out = read_jdbc(spark, url, "t")
+    assert out.count() == 5

@@ -101,3 +101,37 @@ def test_rerun_skips_completed_stages(spark, fixture_files):
     )
     results = pipe.run()
     assert all(r.skipped for r in results)
+
+
+def test_no_lingering_persistent_rdds(spark, fixture_files, tmp_path):
+    """The ffill/surrogate-key pins must not leak storage for the session
+    lifetime: no CacheManager entries ever (nothing persist()s), and the
+    GC-scoped localCheckpoint blocks drain once results are dropped."""
+    import gc
+    import time
+
+    def drain_to(target: int, seconds: float = 30.0) -> int:
+        """GC until the persistent-RDD count stops exceeding `target`
+        (other test modules may hold live checkpointed frames in
+        module-scoped fixtures — those are referenced, not leaked)."""
+        deadline = time.time() + seconds
+        size = spark.sparkContext._jsc.getPersistentRDDs().size()
+        while size > target and time.time() < deadline:
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(0.5)
+            size = spark.sparkContext._jsc.getPersistentRDDs().size()
+        return size
+
+    baseline = drain_to(0)  # whatever other live fixtures still pin
+    pipe = StarPipeline(
+        spark,
+        str(tmp_path / "wh"),
+        fixture_files["paths"],
+        fixture_files["movies_csv"],
+        date_range=("2000-01-01", "2005-12-31"),
+    )
+    pipe.run()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    del pipe
+    assert drain_to(baseline) <= baseline

@@ -205,3 +205,24 @@ def test_idempotent_foreachbatch_sink(spark, source_dir, tmp_path):
     q2.awaitTermination(120)
     n2 = spark.read.parquet(out).count()
     assert n1 == n2 == 9  # all fixture rows, exactly once
+
+
+def test_streaming_dedup_drops_replayed_id_with_drifted_ts(
+    spark, tmp_path_factory
+):
+    """A producer retry re-emits event_id=1 with a fresh (drifted) ts;
+    dedup keys on event_id ALONE within the watermark, so the replay is
+    dropped — the behavior dropDuplicates([id, ts]) could not give."""
+    d = tmp_path_factory.mktemp("events_replay")
+    rows = [
+        (1, BASE, 1, "click", 1.0, "{}"),
+        (1, BASE + datetime.timedelta(minutes=5), 1, "click", 1.0, "{}"),
+        (2, BASE + datetime.timedelta(minutes=10), 2, "click", 2.0, "{}"),
+    ]
+    spark.createDataFrame(rows, ingest.EVENT_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(d))
+    stream = ingest.stream_events(spark, str(d))
+    ingest.run_to_memory(ingest.dedup_events(stream), "t_dedup_replay")
+    rows_out = spark.sql("SELECT * FROM t_dedup_replay").collect()
+    assert sorted(r["event_id"] for r in rows_out) == [1, 2]
