@@ -36,6 +36,17 @@ def main() -> None:
     # warm up the JVM + file listing + parquet footers so the first query
     # isn't charged for session-scoped one-time costs
     spark.range(1000).selectExpr("sum(id)").collect()
+
+    # ...and the Python worker daemons + numpy import (the Arrow scorer
+    # paths): spawning 32 workers and importing numpy in each is a
+    # session-scoped one-time cost (~2-4s) that otherwise lands entirely
+    # on whichever mapInPandas query happens to run first
+    def _warm_py(batches):
+        import numpy  # noqa: F401 — import cost is the point
+
+        yield from batches
+
+    spark.range(64).repartition(32).mapInPandas(_warm_py, "id long").collect()
     from netflix_data_ingestion_spark.sources.readers import (
         TESTDATA_TABLES,
         read_table,
