@@ -47,17 +47,20 @@ def tokens(text: Column) -> Column:
     )
 
 
+def word_ngrams(tok: Column, n: int) -> Column:
+    """ALL word n-grams (space-joined, duplicates kept) from a token array."""
+    return F.when(
+        F.size(tok) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tok) - (n - 1)),
+            lambda i: F.array_join(F.slice(tok, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def shingles(tok: Column, n: int) -> Column:
     """Distinct word n-gram shingles (space-joined) from a token array."""
-    return F.array_distinct(
-        F.when(
-            F.size(tok) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(tok) - (n - 1)),
-                lambda i: F.array_join(F.slice(tok, i, n), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-    )
+    return F.array_distinct(word_ngrams(tok, n))
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -1,0 +1,92 @@
+"""Deterministic sampling / packing operators — beyond-reference.
+
+Corpus curation at 100 TB needs sampling that is reproducible (re-runs
+and engines agree bit-for-bit) and cap semantics that bound any one
+source's contribution (the "domain cap" used by large web-corpus
+pipelines to stop a few giant hosts dominating the mix).  Everything
+here orders by ``md5(salt || '|' || id)`` — a uniform, engine-portable
+pseudo-random key (same discipline as operators/split.hash_split).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from netflix_data_ingestion_spark.operators.util import ensure_parallelism
+
+
+def quota_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    cap: int,
+    salt: str = "v1",
+) -> DataFrame:
+    """At most `cap` rows per group, chosen by deterministic hash order.
+
+    sample_rank = row_number over (group, md5(salt|id) asc, id asc); rows
+    with rank <= cap survive.  The hash order makes the kept subset (a)
+    uniform within the group, (b) stable across runs and engines, and
+    (c) GROWTH-STABLE: adding new rows to a group can only displace
+    hash-later rows, never reshuffle the kept set arbitrarily.
+
+    Scale: one shuffle on the group key; within a group the window sorts
+    that group's rows.  A pathologically hot group concentrates its sort
+    in one task — for that shape, pre-filter with an approximate
+    per-group threshold on the hash (two-pass: sample the hash CDF, cut
+    at ~cap/|group|) before the exact window; the exact form here is the
+    correctness baseline and is fine up to ~10M rows per group.
+    """
+    hashed = ensure_parallelism(df).withColumn(
+        "__qs_h", F.md5(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string")))
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("__qs_h").asc(), F.col(id_col).asc()
+    )
+    return (
+        hashed.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= cap)
+        .drop("__qs_h")
+    )
+
+
+def pack_chunks(
+    df: DataFrame,
+    part_col: str,
+    order_col: str,
+    size_col: str,
+    budget: int,
+) -> DataFrame:
+    """Assign each row to a token-budget chunk within its partition
+    column: rows are taken in `order_col` order; chunk k covers the rows
+    whose RUNNING size starts in [k*budget, (k+1)*budget).
+
+    The sequence-packing primitive for LLM training shards: documents
+    stream into fixed-token-budget chunks per source/shard, a document
+    that straddles a boundary belongs to the chunk where it STARTS (so
+    chunks can overflow by at most one document — the standard
+    concatenate-then-split loader contract).
+
+    chunk_id = floor((running_sum - size) / budget) where running_sum is
+    the inclusive prefix sum — pure integer window math, bit-identical
+    in any engine.  One shuffle on `part_col`; per-partition window sort
+    (partitions are shards — bounded by construction, unlike a global
+    ORDER BY cumsum which would serialize the corpus through one task).
+    """
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    size = F.col(size_col).cast("long")
+    return (
+        ensure_parallelism(df)
+        .withColumn("__pc_cum", F.sum(size).over(w))
+        .withColumn("__pc_start", F.col("__pc_cum") - size)
+        # integer DIV, not floor(double /): beyond 2^53 total tokens the
+        # double path drops precision (same hazard as the ns-epoch DIV)
+        .withColumn("chunk_id", F.expr(f"__pc_start DIV {int(budget)}"))
+        .withColumn("chunk_offset", F.col("__pc_start") % F.lit(int(budget)))
+        .drop("__pc_cum", "__pc_start")
+    )

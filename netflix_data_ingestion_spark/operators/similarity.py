@@ -87,7 +87,11 @@ def _plane_projection(
 
     With `dim` given, the components are precomputed driver-side and
     embedded as an array literal (no md5 at runtime); otherwise they are
-    derived per-element from md5, still inside one projection.  Products
+    derived per-element from md5, still inside one projection.  (An
+    unrolled F.get-chain variant of the dim-given path — vectors.dot
+    style — was measured and REJECTED: at 48 planes x 64 dims the
+    generated code explodes past JIT limits and runs ~29x slower than
+    this fold at sf0.1, 16.3s vs 0.56s warm.)  Products
     of float32 inputs and half-integer components are exact in double;
     the partial SUMS can still round (doubles with differing exponents),
     so the sign is stable except for projections within rounding error

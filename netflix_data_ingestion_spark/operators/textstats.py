@@ -17,7 +17,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from netflix_data_ingestion_spark.operators.dedup import tokens
+from netflix_data_ingestion_spark.operators.dedup import (
+    shingles,
+    tokens,
+    word_ngrams,
+)
 from netflix_data_ingestion_spark.operators.util import ensure_parallelism
 
 # tiny stopword lexicons for the languages present in the corpus;
@@ -118,6 +122,90 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.when(best.getField("nh") == 0, F.lit("und"))
         .otherwise(best.getField("lang"))
         .alias("predicted_lang"),
+    )
+
+
+def repetition_ratio(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, n_grams, n_distinct_grams, dup_ratio) — intra-document
+    repetition: the fraction of word n-grams that are repeats of an
+    earlier n-gram in the same document.  High dup_ratio flags templated
+    / boilerplate / looping text — a standard LLM training-data quality
+    signal (the inter-document analog is the dedup module).
+
+    Pure narrow map (array expressions, no explode, no shuffle): the
+    right shape for scoring 100 TB.  dup_ratio is ONE double division of
+    exact integer counts, so any engine computes it bit-identically.
+    Documents shorter than `n` tokens (zero n-grams) are dropped rather
+    than emitting a 0/0 row.
+    """
+    tok = tokens(F.col(text_col))
+    grams = word_ngrams(tok, n)
+    return (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col),
+            F.size(grams).cast("long").alias("n_grams"),
+            F.size(F.array_distinct(grams)).cast("long").alias(
+                "n_distinct_grams"
+            ),
+        )
+        .filter(F.col("n_grams") > 0)
+        .withColumn(
+            "dup_ratio",
+            (F.col("n_grams") - F.col("n_distinct_grams")).cast("double")
+            / F.col("n_grams").cast("double"),
+        )
+    )
+
+
+def contamination(
+    df: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """(id, n_overlap_grams, contaminated) — benchmark decontamination:
+    for each corpus document, how many of its DISTINCT word n-grams
+    appear anywhere in the benchmark set `bench` (same text column).
+
+    The standard pre-training hygiene pass: documents overlapping an
+    evaluation benchmark must be found (and usually dropped) before
+    training.  Long n-grams (n=5..13) make coincidental overlap rare.
+
+    Plan shape: the benchmark's distinct gram set is tiny relative to
+    the corpus — broadcast it; the corpus side explodes its distinct
+    grams (narrow) and inner-joins without shuffling the corpus.  The
+    per-doc overlap count then aggregates on id.  Docs with zero overlap
+    are restored with a left join against the (pre-aggregated, small)
+    overlap table, so the output has one row per input document.
+    """
+    bench_grams = (
+        ensure_parallelism(bench)
+        .select(F.explode(shingles(tokens(F.col(text_col)), n)).alias("gram"))
+        .distinct()
+    )
+    corpus_grams = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.explode(shingles(tokens(F.col(text_col)), n)).alias("gram"),
+    )
+    overlap = (
+        corpus_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_overlap_grams"))
+    )
+    return (
+        df.select(id_col)
+        .join(overlap, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_overlap_grams"), F.lit(0)).cast("long").alias(
+                "n_overlap_grams"
+            ),
+        )
+        .withColumn("contaminated", F.col("n_overlap_grams") > 0)
     )
 
 

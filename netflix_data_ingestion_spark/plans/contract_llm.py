@@ -614,6 +614,124 @@ ORDER BY doc_id
 """
 
 
+def q_doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.repetition_ratio(docs, "doc_id", "text", n=3).orderBy(
+        "doc_id"
+    )
+
+
+ORACLE_REPETITION = f"""
+WITH {_DUCK_SHINGLES},
+tot AS (
+  SELECT doc_id, (len(tk) - 2)::BIGINT AS n_grams
+  FROM toks WHERE len(tk) >= 3
+),
+dst AS (SELECT doc_id, COUNT(*)::BIGINT AS n_distinct_grams FROM sh GROUP BY 1)
+SELECT t.doc_id, t.n_grams, d.n_distinct_grams,
+       (t.n_grams - d.n_distinct_grams)::DOUBLE / t.n_grams::DOUBLE
+         AS dup_ratio
+FROM tot t JOIN dst d USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_doc_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from netflix_data_ingestion_spark.operators.sample import quota_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        quota_sample(docs, "source", "doc_id", cap=15, salt="v1")
+        .select(
+            "doc_id", "source", F.col("sample_rank").cast("long").alias("sample_rank")
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_QUOTA_SAMPLE = """
+WITH r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5('v1|' || doc_id::VARCHAR) ASC, doc_id ASC
+         ) AS sample_rank
+  FROM documents
+)
+SELECT doc_id, source, sample_rank
+FROM r WHERE sample_rank <= 15
+ORDER BY doc_id
+"""
+
+
+def q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 50 == 0 stand in for
+    an evaluation benchmark; 5-gram overlap against them is counted for
+    every corpus document."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return textstats.contamination(docs, bench, "doc_id", "text", n=5).orderBy(
+        "doc_id"
+    )
+
+
+ORACLE_CONTAMINATION = f"""
+WITH {_DUCK_TOKS},
+sh5 AS (
+  SELECT DISTINCT doc_id, array_to_string(tk[i:i+4], ' ') AS gram
+  FROM toks, unnest(range(1, len(tk) - 3)) AS u(i)
+),
+bg AS (SELECT DISTINCT gram FROM sh5 WHERE doc_id % 50 = 0),
+ov AS (
+  SELECT s.doc_id, COUNT(*) AS n FROM sh5 s JOIN bg USING (gram) GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(ov.n, 0)::BIGINT AS n_overlap_grams,
+       COALESCE(ov.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN ov USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: per-source token-budget chunk assignment (budget
+    512 tokens) over docs in id order."""
+    from netflix_data_ingestion_spark.operators.sample import pack_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "source",
+        F.size(textstats.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return (
+        pack_chunks(sized, "source", "doc_id", "n_tokens", budget=512)
+        .select("doc_id", "source", "n_tokens", "chunk_id", "chunk_offset")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_PACK_CHUNKS = f"""
+WITH {_DUCK_TOKS},
+s AS (
+  SELECT d.doc_id, d.source, len(t.tk)::BIGINT AS n_tokens
+  FROM documents d JOIN toks t USING (doc_id)
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS UNBOUNDED PRECEDING
+         ) - n_tokens AS chunk_start
+  FROM s
+)
+SELECT doc_id, source, n_tokens,
+       (chunk_start // 512)::BIGINT AS chunk_id,
+       (chunk_start % 512)::BIGINT AS chunk_offset
+FROM c ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Event-time tumbling window (batch twin of the streaming ingest path)
 # ---------------------------------------------------------------------------
@@ -827,6 +945,10 @@ REGISTRY_LLM = {
     "doc_quality_score": (q_doc_quality_score, ORACLE_QUALITY),
     "doc_lang_id": (q_doc_lang_id, ORACLE_LANG_ID),
     "doc_fingerprint": (q_doc_fingerprint, ORACLE_FINGERPRINT),
+    "doc_repetition_ratio": (q_doc_repetition_ratio, ORACLE_REPETITION),
+    "doc_quota_sample": (q_doc_quota_sample, ORACLE_QUOTA_SAMPLE),
+    "doc_contamination": (q_doc_contamination, ORACLE_CONTAMINATION),
+    "doc_pack_chunks": (q_doc_pack_chunks, ORACLE_PACK_CHUNKS),
     "events_tumbling_window": (q_events_tumbling_window, ORACLE_TUMBLING),
     "multimodal_meta": (q_multimodal_meta, ORACLE_MULTIMODAL),
     "multimodal_frame_sample": (q_multimodal_frame_sample, ORACLE_FRAME_SAMPLE),

@@ -1,0 +1,74 @@
+"""Deterministic sampling/packing: quota caps, growth stability, chunk math."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from netflix_data_ingestion_spark.operators.sample import (
+    pack_chunks,
+    quota_sample,
+)
+
+
+def test_quota_sample_caps_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(90)], "doc_id long, source string"
+    )
+    out = quota_sample(df, "source", "doc_id", cap=10)
+    rows = out.collect()
+    from collections import Counter
+
+    per_source = Counter(r["source"] for r in rows)
+    assert per_source == {"s0": 10, "s1": 10, "s2": 10}
+    assert all(1 <= r["sample_rank"] <= 10 for r in rows)
+    # deterministic: identical kept set on re-run
+    again = {r["doc_id"] for r in quota_sample(df, "source", "doc_id", cap=10).collect()}
+    assert again == {r["doc_id"] for r in rows}
+
+
+def test_quota_sample_growth_stability(spark):
+    """Adding rows to a group may displace kept rows only by hash order —
+    every kept row of the grown corpus that already existed in the small
+    corpus must have had rank <= its new rank (never re-shuffled)."""
+    small = spark.createDataFrame(
+        [(i, "s") for i in range(40)], "doc_id long, source string"
+    )
+    big = spark.createDataFrame(
+        [(i, "s") for i in range(80)], "doc_id long, source string"
+    )
+    kept_small = {
+        r["doc_id"]: r["sample_rank"]
+        for r in quota_sample(small, "source", "doc_id", cap=10).collect()
+    }
+    kept_big = {
+        r["doc_id"]: r["sample_rank"]
+        for r in quota_sample(big, "source", "doc_id", cap=10).collect()
+    }
+    # survivors common to both keep their relative hash order
+    common = set(kept_small) & set(kept_big)
+    ranks_small = [kept_small[k] for k in sorted(common)]
+    ranks_big = [kept_big[k] for k in sorted(common)]
+    assert (
+        sorted(range(len(ranks_small)), key=ranks_small.__getitem__)
+        == sorted(range(len(ranks_big)), key=ranks_big.__getitem__)
+    )
+
+
+def test_pack_chunks_invariants(spark):
+    df = spark.createDataFrame(
+        [(i, "a", 100) for i in range(10)] + [(i, "b", 300) for i in range(4)],
+        "doc_id long, source string, n_tokens long",
+    )
+    out = pack_chunks(df, "source", "doc_id", "n_tokens", budget=512)
+    rows = {(r["source"], r["doc_id"]): r for r in out.collect()}
+    # source a: cumulative starts 0,100,...,900 -> chunks 0,0,0,0,0,0(500),1,...
+    assert rows[("a", 0)]["chunk_id"] == 0 and rows[("a", 0)]["chunk_offset"] == 0
+    assert rows[("a", 5)]["chunk_id"] == 0  # starts at 500 < 512
+    assert rows[("a", 6)]["chunk_id"] == 1  # starts at 600
+    # source b: starts 0,300,600,900 -> chunks 0,0,1,1
+    assert [rows[("b", i)]["chunk_id"] for i in range(4)] == [0, 0, 1, 1]
+    # chunk_offset is the start position within the chunk
+    assert rows[("b", 1)]["chunk_offset"] == 300
+    # every chunk's rows are contiguous in order
+    a_chunks = [rows[("a", i)]["chunk_id"] for i in range(10)]
+    assert a_chunks == sorted(a_chunks)

@@ -55,3 +55,43 @@ def test_winnow_fingerprint_deterministic(spark, docs):
     assert out[1]["n_fingerprints"] >= 1
     # doc 3 has 3 tokens -> exactly 1 trigram, window needs 4 positions -> absent
     assert 3 not in out
+
+
+def test_repetition_ratio(spark):
+    from netflix_data_ingestion_spark.operators.textstats import (
+        repetition_ratio,
+    )
+
+    docs = [
+        (1, "a b c a b c a b c"),     # heavy 3-gram repetition
+        (2, "one two three four five six"),  # all distinct
+        (3, "x y"),                   # too short -> dropped
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in repetition_ratio(df, "doc_id", "text").collect()}
+    assert set(out) == {1, 2}
+    # doc1: 7 grams, 3 distinct (abc, bca, cab) -> 4/7 repeated
+    assert out[1]["n_grams"] == 7 and out[1]["n_distinct_grams"] == 3
+    assert abs(out[1]["dup_ratio"] - 4 / 7) < 1e-12
+    assert out[2]["dup_ratio"] == 0.0
+
+
+def test_contamination(spark):
+    from netflix_data_ingestion_spark.operators.textstats import contamination
+
+    corpus = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "totally unrelated words appear in this document here"),
+        (3, "quick brown fox jumps over nothing else matters"),
+    ]
+    bench = [(100, "the quick brown fox jumps over a fence")]
+    df = spark.createDataFrame(corpus, "doc_id int, text string")
+    bdf = spark.createDataFrame(bench, "doc_id int, text string")
+    out = {
+        r["doc_id"]: r
+        for r in contamination(df, bdf, "doc_id", "text", n=5).collect()
+    }
+    assert len(out) == 3  # one row per input doc, zero-overlap included
+    assert out[1]["contaminated"] and out[1]["n_overlap_grams"] >= 1
+    assert not out[2]["contaminated"] and out[2]["n_overlap_grams"] == 0
+    assert out[3]["contaminated"]  # shares 'quick brown fox jumps over'
