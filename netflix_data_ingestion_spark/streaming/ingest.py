@@ -133,6 +133,50 @@ def session_windows(
     )
 
 
+def join_clicks_to_errors(
+    events: DataFrame,
+    lookback: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: each 'error' event paired with the same
+    user's 'click' events in the preceding `lookback` window — the
+    streaming form of the batch error-context range join
+    (`error_context_range_join`, oracle-checked).
+
+    Both sides carry event-time watermarks and the join condition bounds
+    the event-time distance, which is exactly what lets Spark EXPIRE
+    buffered join state: a click older than (watermark + lookback) can
+    never match a future error, so its state is dropped.  Without the
+    time bound the state store would grow forever — the difference
+    between a demo and a 100 TB/day stream.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", watermark)
+    )
+    return clicks.join(
+        errors,
+        F.expr(
+            f"c_user = e_user AND "
+            f"c_ts BETWEEN e_ts - INTERVAL {lookback} AND e_ts"
+        ),
+    ).select("error_id", "e_user", "e_ts", "click_id", "c_ts")
+
+
 def run_to_memory(
     stream_df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> None:

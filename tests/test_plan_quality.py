@@ -80,3 +80,46 @@ def test_fact_partition_pruning(spark, tmp_path):
     # must not enumerate every year
     assert "PartitionFilters: [" in plan
     assert "yr" in plan.split("PartitionFilters:")[1][:200]
+
+
+def test_lsh_bucket_plan_is_narrow(spark):
+    """The LSH bucket projection must plan as scan -> project with NO
+    Exchange (shuffle), no Generate, no Python — one narrow pass."""
+    from netflix_data_ingestion_spark.operators.similarity import lsh_bucket
+
+    emb = read_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    plan = _plan(lsh_bucket(emb, planes=8, dim=64))
+    # the only allowed exchange is ensure_parallelism's round-robin fan-out
+    # of the single-partition testdata file — never a key shuffle
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert "Generate" not in plan
+    assert "Python" not in plan  # no UDF fallback
+
+
+def test_cosine_scale_dedup_plan_has_no_driver_funnel(spark):
+    """The production semantic-dedup path must never collect the corpus:
+    no CollectLimit/toPandas artifacts; Python appears ONLY as the
+    Arrow-batched verify (MapInPandas/ArrowEvalPython), and the shuffles
+    before verify carry ids+buckets, not embeddings."""
+    from netflix_data_ingestion_spark.operators.dedup import (
+        cosine_near_dup_pairs_at_scale,
+    )
+
+    emb = read_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    out = cosine_near_dup_pairs_at_scale(emb, planes=6, tables=8, dim=64)
+    plan = _plan(out)
+    assert "MapInPandas" in plan          # Arrow verify present
+    assert "CollectLimit" not in plan     # nothing funnels to the driver
+    assert "BroadcastNestedLoopJoin" not in plan  # no accidental cross join
+
+
+def test_quota_sample_single_shuffle_on_group(spark):
+    """quota_sample must shuffle ONCE (on the group key for the window)."""
+    from netflix_data_ingestion_spark.operators.sample import quota_sample
+
+    docs = read_table(spark, SF_DIR, "documents")
+    plan = _plan(quota_sample(docs, "source", "doc_id", cap=10))
+    # exactly one hashpartitioning exchange (repartition from
+    # ensure_parallelism is round-robin, not hash)
+    assert plan.count("hashpartitioning") == 1

@@ -226,3 +226,41 @@ def test_streaming_dedup_drops_replayed_id_with_drifted_ts(
     ingest.run_to_memory(ingest.dedup_events(stream), "t_dedup_replay")
     rows_out = spark.sql("SELECT * FROM t_dedup_replay").collect()
     assert sorted(r["event_id"] for r in rows_out) == [1, 2]
+
+
+def test_stream_stream_join_clicks_to_errors(spark, tmp_path_factory):
+    """Stream-stream inner join with watermarks + time-bound condition;
+    result must equal the identical batch join on the same data."""
+    d = tmp_path_factory.mktemp("events_ss_join")
+    rows = [
+        # user 1: clicks at 0, 5, 20 min; error at 12 -> joins clicks 5 (and
+        # NOT 0: 12 > 0+10) within the 10-minute lookback; error at 21 ->
+        # joins click 20
+        (10, BASE, 1, "click", 1.0, "{}"),
+        (11, BASE + datetime.timedelta(minutes=5), 1, "click", 1.0, "{}"),
+        (12, BASE + datetime.timedelta(minutes=12), 1, "error", 0.0, "{}"),
+        (13, BASE + datetime.timedelta(minutes=20), 1, "click", 1.0, "{}"),
+        (14, BASE + datetime.timedelta(minutes=21), 1, "error", 0.0, "{}"),
+        # user 2: click far from its error -> no match
+        (20, BASE, 2, "click", 1.0, "{}"),
+        (21, BASE + datetime.timedelta(minutes=45), 2, "error", 0.0, "{}"),
+    ]
+    spark.createDataFrame(rows, ingest.EVENT_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(d))
+
+    stream = ingest.stream_events(spark, str(d))
+    ingest.run_to_memory(
+        ingest.join_clicks_to_errors(stream), "t_ss_join"
+    )
+    got = {
+        (r["error_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM t_ss_join").collect()
+    }
+    batch = spark.read.parquet(str(d))
+    expected = {
+        (r["error_id"], r["click_id"])
+        for r in ingest.join_clicks_to_errors(batch).collect()
+    }
+    assert got == expected
+    assert got == {(12, 11), (14, 13)}
