@@ -209,6 +209,51 @@ def contamination(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """(id, term, tf, df, score, rank) — each document's `k` most
+    characteristic terms by a tf-idf-style specificity score.
+
+    score = tf * N / df computed as ONE multiply of exact integers
+    followed by ONE double division — no log(), whose libm rounding can
+    differ across engines; the ordering (and therefore the top-k cut) is
+    identical to log-idf ranking per fixed tf because x -> N/x is
+    monotone.  Ties break lexicographically on the term.
+
+    Plan shape (three keyed shuffles, all map-side combinable):
+    explode tokens (narrow) -> groupBy (doc, term) for tf -> groupBy
+    term for df (then joined back; Catalyst broadcasts the df table
+    when small, and at 100 TB it is still ~vocabulary-sized, far
+    smaller than the corpus) -> per-doc window for the top-k cut.
+    """
+    tok = ensure_parallelism(df).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # corpus size as a broadcast 1-row frame, not a driver .first() —
+    # the whole operator stays one lazy plan
+    n = df.agg(F.countDistinct(id_col).alias("__n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            (F.col("tf") * F.col("__n_docs")).cast("double")
+            / F.col("df").cast("double"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "score", "rank")
+    )
+
+
 def winnow_fingerprint(
     df: DataFrame,
     id_col: str,

@@ -614,6 +614,36 @@ ORDER BY doc_id
 """
 
 
+def q_doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.tfidf_top_terms(docs, "doc_id", "text", k=3).orderBy(
+        "doc_id", "rank"
+    )
+
+
+ORACLE_TFIDF = f"""
+WITH {_DUCK_TOKS},
+tok AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         (tf.tf * n.n_docs)::DOUBLE / dfreq.df::DOUBLE AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+r AS (
+  SELECT doc_id, term, tf, df, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term ASC) AS "rank"
+  FROM scored
+)
+SELECT doc_id, term, tf, df, score, "rank"
+FROM r WHERE "rank" <= 3
+ORDER BY doc_id, "rank"
+"""
+
+
 def q_doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return textstats.repetition_ratio(docs, "doc_id", "text", n=3).orderBy(
@@ -945,6 +975,7 @@ REGISTRY_LLM = {
     "doc_quality_score": (q_doc_quality_score, ORACLE_QUALITY),
     "doc_lang_id": (q_doc_lang_id, ORACLE_LANG_ID),
     "doc_fingerprint": (q_doc_fingerprint, ORACLE_FINGERPRINT),
+    "doc_tfidf_top_terms": (q_doc_tfidf_top_terms, ORACLE_TFIDF),
     "doc_repetition_ratio": (q_doc_repetition_ratio, ORACLE_REPETITION),
     "doc_quota_sample": (q_doc_quota_sample, ORACLE_QUOTA_SAMPLE),
     "doc_contamination": (q_doc_contamination, ORACLE_CONTAMINATION),

@@ -95,3 +95,33 @@ def test_contamination(spark):
     assert out[1]["contaminated"] and out[1]["n_overlap_grams"] >= 1
     assert not out[2]["contaminated"] and out[2]["n_overlap_grams"] == 0
     assert out[3]["contaminated"]  # shares 'quick brown fox jumps over'
+
+
+def test_tfidf_top_terms(spark):
+    from netflix_data_ingestion_spark.operators.textstats import (
+        tfidf_top_terms,
+    )
+
+    docs = [
+        (1, "apple apple banana shared"),
+        (2, "banana cherry shared shared"),
+        (3, "cherry apple shared"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = tfidf_top_terms(df, "doc_id", "text", k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert all(len(v) == 2 for v in by_doc.values())
+    # doc1: apple tf=2 df=2 -> 2*3/2=3.0 beats banana (1*3/2) and shared (1*3/3)
+    top1 = by_doc[1][0]
+    assert (top1["term"], top1["tf"], top1["df"], top1["score"]) == (
+        "apple", 2, 2, 3.0,
+    )
+    # doc2: 'shared' tf=2 df=3 -> 2.0 tops banana/cherry (1*3/2 = 1.5)
+    top2 = by_doc[2][0]
+    assert (top2["term"], top2["score"]) == ("shared", 2.0)
+    # doc3: all tf=1 -> rarest-term order, tie broken lexicographically
+    assert [r["term"] for r in by_doc[3]] == ["apple", "cherry"]
+    # ranks are 1..k per doc
+    assert [r["rank"] for r in by_doc[2]] == [1, 2]
