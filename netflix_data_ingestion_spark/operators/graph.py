@@ -1,0 +1,188 @@
+"""Connected components + dedup clustering — beyond-reference
+(BASELINE.json north star).
+
+Near-dup pair lists (dedup.near_dup_pairs_at_scale) are only half a
+dedup pipeline: pairs must be folded into CLUSTERS so exactly one
+canonical document per group survives.  Pair-at-a-time "drop id_b"
+breaks on chains (A~B, B~C but A!~C drops B and C against different
+keepers); the correct semantics is connected components over the
+similarity graph.
+
+Spark has no built-in CC (GraphX is RDD/Scala-only and GraphFrames is an
+external package), so this is the classic driver-coordinated iterative
+min-label propagation with POINTER JUMPING:
+
+    label(u)  <-  min(label(u), min_{(u,v) in E} label(v))   [hop]
+    label(u)  <-  min(label(u), label(label(u)))             [jump]
+
+Plain neighbor-min floods one hop per round → O(diameter) rounds; the
+jump step additionally contracts label chains (label-of-label), giving
+O(log diameter) convergence — the same doubling idea as the
+large-star/small-star algorithm (Kiveris et al., "Connected Components
+in MapReduce and Beyond", SoCC'14).  Each round is two key-partitioned
+shuffles (hop join+groupBy, jump self-join) over the EDGE LIST — never
+materializing neighborhoods — so a round scales to any graph whose
+edges fit the cluster, and the round count is logarithmic.  Lineage is
+cut every round with an eager ``localCheckpoint`` (swap for
+``checkpoint`` + a reliable checkpoint dir on a real cluster — noted,
+not configured, since local[] has no HDFS).
+
+Labels only ever decrease, and the component's minimum id is a fixed
+point, so the algorithm converges to label(u) = min id of u's component
+— deterministic regardless of execution order, which is what lets the
+DuckDB oracle (a recursive-CTE reachability flood) reproduce the result
+bit-for-bit.
+
+Reference parity: the reference has no graph operators at all (its only
+dedup is union+distinct, etl_pipeline_spark.py:988-994); this module is
+pure beyond-reference scale surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from netflix_data_ingestion_spark.operators import dedup
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs``.
+
+    ``component`` is the MINIMUM node id of the connected component —
+    a deterministic canonical label.  Nodes not present in ``pairs``
+    are absent from the output (callers union singletons back; see
+    ``dedup_clusters``).
+
+    ``max_iter`` bounds the driver loop; with pointer jumping the bound
+    is ~log2(diameter), so 25 covers any graph with diameter < 2^25.
+    Raises RuntimeError if not converged (never observed — would mean
+    a pathological diameter > 33M).
+    """
+    edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    edges = (
+        edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select("u")
+        .distinct()
+        .select(F.col("u").alias("node"), F.col("u").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # hop: pull the min label across each node's neighbors
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("v"), F.col("comp").alias("vcomp")
+                ),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("vcomp").alias("nbr_comp"))
+        )
+        hopped = labels.join(
+            nbr_min.select(F.col("u").alias("node"), "nbr_comp"),
+            "node",
+            "left",
+        ).select(
+            "node",
+            F.least(
+                F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+            ).alias("comp"),
+        )
+        # jump: contract label chains — comp := min(comp, comp of comp)
+        jumped = hopped.join(
+            hopped.select(
+                F.col("node").alias("pnode"), F.col("comp").alias("pcomp")
+            ),
+            F.col("comp") == F.col("pnode"),
+            "left",
+        ).select(
+            "node",
+            F.least(
+                F.col("comp"), F.coalesce("pcomp", F.col("comp"))
+            ).alias("comp"),
+        )
+        new_labels = jumped.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        old = labels
+        labels = new_labels
+        old.unpersist()
+        if changed == 0:
+            return labels.select(
+                "node", F.col("comp").alias("component")
+            )
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size, keep) — full-corpus dedup
+    clustering: near-dup pairs at scale -> connected components ->
+    canonical pick.
+
+    Every document gets a row; documents with no near-dup partner are
+    singleton clusters of themselves.  ``cluster_id`` is the minimum
+    doc id in the component, ``keep`` marks the one canonical survivor
+    per cluster — ``filter(keep)`` is the dedup, ``filter(~keep)`` the
+    removal manifest with full provenance.
+
+    Plan shape: the pair generation is the LSH path (linear, bucketed);
+    CC runs on the pair list (tiny relative to the corpus — only docs
+    with a near-dup); the final joins are on doc_id/cluster_id keys.
+    The component label table is near-dup docs only, so at 100 TB the
+    ``left`` join back to the corpus broadcasts unless a large fraction
+    of the corpus is duplicated.
+    """
+    pairs = dedup.near_dup_pairs_at_scale(
+        docs,
+        id_col,
+        text_col,
+        n=n,
+        threshold=threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    clustered = docs.select(F.col(id_col).alias("doc_id")).join(
+        comp.select(F.col("node").alias("doc_id"), "component"),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
+    )
+    # cluster_size via a window, not a groupBy+self-join: one shuffle on
+    # cluster_id and a single execution of the corpus join (the lazy
+    # self-join form re-runs the join per consumer)
+    w = Window.partitionBy("cluster_id")
+    return clustered.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+    )

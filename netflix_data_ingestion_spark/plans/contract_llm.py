@@ -11,7 +11,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from netflix_data_ingestion_spark.operators import dedup, similarity, textstats
+from netflix_data_ingestion_spark.operators import (
+    dedup,
+    graph,
+    similarity,
+    textstats,
+)
 from netflix_data_ingestion_spark.operators.multimodal import (
     attach_binary_payload,
     media_metadata,
@@ -185,6 +190,85 @@ SELECT id_a, id_b, intersection,
 FROM verified
 WHERE intersection::DOUBLE / (size_sum - intersection) >= 0.8
 ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup: cluster assembly (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup clustering (operators/graph.dedup_clusters): LSH near-dup
+    pairs -> iterative min-label connected components (pointer jumping) ->
+    one canonical doc per cluster.  The oracle reproduces the iterative
+    algorithm's fixpoint with a recursive-CTE reachability flood — both
+    converge to component = MIN doc_id, so the hash check covers a
+    genuinely iterative Spark algorithm."""
+    docs = _t(spark, sf_dir, "documents")
+    return graph.dedup_clusters(
+        docs, "doc_id", "text", n=3, threshold=0.8, num_hashes=16, bands=4
+    ).orderBy("doc_id")
+
+
+# pairs = the dedup_near_dup_scale CTE chain verbatim; components via
+# recursive min-label reachability (reach(u) = labels of every node that
+# can reach u; MIN over that set = component minimum = Spark's fixpoint)
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_DUCK_SHINGLES},
+hashed AS (
+  SELECT doc_id, seed,
+         md5(seed::VARCHAR || '|' || shingle) AS h
+  FROM sh, unnest(range(0, 4)) AS s(seed)
+),
+bandt AS (
+  SELECT doc_id, seed AS band,
+         md5(concat_ws('|', MIN(substr(h, 1, 8)), MIN(substr(h, 9, 8)),
+                       MIN(substr(h, 17, 8)), MIN(substr(h, 25, 8))))
+           AS band_key
+  FROM hashed GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandt a JOIN bandt b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+arrs AS (
+  SELECT doc_id, list(shingle) AS arr, COUNT(*) AS n_shingles
+  FROM sh GROUP BY 1
+),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(sa.arr, sb.arr))::BIGINT AS intersection,
+         sa.n_shingles + sb.n_shingles AS size_sum
+  FROM cand c
+  JOIN arrs sa ON sa.doc_id = c.id_a
+  JOIN arrs sb ON sb.doc_id = c.id_b
+),
+pairs AS (
+  SELECT id_a, id_b FROM verified
+  WHERE intersection::DOUBLE / (size_sum - intersection) >= 0.8
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v
+),
+comp AS (
+  SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+),
+sizes AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY 1
+)
+SELECT c.doc_id, c.cluster_id, s.cluster_size,
+       c.doc_id = c.cluster_id AS keep
+FROM comp c JOIN sizes s USING (cluster_id)
+ORDER BY c.doc_id
 """
 
 
@@ -964,6 +1048,7 @@ REGISTRY_LLM = {
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, ORACLE_DEDUP_MINHASH),
+    "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "dedup_near_dup_scale": (q_dedup_near_dup_scale, ORACLE_DEDUP_NEAR_DUP_SCALE),
     "dedup_simhash": (q_dedup_simhash, ORACLE_DEDUP_SIMHASH),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, ORACLE_DEDUP_COSINE),

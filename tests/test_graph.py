@@ -1,0 +1,58 @@
+"""Connected components + dedup clustering (operators/graph.py)."""
+
+from netflix_data_ingestion_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+)
+
+
+def test_cc_chain_and_islands(spark):
+    # path 1-2-3-4 (min label floods the chain), island 10-11, lone pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)],
+        "id_a long, id_b long",
+    )
+    out = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_cc_long_path_converges(spark):
+    # diameter 31 — plain neighbor-min would need 31 rounds; pointer
+    # jumping must finish well inside the 25-round bound
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 31)], "id_a long, id_b long"
+    )
+    out = connected_components(pairs)
+    assert {r["component"] for r in out.collect()} == {0}
+    assert out.count() == 32
+
+
+def test_cc_empty_pairs(spark):
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(pairs).count() == 0
+
+
+def test_dedup_clusters_singletons_and_keep(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again today"),
+            (2, "the quick brown fox jumps over the lazy dog again now"),
+            (3, "a completely different document about spark internals"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dedup_clusters(
+            docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert rows[1]["cluster_id"] == 1 and rows[2]["cluster_id"] == 1
+    assert rows[1]["keep"] and not rows[2]["keep"]
+    assert rows[1]["cluster_size"] == 2
+    # doc 3 is a singleton cluster of itself
+    assert rows[3]["cluster_id"] == 3 and rows[3]["keep"]
+    assert rows[3]["cluster_size"] == 1
