@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from netflix_data_ingestion_spark.operators import gapfill
 from netflix_data_ingestion_spark.sources.readers import read_table
 
 
@@ -327,7 +328,52 @@ ORDER BY error_event_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Time-bucket rollup with gap filling (hypertable densify + locf)
+# ---------------------------------------------------------------------------
+
+
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-user 6-hour buckets (operators/gapfill.py): zero-filled
+    counts, NULL sums in gaps, last-observation-carried-forward value.
+    Spark generates the dense spine distributed (sequence+explode inside
+    each key row); the oracle uses generate_series — same range,
+    same 6-hour epoch alignment (946684800 % 21600 == 0, so DuckDB's
+    2000-01-01 origin and Spark's 1970-01-01 origin agree)."""
+    events = _t(spark, sf_dir, "events")
+    return gapfill.time_bucket_gapfill(
+        events, "user_id", "ts", "value", bucket="6 hours"
+    ).orderBy("user_id", "bucket_start")
+
+
+ORACLE_GAPFILL = """
+WITH b AS (
+  SELECT user_id, time_bucket(INTERVAL 6 HOUR, ts) AS bucket_start,
+         COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+  FROM events GROUP BY 1, 2
+),
+rng AS (
+  SELECT user_id, MIN(bucket_start) AS lo, MAX(bucket_start) AS hi
+  FROM b GROUP BY 1
+),
+spine AS (
+  SELECT user_id,
+         unnest(generate_series(lo, hi, INTERVAL 6 HOUR)) AS bucket_start
+  FROM rng
+)
+SELECT s.user_id, s.bucket_start,
+       COALESCE(b.n_events, 0)::BIGINT AS n_events,
+       b.sum_value AS sum_value,
+       last_value(b.sum_value IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.bucket_start
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+FROM spine s LEFT JOIN b USING (user_id, bucket_start)
+ORDER BY s.user_id, s.bucket_start
+"""
+
+
 REGISTRY_WINDOW = {
+    "events_gapfill": (q_events_gapfill, ORACLE_GAPFILL),
     "events_asof_view_attribution": (
         q_events_asof_view_attribution,
         ORACLE_ASOF,
