@@ -1,0 +1,44 @@
+"""PII redaction (operators/redact.py)."""
+
+from netflix_data_ingestion_spark.operators.redact import redact_pii
+
+
+def test_redact_all_categories(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@sub.example.co or 555-123-4567 ok"),
+            (2, "ssn is 123-45-6789 and backup 987-65-4321"),
+            (3, "clean text with number 12345 and date 2024-01-01"),
+            (4, "dotted phone 555.123.4567 works too"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in redact_pii(df, "doc_id", "text").collect()}
+
+    r1 = rows[1]
+    assert r1["redacted_text"] == "mail me at [EMAIL] or [PHONE] ok"
+    assert (r1["n_emails"], r1["n_phones"], r1["n_ssns"]) == (1, 1, 0)
+    assert r1["has_pii"]
+
+    r2 = rows[2]
+    assert r2["redacted_text"] == "ssn is [SSN] and backup [SSN]"
+    assert r2["n_ssns"] == 2
+
+    # 5-digit number and ISO date must NOT be flagged
+    r3 = rows[3]
+    assert r3["redacted_text"] == r3["redacted_text"]
+    assert not r3["has_pii"]
+    assert r3["n_phones"] == 0 and r3["n_ssns"] == 0
+
+    assert rows[4]["n_phones"] == 1
+    assert "[PHONE]" in rows[4]["redacted_text"]
+
+
+def test_redact_counts_against_original_text(spark):
+    # an SSN-shaped span must count as SSN, not phone (and not both)
+    df = spark.createDataFrame(
+        [(1, "id 123-45-6789 here")], "doc_id long, text string"
+    )
+    r = redact_pii(df, "doc_id", "text").collect()[0]
+    assert r["n_ssns"] == 1 and r["n_phones"] == 0
+    assert r["redacted_text"] == "id [SSN] here"
