@@ -60,3 +60,53 @@ def norm(a: Column, dim: int | None = None) -> Column:
 def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     """Cosine similarity; NULL-safe only as far as Spark array ops are."""
     return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
+
+
+def group_centroids(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """(group, n_vecs, centroid) — element-wise mean vector per group.
+
+    Floating-point aggregation order is nondeterministic across Spark
+    partitions (and across engines), so a naive ``SUM(double)`` centroid
+    is not reproducible run-to-run — a real problem when a training
+    pipeline must re-derive identical shards after a retry.  This
+    operator therefore computes the mean over components QUANTIZED to a
+    1/``scale`` fixed-point grid: ``q = round(x * scale)`` (HALF_UP,
+    identical in Spark and DuckDB), summed as exact int64 (associative
+    and commutative — order-free), with ONE double division at the end.
+    Quantization error is bounded by 0.5/scale per component (5e-7 at
+    the default), far below float32 input precision; in exchange the
+    result is bit-identical on any partitioning, any engine.
+
+    Plan shape: posexplode (narrow flatMap) -> groupBy (group, pos) with
+    map-side combine — the shuffle carries one int64 partial sum per
+    (group, dim), i.e. ~|groups|·dims rows regardless of corpus size —
+    then a |groups|-row reassembly.  Overflow headroom: int64 caps the
+    group size at ~9e12 / scale / max|x| vectors (≈4.6e6 billion-row
+    groups at |x|<=2), far beyond any real corpus.
+    """
+    per_dim = (
+        df.select(F.col(group_col), F.posexplode(F.col(vec_col)))
+        .toDF(group_col, "pos", "x")
+        .groupBy(group_col, "pos")
+        .agg(
+            F.sum(
+                F.round(F.col("x").cast("double") * scale).cast("long")
+            ).alias("sq"),
+            F.count("*").alias("n"),
+        )
+        .withColumn(
+            "c", F.col("sq").cast("double") / (F.col("n") * float(scale))
+        )
+    )
+    return per_dim.groupBy(group_col).agg(
+        F.max("n").alias("n_vecs"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s["c"],
+        ).alias("centroid"),
+    )

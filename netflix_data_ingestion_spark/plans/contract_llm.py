@@ -11,9 +11,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from netflix_data_ingestion_spark.functions import vectors
 from netflix_data_ingestion_spark.operators import (
     dedup,
     graph,
+    redact,
     similarity,
     textstats,
 )
@@ -847,6 +849,111 @@ FROM c ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Grouped embedding centroids (fixed-point deterministic mean)
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_group_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (functions/vectors.group_centroids) in
+    long format — the fixed-point int64 summation makes the float mean
+    order-free, so the hash check is exact, not approximate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = vectors.group_centroids(emb, "label", "embedding")
+    return (
+        cent.select(
+            "label", "n_vecs", F.posexplode("centroid").alias("pos", "component")
+        )
+        .withColumn("pos", F.col("pos").cast("int"))
+        .orderBy("label", "pos")
+    )
+
+
+ORACLE_GROUP_CENTROID = """
+WITH pos AS (
+  SELECT label, i - 1 AS pos,
+         ROUND(embedding[i]::DOUBLE * 1000000.0)::BIGINT AS q
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i)
+),
+agg AS (
+  SELECT label, pos, SUM(q)::BIGINT AS sq, COUNT(*)::BIGINT AS n
+  FROM pos GROUP BY 1, 2
+)
+SELECT label, n AS n_vecs, pos::INT AS pos,
+       sq::DOUBLE / (n * 1000000.0) AS component
+FROM agg
+ORDER BY label, pos
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (planted synthetic PII — the corpus itself is clean, so the
+# query plants deterministic doc_id-derived PII on both engines, then the
+# operator must find and mask exactly that)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit(" call 555-867-5309 or 555.123.4567 today"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit(" ssn 123-45-6789 leaked")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return redact.redact_pii(planted, "doc_id", "text").orderBy("doc_id")
+
+
+ORACLE_PII_REDACT = f"""
+WITH planted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || doc_id::VARCHAR || '@example.com now'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' call 555-867-5309 or 555.123.4567 today'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' ssn 123-45-6789 leaked'
+                 ELSE '' END AS text
+  FROM documents
+),
+red AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(text,
+           '{redact.SSN_RE}', '[SSN]', 'g'),
+           '{redact.PHONE_RE}', '[PHONE]', 'g'),
+           '{redact.EMAIL_RE}', '[EMAIL]', 'g') AS redacted_text,
+         len(regexp_extract_all(text, '{redact.SSN_RE}'))::BIGINT AS n_ssns,
+         len(regexp_extract_all(text, '{redact.PHONE_RE}'))::BIGINT
+           AS n_phones,
+         len(regexp_extract_all(text, '{redact.EMAIL_RE}'))::BIGINT
+           AS n_emails
+  FROM planted
+)
+SELECT doc_id, redacted_text, n_ssns, n_phones, n_emails,
+       (n_ssns + n_phones + n_emails) > 0 AS has_pii
+FROM red
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Event-time tumbling window (batch twin of the streaming ingest path)
 # ---------------------------------------------------------------------------
 
@@ -1061,6 +1168,11 @@ REGISTRY_LLM = {
     "doc_lang_id": (q_doc_lang_id, ORACLE_LANG_ID),
     "doc_fingerprint": (q_doc_fingerprint, ORACLE_FINGERPRINT),
     "doc_tfidf_top_terms": (q_doc_tfidf_top_terms, ORACLE_TFIDF),
+    "doc_pii_redact": (q_doc_pii_redact, ORACLE_PII_REDACT),
+    "embedding_group_centroid": (
+        q_embedding_group_centroid,
+        ORACLE_GROUP_CENTROID,
+    ),
     "doc_repetition_ratio": (q_doc_repetition_ratio, ORACLE_REPETITION),
     "doc_quota_sample": (q_doc_quota_sample, ORACLE_QUOTA_SAMPLE),
     "doc_contamination": (q_doc_contamination, ORACLE_CONTAMINATION),

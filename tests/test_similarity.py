@@ -85,3 +85,30 @@ def test_ivf_topk_exact_when_nprobe_covers_all_lists(corpus):
     ivf = similarity.ivf_topk(corpus, queries, k=4, nlist=2, nprobe=2).collect()
     key = lambda r: (r["query_id"], r["neighbor_id"], r["cosine_sim"])
     assert sorted(map(key, ivf)) == sorted(map(key, exact))
+
+
+def test_group_centroids_exact_and_partition_invariant(spark):
+    from netflix_data_ingestion_spark.functions.vectors import group_centroids
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0]),
+            (1, [3.0, 4.0]),
+            (2, [10.0, -10.0]),
+        ],
+        "label int, embedding array<float>",
+    )
+    out = {r["label"]: r for r in group_centroids(df, "label", "embedding").collect()}
+    assert out[1]["n_vecs"] == 2
+    assert out[1]["centroid"] == [2.0, 3.0]
+    assert out[2]["centroid"] == [10.0, -10.0]
+
+    # bit-identical under a different partitioning (the operator's point)
+    out7 = {
+        r["label"]: r
+        for r in group_centroids(
+            df.repartition(7), "label", "embedding"
+        ).collect()
+    }
+    for k in out:
+        assert out7[k]["centroid"] == out[k]["centroid"]
