@@ -99,8 +99,13 @@ def connected_components(
             F.least(
                 F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
             ).alias("comp"),
+            F.col("comp").alias("prev"),
         )
-        # jump: contract label chains — comp := min(comp, comp of comp)
+        # jump: contract label chains — comp := min(comp, comp of comp).
+        # The pre-hop label rides along as `prev` so convergence is a
+        # filter+count on the SAME checkpointed frame — one job per
+        # round instead of a separate old-vs-new join job (measured
+        # ~1.5s/round of pure scheduling overhead on tiny graphs).
         jumped = hopped.join(
             hopped.select(
                 F.col("node").alias("pnode"), F.col("comp").alias("pcomp")
@@ -112,16 +117,12 @@ def connected_components(
             F.least(
                 F.col("comp"), F.coalesce("pcomp", F.col("comp"))
             ).alias("comp"),
+            F.col("prev"),
         )
         new_labels = jumped.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
+        changed = new_labels.filter(F.col("comp") != F.col("prev")).count()
         old = labels
-        labels = new_labels
+        labels = new_labels.select("node", "comp")
         old.unpersist()
         if changed == 0:
             return labels.select(
