@@ -1,0 +1,62 @@
+"""Trailing event-time range windows — beyond-reference (BASELINE.json
+north star; the reference has no window functions at all — its SQL layer
+stops at GROUP BY, schema.sql:131-237).
+
+The feature-engineering primitive behind "activity in the last hour"
+style model inputs: for EVERY event, aggregate the key's events inside a
+trailing event-time span — a RANGE frame, not a ROWS frame, so sparse
+and bursty keys get the same time semantics.
+
+Determinism discipline (same as functions/vectors.group_centroids):
+double SUM over a window frame is engine- and order-dependent (Spark
+accumulates in sort order, DuckDB uses segment trees), so the value is
+quantized to a fixed-point integer grid first — ``round(value * scale)``
+(HALF_UP, identical in both engines), summed as exact int64 inside the
+frame (associative — any evaluation tree gives the same bits), divided
+back ONCE at the end.
+
+Plan shape: one shuffle on the key, one sort per partition, then a
+single forward pass with a sliding frame — Spark's WindowExec keeps
+only the active frame buffered, so memory is bounded by the densest
+window, not the partition.  Skewed keys are bounded by per-key event
+rate x span, and the shuffle carries (key, ts, int64) — no amplification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def trailing_range_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_seconds: int = 3600,
+    scale: int = 100,
+) -> DataFrame:
+    """Input columns + (n_trailing, sum_value_trailing) — per-event
+    aggregates over the key's trailing ``(t - window, t]`` event-time
+    span (half-open: an event exactly ``window`` old has expired).
+
+    ``sum_value_trailing`` sums values quantized to 1/``scale`` units
+    (exact int64 arithmetic inside the frame; one double division out).
+    """
+    span_us = window_seconds * 1_000_000
+    # cast handles TIMESTAMP_NTZ inputs (session tz is UTC) — unix_micros
+    # only accepts the instant-typed TIMESTAMP
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(us)
+        .rangeBetween(-(span_us - 1), 0)
+    )
+    q = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    return df.select(
+        "*",
+        F.count("*").over(w).alias("n_trailing"),
+        (F.sum(q).over(w).cast("double") / float(scale)).alias(
+            "sum_value_trailing"
+        ),
+    )

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from netflix_data_ingestion_spark.operators import gapfill
+from netflix_data_ingestion_spark.operators import gapfill, rolling
 from netflix_data_ingestion_spark.sources.readers import read_table
 
 
@@ -372,8 +372,45 @@ ORDER BY s.user_id, s.bucket_start
 """
 
 
+# ---------------------------------------------------------------------------
+# Trailing event-time range window (per-event "activity in the last hour")
+# ---------------------------------------------------------------------------
+
+
+def q_events_trailing_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-hour stats (operators/rolling.py): RANGE frame
+    over event-time micros, fixed-point int64 sum inside the frame."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        rolling.trailing_range_stats(
+            events.select("event_id", "ts", "user_id", "value"),
+            "user_id",
+            "ts",
+            "value",
+            window_seconds=3600,
+        )
+        .select(
+            "event_id", "user_id", "n_trailing", "sum_value_trailing"
+        )
+        .orderBy("event_id")
+    )
+
+
+ORACLE_TRAILING_HOUR = """
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS n_trailing,
+       (SUM(ROUND(value * 100)::BIGINT) OVER w)::DOUBLE / 100.0
+         AS sum_value_trailing
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
 REGISTRY_WINDOW = {
     "events_gapfill": (q_events_gapfill, ORACLE_GAPFILL),
+    "events_trailing_hour": (q_events_trailing_hour, ORACLE_TRAILING_HOUR),
     "events_asof_view_attribution": (
         q_events_asof_view_attribution,
         ORACLE_ASOF,

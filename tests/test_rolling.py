@@ -1,0 +1,55 @@
+"""Trailing event-time range windows (operators/rolling.py)."""
+
+import datetime
+
+from netflix_data_ingestion_spark.operators.rolling import (
+    trailing_range_stats,
+)
+
+
+def _ts(minute, second=0):
+    return datetime.datetime(2024, 1, 1, 0, minute, second)
+
+
+def test_trailing_window_half_open(spark):
+    # events at t=0, t=30min, t=60min: the t=60min frame must contain
+    # 30min and 60min but NOT the event exactly one hour old
+    df = spark.createDataFrame(
+        [
+            (1, 1, _ts(0), 1.5),
+            (2, 1, _ts(30), 2.25),
+            (3, 1, _ts(59, 59), 4.0),
+            (4, 2, _ts(10), 10.0),
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    out = {
+        r["event_id"]: r
+        for r in trailing_range_stats(
+            df, "user_id", "ts", "value", window_seconds=3600
+        ).collect()
+    }
+    assert out[1]["n_trailing"] == 1 and out[1]["sum_value_trailing"] == 1.5
+    assert out[2]["n_trailing"] == 2 and out[2]["sum_value_trailing"] == 3.75
+    assert out[3]["n_trailing"] == 3 and out[3]["sum_value_trailing"] == 7.75
+    # other keys never leak in
+    assert out[4]["n_trailing"] == 1 and out[4]["sum_value_trailing"] == 10.0
+
+
+def test_trailing_window_expiry(spark):
+    # second event exactly 3600s after the first: first has expired
+    df = spark.createDataFrame(
+        [
+            (1, 1, datetime.datetime(2024, 1, 1, 0, 0, 0), 5.0),
+            (2, 1, datetime.datetime(2024, 1, 1, 1, 0, 0), 7.0),
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    out = {
+        r["event_id"]: r
+        for r in trailing_range_stats(
+            df, "user_id", "ts", "value", window_seconds=3600
+        ).collect()
+    }
+    assert out[2]["n_trailing"] == 1
+    assert out[2]["sum_value_trailing"] == 7.0
