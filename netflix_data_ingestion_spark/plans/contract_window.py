@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from netflix_data_ingestion_spark.operators import gapfill, rolling
+from netflix_data_ingestion_spark.operators import gapfill, rolling, scd
 from netflix_data_ingestion_spark.sources.readers import read_table
 
 
@@ -408,9 +408,55 @@ ORDER BY event_id
 """
 
 
+# ---------------------------------------------------------------------------
+# SCD Type-2 history (dimension time travel from a change log)
+# ---------------------------------------------------------------------------
+
+
+def q_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 history of each user's event_type runs (operators/scd.py):
+    consecutive duplicates collapse, each run carries [valid_from,
+    valid_to) and a version number."""
+    events = _t(spark, sf_dir, "events")
+    hist = scd.scd2_history(events, "user_id", "ts", "event_type")
+    # open intervals use the classic 9999-12-31 sentinel (also dodges the
+    # None-vs-NaT NULL-timestamp hash asymmetry between engines)
+    return hist.withColumn(
+        "valid_to",
+        F.coalesce(
+            "valid_to", F.lit("9999-12-31 00:00:00").cast("timestamp_ntz")
+        ),
+    ).orderBy("user_id", "version")
+
+
+ORACLE_SCD2 = """
+WITH ordered AS (
+  SELECT user_id, ts, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+),
+chg AS (
+  SELECT user_id, event_type AS state, ts AS valid_from
+  FROM ordered
+  WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, state, valid_from,
+       COALESCE(
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from),
+         TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY valid_from)::BIGINT
+         AS version,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+         IS NULL AS is_current
+FROM chg
+ORDER BY user_id, version
+"""
+
+
 REGISTRY_WINDOW = {
     "events_gapfill": (q_events_gapfill, ORACLE_GAPFILL),
     "events_trailing_hour": (q_events_trailing_hour, ORACLE_TRAILING_HOUR),
+    "user_state_history": (q_user_state_history, ORACLE_SCD2),
     "events_asof_view_attribution": (
         q_events_asof_view_attribution,
         ORACLE_ASOF,
