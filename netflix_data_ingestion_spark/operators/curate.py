@@ -1,0 +1,83 @@
+"""End-to-end corpus curation — the composition the individual operators
+exist FOR (BASELINE.json north star; no reference analog — the reference
+pipeline stops at star-schema loading).
+
+A training-data curation run is a fixed ladder, each rung an operator
+this package already proves in isolation:
+
+    metadata gate  ->  quality gate   ->  near-dup cluster keep
+    (lang column)      (textstats)        (graph.dedup_clusters)
+        ->  per-source quota  ->  token counts  ->  chunk packing
+            (sample.quota_sample)  (textstats.tokens) (sample.pack_chunks)
+
+This module wires them into one lazy plan (plus the bounded iterative
+CC step inside dedup_clusters).  Composing them is not free glue: each
+stage's filter shrinks the frame the next stage shuffles, and the
+composition keeps every intermediate partitioned — nothing funnels
+through the driver at any stage, so the whole ladder inherits the
+100 TB posture of its rungs.
+
+Shuffle budget (in corpus passes): quality gate is narrow; dedup is the
+MinHash band pipeline on the SURVIVORS only; quota + packing are two
+keyed window shuffles on the sampled subset.  The expensive stages run
+on monotonically smaller data — the order of the ladder IS the
+optimization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from netflix_data_ingestion_spark.operators import graph, sample, textstats
+
+
+def curate_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    lang_col: str = "lang",
+    lang: str = "en",
+    min_quality: float = 0.64,
+    dedup_threshold: float = 0.8,
+    cap: int = 15,
+    budget: int = 512,
+) -> DataFrame:
+    """(id, source, quality_score, n_tokens, chunk_id, chunk_offset) —
+    the curated, deduplicated, quota-capped corpus packed into
+    per-source token-budget chunks.
+
+    The quality threshold compares a bit-exact single-division score
+    (textstats.quality_score), so the gate is deterministic across
+    engines; chunk assignment is pure integer window math.
+    """
+    q = textstats.quality_score(docs, id_col, text_col).select(
+        id_col, "quality_score"
+    )
+    base = (
+        docs.filter(F.col(lang_col) == lang)
+        .join(q, id_col)
+        .filter(F.col("quality_score") >= min_quality)
+    )
+    clusters = graph.dedup_clusters(
+        base, id_col, text_col, threshold=dedup_threshold
+    )
+    keep = clusters.filter("keep").select(F.col("doc_id").alias(id_col))
+    deduped = base.join(keep, id_col)
+    sampled = sample.quota_sample(deduped, source_col, id_col, cap=cap)
+    with_tok = sampled.withColumn(
+        "n_tokens",
+        F.size(textstats.tokens(F.col(text_col))).cast("long"),
+    )
+    packed = sample.pack_chunks(
+        with_tok, source_col, id_col, "n_tokens", budget
+    )
+    return packed.select(
+        id_col,
+        source_col,
+        "quality_score",
+        "n_tokens",
+        "chunk_id",
+        "chunk_offset",
+    )

@@ -81,14 +81,21 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         4 * alpha * n_tokens + 3 * n_stop * n + 3 * n_tokens * (n - special)
     ).cast("double")
     denom = (10 * n * n_tokens).cast("double")
+    # empty / token-free documents yield NULL ratios instead of an ANSI
+    # divide-by-zero error (ANSI mode turns x/0 into a hard failure)
+    nz = (n > 0) & (n_tokens > 0)
     return ensure_parallelism(df).select(
         F.col(id_col),
-        (alpha.cast("double") / n.cast("double")).alias("alpha_ratio"),
-        (special.cast("double") / n.cast("double")).alias("special_ratio"),
-        (n_stop.cast("double") / n_tokens.cast("double")).alias(
+        F.when(nz, alpha.cast("double") / n.cast("double")).alias(
+            "alpha_ratio"
+        ),
+        F.when(nz, special.cast("double") / n.cast("double")).alias(
+            "special_ratio"
+        ),
+        F.when(nz, n_stop.cast("double") / n_tokens.cast("double")).alias(
             "stopword_ratio"
         ),
-        (numer / denom).alias("quality_score"),
+        F.when(nz, numer / denom).alias("quality_score"),
     )
 
 

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from netflix_data_ingestion_spark.functions import vectors
 from netflix_data_ingestion_spark.operators import (
+    curate,
     dedup,
     graph,
     redact,
@@ -849,6 +850,127 @@ FROM c ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# End-to-end corpus curation (the full ladder in one oracle-checked plan)
+# ---------------------------------------------------------------------------
+
+
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline (operators/curate.py): lang +
+    quality gates -> near-dup cluster keep (iterative CC) -> per-source
+    quota -> token-budget chunk packing.  One oracle verifies the whole
+    ladder end-to-end, including the stage boundaries the unit queries
+    can't see (each stage consumes the previous stage's survivors)."""
+    docs = _t(spark, sf_dir, "documents")
+    return curate.curate_corpus(docs).orderBy("doc_id")
+
+
+ORACLE_CURATE = f"""
+WITH RECURSIVE {_DUCK_TOKS},
+qbase AS (
+  SELECT d.doc_id,
+         length(d.text)::BIGINT AS n,
+         length(regexp_replace(d.text, '[^A-Za-z]', '', 'g'))::BIGINT AS alpha,
+         length(regexp_replace(d.text, '[^0-9]', '', 'g'))::BIGINT AS digit,
+         length(regexp_replace(d.text, '[^ ]', '', 'g'))::BIGINT AS space,
+         len(t.tk)::BIGINT AS n_tokens,
+         len(list_filter(t.tk, x -> x IN ({_STOP_LIST_SQL})))::BIGINT AS n_stop
+  FROM documents d JOIN toks t USING (doc_id)
+),
+quality AS (
+  SELECT doc_id,
+         (4 * alpha * n_tokens + 3 * n_stop * n +
+          3 * n_tokens * (alpha + digit + space))::DOUBLE
+           / (10 * n * n_tokens)::DOUBLE AS quality_score
+  FROM qbase
+),
+base AS (
+  SELECT d.doc_id, d.source, q.quality_score
+  FROM documents d JOIN quality q USING (doc_id)
+  WHERE d.lang = 'en' AND q.quality_score >= 0.64
+),
+sh AS (
+  SELECT DISTINCT t.doc_id, array_to_string(t.tk[i:i+2], ' ') AS shingle
+  FROM toks t JOIN base USING (doc_id),
+       unnest(range(1, len(t.tk) - 1)) AS u(i)
+),
+hashed AS (
+  SELECT doc_id, seed,
+         md5(seed::VARCHAR || '|' || shingle) AS h
+  FROM sh, unnest(range(0, 4)) AS s(seed)
+),
+bandt AS (
+  SELECT doc_id, seed AS band,
+         md5(concat_ws('|', MIN(substr(h, 1, 8)), MIN(substr(h, 9, 8)),
+                       MIN(substr(h, 17, 8)), MIN(substr(h, 25, 8))))
+           AS band_key
+  FROM hashed GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandt a JOIN bandt b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+arrs AS (
+  SELECT doc_id, list(shingle) AS arr, COUNT(*) AS n_shingles
+  FROM sh GROUP BY 1
+),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(sa.arr, sb.arr))::BIGINT AS intersection,
+         sa.n_shingles + sb.n_shingles AS size_sum
+  FROM cand c
+  JOIN arrs sa ON sa.doc_id = c.id_a
+  JOIN arrs sb ON sb.doc_id = c.id_b
+),
+pairs AS (
+  SELECT id_a, id_b FROM verified
+  WHERE intersection::DOUBLE / (size_sum - intersection) >= 0.8
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM base
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v
+),
+comp AS (
+  SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+),
+dd AS (
+  SELECT b.doc_id, b.source, b.quality_score
+  FROM base b JOIN comp c USING (doc_id)
+  WHERE c.doc_id = c.cluster_id
+),
+qs AS (
+  SELECT doc_id, source, quality_score,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5('v1|' || doc_id::VARCHAR) ASC, doc_id ASC
+         ) AS sample_rank
+  FROM dd
+),
+samp AS (SELECT * FROM qs WHERE sample_rank <= 15),
+cum AS (
+  SELECT s.doc_id, s.source, s.quality_score,
+         len(t.tk)::BIGINT AS n_tokens,
+         SUM(len(t.tk)::BIGINT) OVER (
+           PARTITION BY s.source ORDER BY s.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         )::BIGINT AS running
+  FROM samp s JOIN toks t USING (doc_id)
+)
+SELECT doc_id, source, quality_score, n_tokens,
+       (running - n_tokens) // 512 AS chunk_id,
+       (running - n_tokens) % 512 AS chunk_offset
+FROM cum
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Grouped embedding centroids (fixed-point deterministic mean)
 # ---------------------------------------------------------------------------
 
@@ -1173,6 +1295,7 @@ REGISTRY_LLM = {
         q_embedding_group_centroid,
         ORACLE_GROUP_CENTROID,
     ),
+    "curate_corpus": (q_curate_corpus, ORACLE_CURATE),
     "doc_repetition_ratio": (q_doc_repetition_ratio, ORACLE_REPETITION),
     "doc_quota_sample": (q_doc_quota_sample, ORACLE_QUOTA_SAMPLE),
     "doc_contamination": (q_doc_contamination, ORACLE_CONTAMINATION),
