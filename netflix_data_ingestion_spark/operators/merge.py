@@ -1,0 +1,69 @@
+"""Row-level upsert (MERGE) between immutable snapshots — warehouse
+parity surface.
+
+The reference applies changes with batched UPDATE statements against a
+mutable store (etl_pipeline_spark.py:1230-1252); a lakehouse on
+immutable parquet expresses the same thing as snapshot algebra:
+
+    merged = updates OVERRIDE target ON key   (latest wins)
+
+i.e. Delta/Iceberg ``MERGE WHEN MATCHED UPDATE WHEN NOT MATCHED
+INSERT``, as one full-outer join + per-column ``coalesce`` — no table
+format required, and the result is a plain DataFrame the caller writes
+with the usual partitioned/bucketed writers.
+
+Plan shape: ONE shuffle on the key (both sides hash-partitioned; with
+bucketed tables, sources/writers.write_bucketed, even that shuffle
+disappears).  The updates side is typically a small CDC batch —
+Catalyst/AQE broadcasts it and the "join" degenerates to a narrow map
+over the target.  At 100 TB the win over the reference's row-at-a-time
+UPDATE loop is the usual columnar-batch vs per-row-roundtrip gap.
+
+Deletes: pass ``tombstone_col`` naming a boolean column in ``updates``;
+rows flagged true are dropped from the merged snapshot (the CDC
+delete convention) rather than upserted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    tombstone_col: str | None = None,
+) -> DataFrame:
+    """Merged snapshot: ``updates`` rows win on key collision, unmatched
+    ``target`` rows persist, unmatched ``updates`` rows insert.
+
+    Both inputs must share the target's schema (plus the optional
+    tombstone column on the updates side).  Column order of the result
+    follows ``target``.
+    """
+    cols = target.columns
+    t = target.alias("t")
+    # a non-null presence marker makes the override WHOLE-ROW (an update
+    # that sets a column to NULL must win — per-column coalesce would
+    # silently resurrect the target's old value)
+    u = updates.withColumn("__upd", F.lit(True)).alias("u")
+    joined = t.join(u, key_cols, "full_outer")
+    if tombstone_col is not None:
+        joined = joined.filter(
+            ~F.coalesce(F.col(f"u.{tombstone_col}"), F.lit(False))
+        )
+    matched = F.col("__upd").isNotNull()
+    out_cols = []
+    for c in cols:
+        if c in key_cols:
+            # join keys are already coalesced by the USING-style join
+            out_cols.append(F.col(c))
+        else:
+            out_cols.append(
+                F.when(matched, F.col(f"u.{c}"))
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
+            )
+    return joined.select(*out_cols)

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from netflix_data_ingestion_spark.operators import merge
 from netflix_data_ingestion_spark.sources.readers import read_table
 
 
@@ -424,7 +425,86 @@ ORDER BY c_custkey
 """
 
 
+# ---------------------------------------------------------------------------
+# MERGE upsert: CDC batch applied to a snapshot (update + insert + delete)
+# ---------------------------------------------------------------------------
+
+
+def q_customer_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/merge.merge_upsert over a deterministic synthetic CDC
+    batch: every 10th customer re-segmented with a balance credit
+    (update), a shadow row per 97th customer at key+10M (insert), and
+    every 25th customer tombstoned (delete)."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    # delete wins over update for keys matching both rules — the batch
+    # must be key-unique or the full-outer join would fan out
+    upd = (
+        cust.filter(
+            (F.col("c_custkey") % 10 == 0) & (F.col("c_custkey") % 25 != 0)
+        )
+        .select(
+            "c_custkey",
+            F.lit("REPRICED").alias("c_mktsegment"),
+            (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+        )
+        .withColumn("deleted", F.lit(False))
+    )
+    ins = (
+        cust.filter(F.col("c_custkey") % 97 == 0)
+        .select(
+            (F.col("c_custkey") + F.lit(10_000_000)).alias("c_custkey"),
+            F.lit("SHADOW").alias("c_mktsegment"),
+            F.lit(0.0).alias("c_acctbal"),
+        )
+        .withColumn("deleted", F.lit(False))
+    )
+    dels = cust.filter(F.col("c_custkey") % 25 == 0).select(
+        "c_custkey",
+        F.lit(None).cast("string").alias("c_mktsegment"),
+        F.lit(None).cast("double").alias("c_acctbal"),
+        F.lit(True).alias("deleted"),
+    )
+    batch = upd.unionByName(ins).unionByName(dels)
+    return merge.merge_upsert(
+        cust, batch, ["c_custkey"], tombstone_col="deleted"
+    ).orderBy("c_custkey")
+
+
+ORACLE_MERGE_UPSERT = """
+WITH cust AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+),
+batch AS (
+  SELECT c_custkey, 'REPRICED' AS c_mktsegment, c_acctbal + 100.0 AS c_acctbal,
+         FALSE AS deleted
+  FROM cust WHERE c_custkey % 10 = 0 AND c_custkey % 25 <> 0
+  UNION ALL
+  SELECT c_custkey + 10000000, 'SHADOW', 0.0, FALSE
+  FROM cust WHERE c_custkey % 97 = 0
+  UNION ALL
+  SELECT c_custkey, NULL, NULL, TRUE
+  FROM cust WHERE c_custkey % 25 = 0
+),
+joined AS (
+  SELECT COALESCE(b.c_custkey, t.c_custkey) AS c_custkey,
+         CASE WHEN b.c_custkey IS NOT NULL THEN b.c_mktsegment
+              ELSE t.c_mktsegment END AS c_mktsegment,
+         CASE WHEN b.c_custkey IS NOT NULL THEN b.c_acctbal
+              ELSE t.c_acctbal END AS c_acctbal,
+         b.deleted
+  FROM cust t FULL OUTER JOIN batch b USING (c_custkey)
+)
+SELECT c_custkey, c_mktsegment, c_acctbal
+FROM joined
+WHERE NOT COALESCE(deleted, FALSE)
+ORDER BY c_custkey
+"""
+
+
 REGISTRY_EXTRA = {
+    "customer_merge_upsert": (q_customer_merge_upsert, ORACLE_MERGE_UPSERT),
     "regional_revenue": (q_regional_revenue, ORACLE_REGIONAL_REVENUE),
     "user_event_gaps": (q_user_event_gaps, ORACLE_USER_GAPS),
     "customer_balance_quartiles": (
