@@ -12,12 +12,16 @@ INSERT``, as one full-outer join + per-column ``coalesce`` — no table
 format required, and the result is a plain DataFrame the caller writes
 with the usual partitioned/bucketed writers.
 
-Plan shape: ONE shuffle on the key (both sides hash-partitioned; with
-bucketed tables, sources/writers.write_bucketed, even that shuffle
-disappears).  The updates side is typically a small CDC batch —
-Catalyst/AQE broadcasts it and the "join" degenerates to a narrow map
-over the target.  At 100 TB the win over the reference's row-at-a-time
-UPDATE loop is the usual columnar-batch vs per-row-roundtrip gap.
+Plan shape: ONE shuffle per side on the key, sort-merge full-outer
+(a full-outer join preserves BOTH sides, so Spark cannot broadcast it
+— don't expect AQE to; with bucketed tables,
+sources/writers.write_bucketed, the shuffles disappear and only the
+merge-sort remains).  At 100 TB the win over the reference's
+row-at-a-time UPDATE loop is the usual columnar-batch vs
+per-row-roundtrip gap; if the CDC batch is tiny and the full-outer
+shuffle of the large target matters, flip the problem: inner-join the
+batch for updates + anti-join for inserts (two broadcastable joins)
+— equivalent result when no deletes are present.
 
 Deletes: pass ``tombstone_col`` naming a boolean column in ``updates``;
 rows flagged true are dropped from the merged snapshot (the CDC

@@ -123,3 +123,63 @@ def test_quota_sample_single_shuffle_on_group(spark):
     # exactly one hashpartitioning exchange (repartition from
     # ensure_parallelism is round-robin, not hash)
     assert plan.count("hashpartitioning") == 1
+
+
+def test_redact_plan_is_narrow(spark):
+    """PII redaction must be a pure projection: no Exchange, no Python."""
+    from netflix_data_ingestion_spark.operators.redact import redact_pii
+
+    docs = read_table(spark, SF_DIR, "documents")
+    plan = _plan(redact_pii(docs, "doc_id", "text"))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_scd2_single_exchange(spark):
+    """Both SCD2 window passes must share ONE key shuffle + ONE sort."""
+    from netflix_data_ingestion_spark.operators.scd import scd2_history
+
+    ev = read_table(spark, SF_DIR, "events")
+    plan = _plan(scd2_history(ev, "user_id", "ts", "event_type"))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Sort [") == 1
+
+
+def test_trailing_range_single_exchange(spark):
+    """The trailing RANGE window is one key shuffle, no Python."""
+    from netflix_data_ingestion_spark.operators.rolling import (
+        trailing_range_stats,
+    )
+
+    ev = read_table(spark, SF_DIR, "events")
+    plan = _plan(trailing_range_stats(ev, "user_id", "ts", "value"))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Python" not in plan
+
+
+def test_gapfill_spine_is_distributed(spark):
+    """Gap filling must generate the dense spine with explode (executor-
+    side), shuffling only on keys — never a driver-side calendar."""
+    from netflix_data_ingestion_spark.operators.gapfill import (
+        time_bucket_gapfill,
+    )
+
+    ev = read_table(spark, SF_DIR, "events")
+    plan = _plan(time_bucket_gapfill(ev, "user_id", "ts", "value", "6 hours"))
+    assert "Generate explode" in plan     # distributed sequence spine
+    assert "CollectLimit" not in plan
+    assert "Python" not in plan
+
+
+def test_merge_upsert_is_single_pass_sort_merge(spark):
+    """MERGE plans as one full-outer sort-merge join — no nested-loop
+    blowup, no driver collect."""
+    from netflix_data_ingestion_spark.operators.merge import merge_upsert
+
+    cust = read_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    upd = cust.limit(10)
+    plan = _plan(merge_upsert(cust, upd, ["c_custkey"]))
+    assert "FullOuter" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
