@@ -16,6 +16,7 @@ from netflix_data_ingestion_spark.operators import (
     curate,
     dedup,
     graph,
+    kmeans,
     redact,
     similarity,
     textstats,
@@ -850,6 +851,84 @@ FROM c ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Distributed k-means (fixed-point Lloyd's — iterative ML, hash-checked)
+# ---------------------------------------------------------------------------
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/kmeans.kmeans_train: 2 Lloyd rounds, k=8, everything on
+    the 1e-6 fixed-point grid — integer distances and integer-mean
+    centroid updates make a genuinely iterative training loop bit-exact
+    against the unrolled recursive SQL below."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans.kmeans_train(
+        emb, "vec_id", "embedding", k=8, iters=2
+    ).orderBy("vec_id")
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 2, scale: int = 1_000_000) -> str:
+    """Unrolled Lloyd iterations as a CTE chain (c0 -> a1/c1 -> ... ->
+    final assignment) — mechanically mirrors the driver loop."""
+    parts = [
+        f"""
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> round(x::DOUBLE * {scale})::BIGINT) AS qv
+  FROM embeddings
+),
+pos AS (
+  SELECT vec_id, i - 1 AS pos, qv[i] AS q
+  FROM qv, unnest(range(1, len(qv) + 1)) AS r(i)
+),
+seeds AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+),
+c0 AS (
+  SELECT s.cid, p.pos, p.q AS qc FROM seeds s JOIN pos p USING (vec_id)
+)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+d{i} AS (
+  SELECT p.vec_id, c.cid,
+         SUM((p.q - c.qc) * (p.q - c.qc))::BIGINT AS dist
+  FROM pos p JOIN c{i - 1} c USING (pos) GROUP BY 1, 2
+),
+a{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d{i}) WHERE rn = 1
+),
+c{i} AS (
+  SELECT a.cid, p.pos, round(SUM(p.q)::DOUBLE / COUNT(*))::BIGINT AS qc
+  FROM a{i} a JOIN pos p USING (vec_id) GROUP BY 1, 2
+)"""
+        )
+    fin = iters + 1
+    parts.append(
+        f""",
+d{fin} AS (
+  SELECT p.vec_id, c.cid,
+         SUM((p.q - c.qc) * (p.q - c.qc))::BIGINT AS dist
+  FROM pos p JOIN c{iters} c USING (pos) GROUP BY 1, 2
+)
+SELECT vec_id, cid::INT AS cluster_id, dist AS qdist FROM (
+  SELECT vec_id, cid, dist,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM d{fin}) WHERE rn = 1
+ORDER BY vec_id"""
+    )
+    return "".join(parts)
+
+
+ORACLE_KMEANS = _kmeans_oracle()
+
+
+# ---------------------------------------------------------------------------
 # End-to-end corpus curation (the full ladder in one oracle-checked plan)
 # ---------------------------------------------------------------------------
 
@@ -1296,6 +1375,7 @@ REGISTRY_LLM = {
         ORACLE_GROUP_CENTROID,
     ),
     "curate_corpus": (q_curate_corpus, ORACLE_CURATE),
+    "kmeans_clusters": (q_kmeans_clusters, ORACLE_KMEANS),
     "doc_repetition_ratio": (q_doc_repetition_ratio, ORACLE_REPETITION),
     "doc_quota_sample": (q_doc_quota_sample, ORACLE_QUOTA_SAMPLE),
     "doc_contamination": (q_doc_contamination, ORACLE_CONTAMINATION),
