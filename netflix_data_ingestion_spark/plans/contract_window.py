@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from netflix_data_ingestion_spark.operators import gapfill, rolling, scd
+from netflix_data_ingestion_spark.operators import funnel, gapfill, rolling, scd
 from netflix_data_ingestion_spark.sources.readers import read_table
 
 
@@ -453,10 +453,58 @@ ORDER BY user_id, version
 """
 
 
+# ---------------------------------------------------------------------------
+# Ordered funnel (view -> click -> purchase, strictly in event-time order)
+# ---------------------------------------------------------------------------
+
+
+def q_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/funnel.funnel_depth over the canonical view -> click ->
+    purchase ladder: ordered subsequence match via chained
+    conditional-min aggregations (state per user = one ts per stage)."""
+    events = _t(spark, sf_dir, "events")
+    return funnel.funnel_depth(
+        events, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    ).orderBy("user_id")
+
+
+ORACLE_FUNNEL = """
+WITH keys AS (SELECT DISTINCT user_id FROM events),
+s0 AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+s1 AS (
+  SELECT e.user_id, MIN(e.ts) AS t1
+  FROM events e JOIN s0 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s0.t0
+  GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+  GROUP BY 1
+)
+SELECT k.user_id,
+       s0.t0 IS NOT NULL AS reached_view,
+       s1.t1 IS NOT NULL AS reached_click,
+       s2.t2 IS NOT NULL AS reached_purchase,
+       ((s0.t0 IS NOT NULL)::INT + (s1.t1 IS NOT NULL)::INT
+        + (s2.t2 IS NOT NULL)::INT)::BIGINT AS funnel_depth
+FROM keys k
+LEFT JOIN s0 USING (user_id)
+LEFT JOIN s1 USING (user_id)
+LEFT JOIN s2 USING (user_id)
+ORDER BY k.user_id
+"""
+
+
 REGISTRY_WINDOW = {
     "events_gapfill": (q_events_gapfill, ORACLE_GAPFILL),
     "events_trailing_hour": (q_events_trailing_hour, ORACLE_TRAILING_HOUR),
     "user_state_history": (q_user_state_history, ORACLE_SCD2),
+    "user_funnel": (q_user_funnel, ORACLE_FUNNEL),
     "events_asof_view_attribution": (
         q_events_asof_view_attribution,
         ORACLE_ASOF,
