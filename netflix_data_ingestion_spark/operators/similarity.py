@@ -240,6 +240,34 @@ def ivf_centroids(
     )
 
 
+def ivf_centroids_trained(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    iters: int = 2,
+) -> DataFrame:
+    """(list_id, centroid) — TRAINED coarse quantizer: fixed-point Lloyd's
+    k-means (operators/kmeans.kmeans_train) for the partition, then the
+    deterministic per-cluster mean (functions/vectors.group_centroids)
+    as the centroid vector.  Same output contract as `ivf_centroids`, so
+    `ivf_assign`/`ivf_topk` compose unchanged; trained lists are
+    balanced around the data's actual modes instead of whatever the
+    lowest-id vectors happened to be, which evens out list sizes (the
+    probe cost at 100 TB is the size of the largest probed list)."""
+    from netflix_data_ingestion_spark.functions.vectors import (
+        group_centroids,
+    )
+    from netflix_data_ingestion_spark.operators.kmeans import kmeans_train
+
+    assigned = kmeans_train(corpus, id_col, vec_col, k=nlist, iters=iters)
+    joined = corpus.join(assigned.select(id_col, "cluster_id"), id_col)
+    return group_centroids(joined, "cluster_id", vec_col).select(
+        F.col("cluster_id").alias("list_id"),
+        F.col("centroid").cast("array<float>").alias("centroid"),
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,

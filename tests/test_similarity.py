@@ -112,3 +112,24 @@ def test_group_centroids_exact_and_partition_invariant(spark):
     }
     for k in out:
         assert out7[k]["centroid"] == out[k]["centroid"]
+
+
+def test_ivf_trained_centroids_compose(spark):
+    from netflix_data_ingestion_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids_trained,
+    )
+    from netflix_data_ingestion_spark.sources.readers import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cent = ivf_centroids_trained(emb, nlist=4, iters=1)
+    rows = cent.collect()
+    assert 1 <= len(rows) <= 4
+    assert all(len(r["centroid"]) == 64 for r in rows)
+    assign = ivf_assign(emb, cent)
+    # every vector lands in exactly one trained list
+    assert assign.count() == emb.count()
+    lists = {r["list_id"] for r in assign.collect()}
+    assert lists <= {r["list_id"] for r in rows}
