@@ -56,3 +56,57 @@ def test_dedup_clusters_singletons_and_keep(spark):
     # doc 3 is a singleton cluster of itself
     assert rows[3]["cluster_id"] == 3 and rows[3]["keep"]
     assert rows[3]["cluster_size"] == 1
+
+
+def _union_find_components(pairs):
+    """Driver-side oracle: classic union-find, min-id relabel."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    roots = {}
+    for n in list(parent):
+        roots.setdefault(find(n), []).append(n)
+    out = {}
+    for members in roots.values():
+        m = min(members)
+        for n in members:
+            out[n] = m
+    return out
+
+
+def test_cc_property_random_graphs(spark):
+    """Distributed CC must agree with union-find on arbitrary graphs —
+    chains, stars, cycles, self-loops, disjoint islands."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    edge = st.tuples(
+        st.integers(min_value=0, max_value=40),
+        st.integers(min_value=0, max_value=40),
+    )
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(edges=st.lists(edge, min_size=1, max_size=60))
+    def check(edges):
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df).collect()
+        }
+        assert got == _union_find_components(edges)
+
+    check()
