@@ -11,7 +11,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from netflix_data_ingestion_spark.operators import funnel, gapfill, rolling, scd
+from netflix_data_ingestion_spark.operators import (
+    funnel,
+    gapfill,
+    profile,
+    rolling,
+    scd,
+    transitions,
+)
 from netflix_data_ingestion_spark.sources.readers import read_table
 
 
@@ -500,7 +507,82 @@ ORDER BY k.user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Event-transition matrix (first-order journeys)
+# ---------------------------------------------------------------------------
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/transitions.transition_matrix over the event log: global
+    consecutive-pair counts per user, row-normalized probabilities."""
+    events = _t(spark, sf_dir, "events")
+    return transitions.transition_matrix(
+        events, "user_id", "ts", "event_type"
+    ).orderBy("from_type", "to_type")
+
+
+ORACLE_TRANSITIONS = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+           AS from_type,
+         event_type AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, COUNT(*)::BIGINT AS n_transitions
+  FROM pairs WHERE from_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_transitions,
+       n_transitions::DOUBLE /
+         (SUM(n_transitions) OVER (PARTITION BY from_type))::DOUBLE AS p
+FROM counts
+ORDER BY from_type, to_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Column profile (per-column completeness / cardinality, one pass)
+# ---------------------------------------------------------------------------
+
+
+def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/profile.profile_columns over orders: null + exact
+    distinct counts for four columns in one aggregation pass."""
+    orders = _t(spark, sf_dir, "orders")
+    return profile.profile_columns(
+        orders,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    ).orderBy("column_name")
+
+
+ORACLE_PROFILE = """
+SELECT 'o_orderkey' AS column_name, COUNT(*)::BIGINT AS n_rows,
+       SUM((o_orderkey IS NULL)::INT)::BIGINT AS n_nulls,
+       COUNT(DISTINCT o_orderkey)::BIGINT AS n_distinct
+FROM orders
+UNION ALL
+SELECT 'o_custkey', COUNT(*)::BIGINT,
+       SUM((o_custkey IS NULL)::INT)::BIGINT,
+       COUNT(DISTINCT o_custkey)::BIGINT
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*)::BIGINT,
+       SUM((o_orderstatus IS NULL)::INT)::BIGINT,
+       COUNT(DISTINCT o_orderstatus)::BIGINT
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*)::BIGINT,
+       SUM((o_orderpriority IS NULL)::INT)::BIGINT,
+       COUNT(DISTINCT o_orderpriority)::BIGINT
+FROM orders
+ORDER BY column_name
+"""
+
+
 REGISTRY_WINDOW = {
+    "event_transitions": (q_event_transitions, ORACLE_TRANSITIONS),
+    "orders_profile": (q_orders_profile, ORACLE_PROFILE),
     "events_gapfill": (q_events_gapfill, ORACLE_GAPFILL),
     "events_trailing_hour": (q_events_trailing_hour, ORACLE_TRAILING_HOUR),
     "user_state_history": (q_user_state_history, ORACLE_SCD2),

@@ -1,0 +1,50 @@
+"""Transition matrix + column profiler (operators/transitions, profile)."""
+
+import datetime
+
+from netflix_data_ingestion_spark.operators.profile import profile_columns
+from netflix_data_ingestion_spark.operators.transitions import (
+    transition_matrix,
+)
+
+
+def _ts(m):
+    return datetime.datetime(2024, 1, 1, 0, m)
+
+
+def test_transition_counts_and_probs(spark):
+    rows = [
+        (1, _ts(0), "view"), (1, _ts(1), "click"), (1, _ts(2), "view"),
+        (1, _ts(3), "click"),
+        (2, _ts(0), "view"), (2, _ts(1), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    out = {
+        (r["from_type"], r["to_type"]): r
+        for r in transition_matrix(df, "user_id", "ts", "event_type").collect()
+    }
+    # view -> click twice, view -> purchase once, click -> view once
+    assert out[("view", "click")]["n_transitions"] == 2
+    assert out[("view", "purchase")]["n_transitions"] == 1
+    assert out[("click", "view")]["n_transitions"] == 1
+    # row-normalized: P(click|view)=2/3, P(purchase|view)=1/3
+    assert abs(out[("view", "click")]["p"] - 2 / 3) < 1e-12
+    assert abs(out[("view", "purchase")]["p"] - 1 / 3) < 1e-12
+    assert out[("click", "view")]["p"] == 1.0
+    # no cross-user pair (user 1's last event never chains to user 2's)
+    assert ("click", "purchase") not in out
+
+
+def test_profile_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "b")],
+        "k long, s string",
+    )
+    out = {
+        r["column_name"]: r for r in profile_columns(df, ["k", "s"]).collect()
+    }
+    assert out["k"]["n_rows"] == 4
+    assert out["k"]["n_nulls"] == 1 and out["k"]["n_distinct"] == 2
+    assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
