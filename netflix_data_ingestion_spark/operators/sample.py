@@ -90,3 +90,38 @@ def pack_chunks(
         .withColumn("chunk_offset", F.col("__pc_start") % F.lit(int(budget)))
         .drop("__pc_cum", "__pc_start")
     )
+
+
+def bernoulli_mix(
+    df: DataFrame,
+    id_col: str,
+    rate: Column,
+    salt: str = "v1",
+) -> DataFrame:
+    """Deterministic Bernoulli sampling at a PER-ROW rate — the corpus
+    MIXING primitive: pass ``rate`` as a column derived from source /
+    quality / language and each row keeps with that probability,
+    reproducibly.
+
+    keep  <=>  uniform_hash(id) < rate * 2^32, where the uniform hash is
+    the first 8 hex digits of ``md5(salt|id)`` — the same portable
+    pseudo-randomness as quota_sample/hash_split, so the kept set is
+    identical on any engine, any partitioning, any run, and DISJOINT
+    support across salts gives independent draws.  Versus
+    ``DataFrame.sample``: Spark's sampler is seeded per-partition, so
+    its output changes with the partitioning — useless for reproducible
+    corpus mixing.
+
+    Pure narrow map (hash + one double multiply + compare); rate
+    boundary semantics: rate<=0 keeps nothing, rate>=1 keeps all.
+    """
+    h32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return df.filter(h32.cast("double") < rate * F.lit(4294967296.0))

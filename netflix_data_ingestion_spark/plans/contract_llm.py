@@ -782,6 +782,32 @@ ORDER BY doc_id
 """
 
 
+def q_doc_bernoulli_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/sample.bernoulli_mix with a per-source mixing policy:
+    'src1*' sources kept at 80%, everything else at 30% — the
+    deterministic weighted corpus-mixing primitive."""
+    from netflix_data_ingestion_spark.operators.sample import bernoulli_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    rate = F.when(F.col("source").startswith("src1"), F.lit(0.8)).otherwise(
+        F.lit(0.3)
+    )
+    return (
+        bernoulli_mix(docs, "doc_id", rate)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_BERNOULLI_MIX = """
+SELECT doc_id, source
+FROM documents
+WHERE (('0x' || substr(md5('v1|' || doc_id::VARCHAR), 1, 8))::BIGINT)::DOUBLE
+      < (CASE WHEN source LIKE 'src1%' THEN 0.8 ELSE 0.3 END) * 4294967296.0
+ORDER BY doc_id
+"""
+
+
 def q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: docs with doc_id % 50 == 0 stand in for
     an evaluation benchmark; 5-gram overlap against them is counted for
@@ -1378,6 +1404,7 @@ REGISTRY_LLM = {
     "kmeans_clusters": (q_kmeans_clusters, ORACLE_KMEANS),
     "doc_repetition_ratio": (q_doc_repetition_ratio, ORACLE_REPETITION),
     "doc_quota_sample": (q_doc_quota_sample, ORACLE_QUOTA_SAMPLE),
+    "doc_bernoulli_mix": (q_doc_bernoulli_mix, ORACLE_BERNOULLI_MIX),
     "doc_contamination": (q_doc_contamination, ORACLE_CONTAMINATION),
     "doc_pack_chunks": (q_doc_pack_chunks, ORACLE_PACK_CHUNKS),
     "events_tumbling_window": (q_events_tumbling_window, ORACLE_TUMBLING),

@@ -72,3 +72,27 @@ def test_pack_chunks_invariants(spark):
     # every chunk's rows are contiguous in order
     a_chunks = [rows[("a", i)]["chunk_id"] for i in range(10)]
     assert a_chunks == sorted(a_chunks)
+
+
+def test_bernoulli_mix_rates_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from netflix_data_ingestion_spark.operators.sample import bernoulli_mix
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 2 == 0).alias("hot"),
+    )
+    rate = F.when(F.col("hot"), F.lit(0.9)).otherwise(F.lit(0.1))
+    kept = bernoulli_mix(df, "doc_id", rate).collect()
+    hot = sum(1 for r in kept if r["hot"])
+    cold = len(kept) - hot
+    # 2000 rows per class; binomial bounds are generous
+    assert 1650 <= hot <= 1950
+    assert 100 <= cold <= 320
+    # deterministic: same ids on a different partitioning
+    kept2 = bernoulli_mix(df.repartition(13), "doc_id", rate).collect()
+    assert {r["doc_id"] for r in kept} == {r["doc_id"] for r in kept2}
+    # boundary semantics
+    assert bernoulli_mix(df, "doc_id", F.lit(0.0)).count() == 0
+    assert bernoulli_mix(df, "doc_id", F.lit(1.0)).count() == 4000
