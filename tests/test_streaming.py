@@ -264,3 +264,77 @@ def test_stream_stream_join_clicks_to_errors(spark, tmp_path_factory):
     }
     assert got == expected
     assert got == {(12, 11), (14, 13)}
+
+
+def test_streaming_cdc_apply(spark, tmp_path_factory):
+    """Micro-batched CDC changes fold into a parquet snapshot via MERGE:
+    inserts, latest-wins updates (within and across batches), tombstone
+    deletes — and a checkpoint-replayed run converges, not duplicates."""
+    d = tmp_path_factory.mktemp("cdc")
+    src, snap, ckpt = str(d / "src"), str(d / "snap"), str(d / "ckpt")
+    schema = "k long, ts timestamp, seg string, deleted boolean"
+
+    def emit(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/{name}")
+        import glob
+        import shutil
+
+        flat = f"{src}/flat"
+        import os
+
+        os.makedirs(flat, exist_ok=True)
+        for f in glob.glob(f"{src}/{name}/*.parquet"):
+            shutil.copy(f, f"{flat}/{name}_{f.split('/')[-1]}")
+        return flat
+
+    t0 = BASE
+    t1 = BASE + datetime.timedelta(minutes=1)
+    flat = emit(
+        [
+            (1, t0, "a", False),
+            (2, t0, "b", False),
+            (2, t1, "b2", False),   # same-batch update: latest ts wins
+            (3, t0, "c", False),
+        ],
+        "batch1",
+    )
+    flat = emit(
+        [
+            (3, t1, None, True),    # delete k=3
+            (4, t0, "d", False),    # insert k=4
+            (1, t1, "a2", False),   # cross-batch update
+        ],
+        "batch2",
+    )
+
+    changes = (
+        spark.readStream.format("parquet").schema(schema).load(flat)
+    )
+    q = ingest.apply_cdc_stream(
+        changes, snap, ckpt, ["k"], ["ts", "seg"], tombstone_col="deleted"
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    state = {
+        r["k"]: r["seg"]
+        for r in ingest.read_cdc_snapshot(spark, snap).collect()
+    }
+    assert state == {1: "a2", 2: "b2", 4: "d"}
+
+    # replay with the same checkpoint: no new batches -> state unchanged
+    q2 = ingest.apply_cdc_stream(
+        spark.readStream.format("parquet").schema(schema).load(flat),
+        snap,
+        ckpt,
+        ["k"],
+        ["ts", "seg"],
+        tombstone_col="deleted",
+    ).trigger(availableNow=True).start()
+    q2.awaitTermination(120)
+    state2 = {
+        r["k"]: r["seg"]
+        for r in ingest.read_cdc_snapshot(spark, snap).collect()
+    }
+    assert state2 == state
