@@ -18,7 +18,7 @@ not engine-portable, same caveat as approx_distinct_users_daily).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -43,4 +43,62 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         F.col("__n").alias("n_rows"),
         "n_nulls",
         "n_distinct",
+    )
+
+
+def histogram(
+    df: DataFrame, col: str, lo: float, hi: float, nbins: int
+) -> DataFrame:
+    """(bucket, n) — fixed-width histogram via ``width_bucket`` (SQL
+    standard: bucket 0 = underflow, nbins+1 = overflow, both kept so
+    the histogram always accounts for every row).
+
+    One map-side-combinable groupBy on an nbins-cardinality key — the
+    constant-size profile shape.  The bucket expression is written out
+    explicitly (``floor((x-lo)*n / (hi-lo)) + 1``) rather than via the
+    engine's ``width_bucket`` builtin: engines disagree on the internal
+    float association (and DuckDB lacks the function entirely), while
+    the explicit form is the same IEEE operation sequence everywhere.
+    """
+    x = F.col(col).cast("double")
+    flo, fhi = F.lit(float(lo)), F.lit(float(hi))
+    bucket = (
+        F.when(x < flo, F.lit(0))
+        .when(x >= fhi, F.lit(nbins + 1))
+        .otherwise(
+            F.floor((x - flo) * F.lit(float(nbins)) / (fhi - flo)) + 1
+        )
+        .cast("long")
+    )
+    return (
+        df.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def skew_report(
+    df: DataFrame, key_cols: list[str], top: int = 10
+) -> DataFrame:
+    """(key..., n, share, rank) — the `top` heaviest keys and their share
+    of the table: the diagnosis step before operators/skew.py's salting
+    (a join key whose top share is percents of the table is the one
+    that stalls a 1000-executor shuffle on one task).
+
+    One keyed groupBy (combinable) then a top-k cut over the |distinct
+    keys| counts; share is ONE double division of exact counts."""
+    counts = df.groupBy(*key_cols).agg(F.count("*").alias("n"))
+    total = df.count()
+    w = Window.orderBy(
+        F.col("n").desc(), *[F.col(c).asc() for c in key_cols]
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top)
+        .select(
+            *key_cols,
+            "n",
+            (F.col("n").cast("double") / F.lit(float(total))).alias("share"),
+            "rank",
+        )
     )

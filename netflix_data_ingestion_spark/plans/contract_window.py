@@ -580,9 +580,63 @@ ORDER BY column_name
 """
 
 
+# ---------------------------------------------------------------------------
+# Fixed-width histogram + join-key skew diagnosis
+# ---------------------------------------------------------------------------
+
+
+def q_orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/profile.histogram over o_totalprice: 12 fixed-width
+    buckets on [0, 600000) plus under/overflow accounting."""
+    orders = _t(spark, sf_dir, "orders")
+    return profile.histogram(
+        orders, "o_totalprice", 0.0, 600_000.0, 12
+    ).orderBy("bucket")
+
+
+ORACLE_HISTOGRAM = """
+SELECT CASE WHEN o_totalprice::DOUBLE < 0.0 THEN 0
+            WHEN o_totalprice::DOUBLE >= 600000.0 THEN 13
+            ELSE floor((o_totalprice::DOUBLE - 0.0) * 12.0
+                       / (600000.0 - 0.0))::BIGINT + 1
+       END::BIGINT AS bucket,
+       COUNT(*)::BIGINT AS n
+FROM orders
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
+def q_lineitem_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/profile.skew_report on lineitem's join key: the 10
+    heaviest l_orderkey values and their share of the fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    return profile.skew_report(li, ["l_orderkey"], top=10).orderBy("rank")
+
+
+ORACLE_SKEW_REPORT = """
+WITH counts AS (
+  SELECT l_orderkey, COUNT(*)::BIGINT AS n FROM lineitem GROUP BY 1
+),
+total AS (SELECT COUNT(*)::BIGINT AS t FROM lineitem),
+ranked AS (
+  SELECT l_orderkey, n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, l_orderkey ASC)::BIGINT
+           AS "rank"
+  FROM counts
+)
+SELECT r.l_orderkey, r.n, r.n::DOUBLE / total.t::DOUBLE AS share, r."rank"
+FROM ranked r CROSS JOIN total
+WHERE r."rank" <= 10
+ORDER BY r."rank"
+"""
+
+
 REGISTRY_WINDOW = {
     "event_transitions": (q_event_transitions, ORACLE_TRANSITIONS),
     "orders_profile": (q_orders_profile, ORACLE_PROFILE),
+    "orders_price_histogram": (q_orders_price_histogram, ORACLE_HISTOGRAM),
+    "lineitem_skew_report": (q_lineitem_skew_report, ORACLE_SKEW_REPORT),
     "events_gapfill": (q_events_gapfill, ORACLE_GAPFILL),
     "events_trailing_hour": (q_events_trailing_hour, ORACLE_TRAILING_HOUR),
     "user_state_history": (q_user_state_history, ORACLE_SCD2),

@@ -48,3 +48,31 @@ def test_profile_columns(spark):
     assert out["k"]["n_rows"] == 4
     assert out["k"]["n_nulls"] == 1 and out["k"]["n_distinct"] == 2
     assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
+
+
+def test_histogram_buckets(spark):
+    from netflix_data_ingestion_spark.operators.profile import histogram
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (5.0,), (9.9,), (10.0,), (25.0,), (100.0,), (150.0,)],
+        "v double",
+    )
+    out = {r["bucket"]: r["n"] for r in histogram(df, "v", 0.0, 100.0, 10).collect()}
+    assert out[0] == 1            # underflow (-5)
+    assert out[1] == 3            # [0,10): 0, 5, 9.9
+    assert out[2] == 1            # [10,20): 10.0 — lower edge inclusive
+    assert out[3] == 1            # [20,30): 25
+    assert out[11] == 2           # overflow: 100 (hi is exclusive), 150
+    assert sum(out.values()) == 8  # every row accounted for
+
+
+def test_skew_report_ranks_heavy_keys(spark):
+    from netflix_data_ingestion_spark.operators.profile import skew_report
+
+    rows = [("hot",)] * 60 + [("warm",)] * 30 + [("cold",)] * 10
+    df = spark.createDataFrame(rows, "k string")
+    out = skew_report(df, ["k"], top=2).collect()
+    assert [(r["k"], r["n"], r["rank"]) for r in out] == [
+        ("hot", 60, 1), ("warm", 30, 2),
+    ]
+    assert abs(out[0]["share"] - 0.6) < 1e-12
