@@ -308,3 +308,47 @@ def winnow_fingerprint(
             F.array_join(F.array_sort(F.collect_list("win_min")), "|")
         ).alias("fp_digest"),
     )
+
+
+def chunk_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """(id, chunk_idx, n_chunk_tokens, chunk_text) — overlapping
+    token-window chunks: windows of ``chunk_tokens`` tokens starting
+    every ``chunk_tokens - overlap`` tokens (the RAG/context-window
+    chunker; operators/sample.pack_chunks is the complementary
+    concatenate-then-split packer).
+
+    Plan: tokenize once in a projection, explode the window-start
+    sequence (the start list is computed from the token COUNT, not by
+    re-tokenizing — dodging the Generate double-eval trap), then each
+    chunk is a ``slice`` + ``array_join`` over the riding token array.
+    Pure narrow flatMap; output rows ≈ corpus_tokens / stride
+    regardless of document boundaries.  Zero-token documents produce
+    zero chunks (an empty sequence, not a NULL row).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toked = ensure_parallelism(df).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__tok")
+    )
+    started = toked.select(
+        id_col,
+        "__tok",
+        F.explode(
+            F.sequence(F.lit(1), F.size("__tok"), F.lit(stride))
+        ).alias("__start"),
+    )
+    chunk = F.slice(F.col("__tok"), F.col("__start"), chunk_tokens)
+    w = Window.partitionBy(id_col).orderBy("__start")
+    return started.select(
+        F.col(id_col),
+        ((F.col("__start") - 1) / stride).cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
