@@ -86,19 +86,27 @@ def skew_report(
     that stalls a 1000-executor shuffle on one task).
 
     One keyed groupBy (combinable) then a top-k cut over the |distinct
-    keys| counts; share is ONE double division of exact counts."""
+    keys| counts; share is ONE double division of exact counts.
+
+    The total is a 1-row aggregate FRAME crossJoined (broadcast) onto
+    the top-k rows — not an eager ``df.count()`` — so the operator stays
+    one lazy plan and an expensive derived input is computed once, not
+    twice (same pattern as tfidf_top_terms's __n_docs).  The total still
+    sums per-key counts, not the top-k cut, because it aggregates the
+    pre-cut counts frame."""
     counts = df.groupBy(*key_cols).agg(F.count("*").alias("n"))
-    total = df.count()
+    total = counts.agg(F.sum("n").cast("double").alias("__total"))
     w = Window.orderBy(
         F.col("n").desc(), *[F.col(c).asc() for c in key_cols]
     )
     return (
         counts.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= top)
+        .crossJoin(F.broadcast(total))
         .select(
             *key_cols,
             "n",
-            (F.col("n").cast("double") / F.lit(float(total))).alias("share"),
+            (F.col("n").cast("double") / F.col("__total")).alias("share"),
             "rank",
         )
     )

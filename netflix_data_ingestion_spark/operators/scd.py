@@ -21,6 +21,11 @@ sane change log; asserted nowhere because verifying uniqueness would
 cost a shuffle — the caller owns the contract).  All columns flow
 through untyped — no float arithmetic, so cross-engine parity is
 structural, not numeric.
+
+NULL states are first-class: change detection is null-safe
+(``eqNullSafe``), so a transition to or from a NULL attribute value
+opens/closes a run like any other state change, and a key whose first
+observed state is NULL still gets its version-1 row.
 """
 
 from __future__ import annotations
@@ -39,11 +44,19 @@ def scd2_history(
     history of ``attr_col`` per key, ordered runs of identical values
     collapsed, half-open validity ``[valid_from, valid_to)``."""
     w = Window.partitionBy(key_col).orderBy(ts_col)
+    # NULL-safe change detection: `__prev != attr` is NULL when either
+    # side is NULL, which would silently drop transitions to/from a NULL
+    # state.  eqNullSafe treats NULL as a comparable value; the first row
+    # of each key is detected by row_number (NOT by `__prev IS NULL`,
+    # which would wrongly drop a key whose FIRST state is NULL).  Both
+    # window functions share the spec, so still one shuffle.
     changed = (
         df.select(F.col(key_col), F.col(ts_col), F.col(attr_col))
         .withColumn("__prev", F.lag(attr_col).over(w))
+        .withColumn("__rn", F.row_number().over(w))
         .filter(
-            F.col("__prev").isNull() | (F.col("__prev") != F.col(attr_col))
+            (F.col("__rn") == 1)
+            | ~F.col("__prev").eqNullSafe(F.col(attr_col))
         )
     )
     w2 = Window.partitionBy(key_col).orderBy(ts_col)

@@ -337,15 +337,19 @@ def chunk_text(
     toked = ensure_parallelism(df).select(
         F.col(id_col), tokens(F.col(text_col)).alias("__tok")
     )
+    # sequence(1, 0) throws in ANSI Spark, so zero-token documents must
+    # short-circuit to an empty start list (explode of [] emits no rows,
+    # which is the documented "zero chunks" contract)
+    starts = F.when(
+        F.size("__tok") > 0,
+        F.sequence(F.lit(1), F.size("__tok"), F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
     started = toked.select(
         id_col,
         "__tok",
-        F.explode(
-            F.sequence(F.lit(1), F.size("__tok"), F.lit(stride))
-        ).alias("__start"),
+        F.explode(starts).alias("__start"),
     )
     chunk = F.slice(F.col("__tok"), F.col("__start"), chunk_tokens)
-    w = Window.partitionBy(id_col).orderBy("__start")
     return started.select(
         F.col(id_col),
         ((F.col("__start") - 1) / stride).cast("long").alias("chunk_idx"),

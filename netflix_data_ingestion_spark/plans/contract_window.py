@@ -439,13 +439,14 @@ def q_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SCD2 = """
 WITH ordered AS (
   SELECT user_id, ts, event_type,
-         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
   FROM events
 ),
 chg AS (
   SELECT user_id, event_type AS state, ts AS valid_from
   FROM ordered
-  WHERE prev IS NULL OR prev <> event_type
+  WHERE rn = 1 OR prev IS DISTINCT FROM event_type
 )
 SELECT user_id, state, valid_from,
        COALESCE(

@@ -362,6 +362,7 @@ def apply_cdc_stream(
     key_cols: list[str],
     value_cols: list[str],
     tombstone_col: str | None = None,
+    order_col: str = "ts",
 ):
     """Streaming CDC apply: fold each micro-batch of change rows into a
     parquet snapshot via operators/merge.merge_upsert (update / insert /
@@ -373,8 +374,9 @@ def apply_cdc_stream(
     changes — upsert is idempotent per key, so the snapshot converges
     to the same state: exactly-once EFFECT without a transactional
     table format.  Within one batch, multiple changes to the same key
-    collapse to the latest by ``ts`` before merging (MERGE requires a
-    key-unique source).
+    collapse to the latest by ``order_col`` (default ``"ts"``; the
+    changes stream MUST carry this column) before merging (MERGE
+    requires a key-unique source).
 
     At 100 TB the snapshot side would be a bucketed table (see
     merge_upsert's plan note) and the swap a metastore pointer flip —
@@ -387,7 +389,7 @@ def apply_cdc_stream(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         cols = key_cols + value_cols
-        w = Window.partitionBy(*key_cols).orderBy(F.col("ts").desc())
+        w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
         latest = (
             batch_df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)

@@ -36,3 +36,30 @@ def test_scd2_runs_and_intervals(spark):
 
     u2 = [r for r in rows if r["user_id"] == 2]
     assert len(u2) == 1 and u2[0]["is_current"] and u2[0]["version"] == 1
+
+
+def test_scd2_null_states_are_runs(spark):
+    """NULL attribute values open/close runs like any other state
+    (null-safe change detection), and a key whose FIRST state is NULL
+    still gets its version-1 row."""
+    df = spark.createDataFrame(
+        [
+            (1, _ts(0), "view"),
+            (1, _ts(1), None),     # transition INTO NULL — new run
+            (1, _ts(2), None),     # consecutive NULL dup — collapses
+            (1, _ts(3), "click"),  # transition OUT of NULL — new run
+            (2, _ts(0), None),     # first state is NULL — kept
+            (2, _ts(1), "view"),
+        ],
+        "user_id long, ts timestamp, event_type string",
+    )
+    rows = sorted(
+        scd2_history(df, "user_id", "ts", "event_type").collect(),
+        key=lambda r: (r["user_id"], r["version"]),
+    )
+    u1 = [(r["state"], r["version"]) for r in rows if r["user_id"] == 1]
+    assert u1 == [("view", 1), (None, 2), ("click", 3)]
+    u1r = [r for r in rows if r["user_id"] == 1]
+    assert u1r[1]["valid_from"] == _ts(1) and u1r[1]["valid_to"] == _ts(3)
+    u2 = [(r["state"], r["version"]) for r in rows if r["user_id"] == 2]
+    assert u2 == [(None, 1), ("view", 2)]

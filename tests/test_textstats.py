@@ -125,3 +125,36 @@ def test_tfidf_top_terms(spark):
     assert [r["term"] for r in by_doc[3]] == ["apple", "cherry"]
     # ranks are 1..k per doc
     assert [r["rank"] for r in by_doc[2]] == [1, 2]
+
+
+def test_chunk_text_windows_and_overlap(spark):
+    text = " ".join(f"t{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    out = sorted(
+        textstats.chunk_text(df, "doc_id", "text", chunk_tokens=4, overlap=2).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # stride 2: starts 1,3,5,7,9 -> 5 chunks, last is a 2-token tail
+    assert [r["chunk_idx"] for r in out] == [0, 1, 2, 3, 4]
+    assert [r["n_chunk_tokens"] for r in out] == [4, 4, 4, 4, 2]
+    assert out[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert out[1]["chunk_text"] == "t2 t3 t4 t5"   # 2-token overlap
+    assert out[4]["chunk_text"] == "t8 t9"
+
+
+def test_chunk_text_zero_token_doc_yields_no_rows(spark):
+    """Empty / punctuation-only documents produce ZERO chunks (not a
+    crash: sequence(1, 0) throws in ANSI Spark unless short-circuited)."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, "!!! ??? ..."), (3, None), (4, "one two")],
+        "doc_id int, text string",
+    )
+    out = textstats.chunk_text(df, "doc_id", "text", chunk_tokens=4, overlap=2).collect()
+    assert {r["doc_id"] for r in out} == {4}
+
+
+def test_chunk_text_rejects_bad_overlap():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        textstats.chunk_text(None, "doc_id", "text", chunk_tokens=4, overlap=4)

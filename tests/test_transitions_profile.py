@@ -76,3 +76,32 @@ def test_skew_report_ranks_heavy_keys(spark):
         ("hot", 60, 1), ("warm", 30, 2),
     ]
     assert abs(out[0]["share"] - 0.6) < 1e-12
+
+
+def test_skew_report_is_lazy_single_plan(spark):
+    """The total must come from a 1-row aggregate frame inside the SAME
+    lazy plan — not an eager df.count() that scans the input twice.
+    An accumulator-bumping UDF proves the input is untouched at build
+    time and scanned exactly once at execution."""
+    from pyspark.sql import functions as F
+
+    from netflix_data_ingestion_spark.operators.profile import skew_report
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(k):
+        acc.add(1)
+        return k
+
+    bump_udf = F.udf(bump, "string")
+    base = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 4, "k string"
+    ).select(bump_udf("k").alias("k"))
+
+    report = skew_report(base, ["k"], top=1)
+    assert acc.value == 0  # building the frame ran no job
+
+    rows = report.collect()
+    assert [(r["k"], r["n"], r["rank"]) for r in rows] == [("a", 6, 1)]
+    assert abs(rows[0]["share"] - 0.6) < 1e-12
+    assert acc.value == 10  # one scan of the 10 input rows, not two
