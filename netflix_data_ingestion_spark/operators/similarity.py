@@ -305,12 +305,24 @@ def ivf_topk(
     k: int = 10,
     nlist: int = 16,
     nprobe: int = 4,
+    trained: bool = True,
+    iters: int = 2,
 ) -> DataFrame:
     """Approximate top-k via IVF: each query probes its `nprobe` nearest
     inverted lists and ranks exactly within them.  May return < k rows
     per query — recall grows with nprobe/nlist (nprobe == nlist is exact
-    brute force)."""
-    cent = ivf_centroids(corpus, id_col, vec_col, nlist)
+    brute force).
+
+    `trained=True` (the default) trains the coarse quantizer with
+    fixed-point Lloyd's k-means (`ivf_centroids_trained`), which balances
+    list sizes around the data's modes; the probe cost at scale is the
+    size of the largest probed list, so balance is the scaling knob.
+    `trained=False` falls back to the sampled lowest-id quantizer
+    (audit/debug: zero training cost, reproducible anywhere)."""
+    if trained:
+        cent = ivf_centroids_trained(corpus, id_col, vec_col, nlist, iters)
+    else:
+        cent = ivf_centroids(corpus, id_col, vec_col, nlist)
     assign = ivf_assign(corpus, cent, id_col, vec_col)
     qp = queries.crossJoin(F.broadcast(cent)).withColumn(
         "sim", F.round(cosine(F.col(vec_col), F.col("centroid")), 6)

@@ -525,6 +525,13 @@ ORDER BY id_a, id_b
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/similarity.ivf_topk with the TRAINED coarse quantizer
+    (the default): fixed-point Lloyd's k-means (2 rounds, nlist=16)
+    trains the centroids, per-cluster fixed-point means become the
+    centroid vectors, then the standard probe/assign/score machinery.
+    The oracle unrolls the identical training loop in SQL
+    (_ivf_trained_oracle), so the whole train->quantize->probe chain is
+    hash-checked end-to-end."""
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.ivf_topk(
@@ -541,52 +548,8 @@ _DUCK_DOT_CC = (
     "i -> {c}.centroid[i]::DOUBLE * {c}.centroid[i]::DOUBLE))"
 )
 
-ORACLE_ANN_IVF = f"""
-WITH cent AS (
-  SELECT vec_id AS list_id, embedding AS centroid
-  FROM embeddings ORDER BY vec_id LIMIT 16
-),
-asg0 AS (
-  SELECT e.vec_id, c.list_id,
-         ROUND({_DUCK_DOT_EC.format(e='e', c='c')} /
-               (sqrt({_DUCK_DOT.format(a='e', b='e')}) *
-                sqrt({_DUCK_DOT_CC.format(c='c')})), 6) AS sim
-  FROM embeddings e, cent c
-),
-assign AS (
-  SELECT vec_id, list_id FROM (
-    SELECT vec_id, list_id,
-           ROW_NUMBER() OVER (PARTITION BY vec_id
-                              ORDER BY sim DESC, list_id ASC) AS rn
-    FROM asg0) WHERE rn = 1
-),
-probes AS (
-  SELECT vec_id AS query_id, list_id FROM (
-    SELECT vec_id, list_id,
-           ROW_NUMBER() OVER (PARTITION BY vec_id
-                              ORDER BY sim DESC, list_id ASC) AS rn
-    FROM asg0 WHERE vec_id < 5) WHERE rn <= 4
-),
-cand AS (
-  SELECT p.query_id, a.vec_id AS neighbor_id
-  FROM probes p JOIN assign a USING (list_id)
-  WHERE p.query_id <> a.vec_id
-),
-scored AS (
-  SELECT cand.query_id, cand.neighbor_id,
-         ROUND({_DUCK_DOT.format(a='q', b='c')} /
-               (sqrt({_DUCK_DOT.format(a='q', b='q')}) *
-                sqrt({_DUCK_DOT.format(a='c', b='c')})), 6) AS cosine_sim
-  FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
-            JOIN embeddings c ON c.vec_id = cand.neighbor_id
-)
-SELECT query_id, neighbor_id, cosine_sim FROM (
-  SELECT scored.*,
-         ROW_NUMBER() OVER (PARTITION BY query_id
-                            ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
-  FROM scored) WHERE rn <= 10
-ORDER BY query_id, neighbor_id
-"""
+# ORACLE_ANN_IVF is built by _ivf_trained_oracle() below (after the shared
+# k-means CTE-chain helper it composes with is defined).
 
 
 # ---------------------------------------------------------------------------
@@ -892,9 +855,12 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
-def _kmeans_oracle(k: int = 8, iters: int = 2, scale: int = 1_000_000) -> str:
-    """Unrolled Lloyd iterations as a CTE chain (c0 -> a1/c1 -> ... ->
-    final assignment) — mechanically mirrors the driver loop."""
+def _kmeans_cte_chain(k: int, iters: int, scale: int) -> str:
+    """Shared WITH-chain prefix for the k-means oracles: quantized vectors
+    (qv/pos), lowest-id seeds, then `iters` unrolled Lloyd rounds ending
+    at centroid CTE ``c{iters}``.  Used by both the k-means contract
+    oracle and the trained-IVF oracle (which trains its coarse quantizer
+    with the identical loop)."""
     parts = [
         f"""
 WITH qv AS (
@@ -934,6 +900,13 @@ c{i} AS (
   FROM a{i} a JOIN pos p USING (vec_id) GROUP BY 1, 2
 )"""
         )
+    return "".join(parts)
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 2, scale: int = 1_000_000) -> str:
+    """Unrolled Lloyd iterations as a CTE chain (c0 -> a1/c1 -> ... ->
+    final assignment) — mechanically mirrors the driver loop."""
+    parts = [_kmeans_cte_chain(k, iters, scale)]
     fin = iters + 1
     parts.append(
         f""",
@@ -952,6 +925,86 @@ ORDER BY vec_id"""
 
 
 ORACLE_KMEANS = _kmeans_oracle()
+
+
+def _ivf_trained_oracle(
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    scale: int = 1_000_000,
+) -> str:
+    """Trained-quantizer IVF oracle: the shared unrolled Lloyd chain
+    (k=nlist) produces the final assignment, per-cluster fixed-point
+    means (mirroring functions/vectors.group_centroids, incl. the cast
+    to float) become the centroids, then the probe/assign/score stages
+    identical to the sampled-quantizer oracle run on top."""
+    fin = iters + 1
+    return f"""{_kmeans_cte_chain(nlist, iters, scale)},
+d{fin} AS (
+  SELECT p.vec_id, c.cid,
+         SUM((p.q - c.qc) * (p.q - c.qc))::BIGINT AS dist
+  FROM pos p JOIN c{iters} c USING (pos) GROUP BY 1, 2
+),
+asgf AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d{fin}) WHERE rn = 1
+),
+centp AS (
+  SELECT a.cid, p.pos,
+         (SUM(p.q)::DOUBLE / (COUNT(*) * {scale}.0))::FLOAT AS c
+  FROM asgf a JOIN pos p USING (vec_id) GROUP BY 1, 2
+),
+cent AS (
+  SELECT cid AS list_id, list(c ORDER BY pos) AS centroid
+  FROM centp GROUP BY cid
+),
+asg0 AS (
+  SELECT e.vec_id, c.list_id,
+         ROUND({_DUCK_DOT_EC.format(e='e', c='c')} /
+               (sqrt({_DUCK_DOT.format(a='e', b='e')}) *
+                sqrt({_DUCK_DOT_CC.format(c='c')})), 6) AS sim
+  FROM embeddings e, cent c
+),
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT vec_id, list_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, list_id ASC) AS rn
+    FROM asg0) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, list_id FROM (
+    SELECT vec_id, list_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, list_id ASC) AS rn
+    FROM asg0 WHERE vec_id < 5) WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a USING (list_id)
+  WHERE p.query_id <> a.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         ROUND({_DUCK_DOT.format(a='q', b='c')} /
+               (sqrt({_DUCK_DOT.format(a='q', b='q')}) *
+                sqrt({_DUCK_DOT.format(a='c', b='c')})), 6) AS cosine_sim
+  FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+            JOIN embeddings c ON c.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine_sim FROM (
+  SELECT scored.*,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+  FROM scored) WHERE rn <= {k}
+ORDER BY query_id, neighbor_id
+"""
+
+
+ORACLE_ANN_IVF = _ivf_trained_oracle()
 
 
 # ---------------------------------------------------------------------------
