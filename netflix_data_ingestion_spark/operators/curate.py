@@ -43,6 +43,9 @@ def curate_corpus(
     dedup_threshold: float = 0.8,
     cap: int = 15,
     budget: int = 512,
+    ngram: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
 ) -> DataFrame:
     """(id, source, quality_score, n_tokens, chunk_id, chunk_offset) —
     the curated, deduplicated, quota-capped corpus packed into
@@ -51,6 +54,16 @@ def curate_corpus(
     The quality threshold compares a bit-exact single-division score
     (textstats.quality_score), so the gate is deterministic across
     engines; chunk assignment is pure integer window math.
+
+    ``ngram``/``num_hashes``/``bands`` plumb through to the MinHash-LSH
+    candidate stage inside graph.dedup_clusters — the recall/cost knob
+    per corpus.  More hashes sharpen the Jaccard estimate; more bands
+    (smaller rows-per-band) raise candidate recall at the cost of more
+    bucket-join pairs to verify.  100 TB defaults: keep num_hashes at
+    16-24 and bands at num_hashes/4 so a band carries >=4 hashes —
+    coarser bands (2-hash) at web scale generate candidate floods that
+    dominate the verify shuffle; raise bands only for short-document
+    corpora where shingle sets are small and collisions cheap.
     """
     q = textstats.quality_score(docs, id_col, text_col).select(
         id_col, "quality_score"
@@ -61,7 +74,13 @@ def curate_corpus(
         .filter(F.col("quality_score") >= min_quality)
     )
     clusters = graph.dedup_clusters(
-        base, id_col, text_col, threshold=dedup_threshold
+        base,
+        id_col,
+        text_col,
+        n=ngram,
+        threshold=dedup_threshold,
+        num_hashes=num_hashes,
+        bands=bands,
     )
     keep = clusters.filter("keep").select(F.col("doc_id").alias(id_col))
     deduped = base.join(keep, id_col)

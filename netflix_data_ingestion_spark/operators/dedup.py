@@ -174,14 +174,18 @@ def minhash_band_table(
 
     Hash family: md5(seed || '|' || shingle) split into 4 independent
     8-hex-char chunks — md5's avalanche makes the chunks independent
-    uniform hashes, so ONE md5 per (seed, shingle) yields FOUR minhash
-    functions (4x less hashing than one md5 per hash function).  With
-    bands == num_hashes/4, band b's key is the md5 of the 4 chunk-minima
-    of seed b.
+    uniform hashes, so ONE md5 per (seed, shingle) yields up to FOUR
+    minhash functions (4x less hashing than one md5 per hash function).
+    Band b's key is the md5 of its rows_per_band chunk-minima; bands
+    needing more than 4 rows draw extra chunks from md5('seed#j|' ||
+    shingle) continuations (the default 16/4 layout — one md5, four
+    chunks per band — is unchanged, and the SQL oracle mirrors it).
+
+    ``num_hashes`` must divide evenly into ``bands`` rows-per-band.
     """
     rows_per_band = num_hashes // bands
-    if rows_per_band != 4:
-        raise ValueError("this implementation uses 4 chunk-hashes per band")
+    if num_hashes % bands or rows_per_band < 1:
+        raise ValueError("num_hashes must be a positive multiple of bands")
     sh = shingle_table(df, id_col, text_col, n)
     # all (band x chunk) minima as aggregation expressions over the
     # shingle rows directly — the seed explode would put `bands` copies
@@ -189,10 +193,12 @@ def minhash_band_table(
     # md5 count is identical, shuffle volume is 1/bands
     aggs = []
     for seed in range(bands):
-        h = F.md5(F.concat(F.lit(f"{seed}|"), F.col("shingle")))
-        for c in range(4):
+        for c in range(rows_per_band):
+            j, chunk = divmod(c, 4)
+            tag = f"{seed}|" if j == 0 else f"{seed}#{j}|"
+            h = F.md5(F.concat(F.lit(tag), F.col("shingle")))
             aggs.append(
-                F.min(F.substring(h, 1 + 8 * c, 8)).alias(f"m_{seed}_{c}")
+                F.min(F.substring(h, 1 + 8 * chunk, 8)).alias(f"m_{seed}_{c}")
             )
     mins = sh.groupBy(id_col).agg(*aggs)
     band_structs = F.array(
@@ -201,7 +207,7 @@ def minhash_band_table(
                 F.lit(seed).alias("band"),
                 F.md5(
                     F.concat_ws(
-                        "|", *[f"m_{seed}_{c}" for c in range(4)]
+                        "|", *[f"m_{seed}_{c}" for c in range(rows_per_band)]
                     )
                 ).alias("band_key"),
             )

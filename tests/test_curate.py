@@ -52,3 +52,24 @@ def test_curate_all_stages_bind(spark):
         per_src.setdefault(r["source"], []).append(r["chunk_id"])
     for chunks in per_src.values():
         assert chunks == sorted(chunks)
+
+
+def test_curate_dedup_knobs_plumb_through(spark):
+    """Non-default LSH settings (more hashes, finer bands) must still
+    catch the near-dup pair and preserve the ladder's other gates."""
+    out = curate_corpus(
+        _docs(spark),
+        min_quality=0.3,
+        dedup_threshold=0.7,
+        cap=10,
+        budget=64,
+        ngram=2,
+        num_hashes=24,
+        bands=8,
+    )
+    rows = out.collect()
+    ids = {r["doc_id"] for r in rows}
+    assert 101 not in ids and 102 not in ids
+    # 3-hash bands at threshold 0.7 still bucket the 0/100 near-dup pair
+    assert (0 in ids) != (100 in ids)
+    assert sum(1 for r in rows if r["source"] == "srcA") <= 10
