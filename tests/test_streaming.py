@@ -338,3 +338,62 @@ def test_streaming_cdc_apply(spark, tmp_path_factory):
         for r in ingest.read_cdc_snapshot(spark, snap).collect()
     }
     assert state2 == state
+
+
+def test_streaming_cdc_restart_between_batches(spark, tmp_path_factory):
+    """Kill/restart between micro-batches: batch1 is processed, the query
+    stops, batch2 arrives, a NEW query starts on the same checkpoint.
+    The alternating-dir snapshot must resume from the committed side —
+    batch1's effects survive, batch2 merges on top, and the replayed
+    run processes only the new files."""
+    d = tmp_path_factory.mktemp("cdc_restart")
+    src, snap, ckpt = str(d / "src"), str(d / "snap"), str(d / "ckpt")
+    schema = "k long, ts timestamp, seg string, deleted boolean"
+    import os
+
+    flat = f"{src}/flat"
+    os.makedirs(flat, exist_ok=True)
+
+    def emit(rows, name):
+        stage = f"{src}/{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        import glob
+        import shutil
+
+        for f in glob.glob(f"{stage}/*.parquet"):
+            shutil.copy(f, f"{flat}/{name}_{f.split('/')[-1]}")
+
+    def run_once():
+        q = ingest.apply_cdc_stream(
+            spark.readStream.format("parquet").schema(schema).load(flat),
+            snap,
+            ckpt,
+            ["k"],
+            ["ts", "seg"],
+            tombstone_col="deleted",
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    t0 = BASE
+    t1 = BASE + datetime.timedelta(minutes=1)
+    emit([(1, t0, "a", False), (2, t0, "b", False)], "batch1")
+    run_once()  # first run ends (the "kill"): snapshot side committed
+    side1 = open(f"{snap}/CURRENT").read().strip()
+    state1 = {
+        r["k"]: r["seg"]
+        for r in ingest.read_cdc_snapshot(spark, snap).collect()
+    }
+    assert state1 == {1: "a", 2: "b"}
+
+    emit([(2, t1, None, True), (3, t0, "c", False)], "batch2")
+    run_once()  # restart on the same checkpoint: only batch2 is new
+    side2 = open(f"{snap}/CURRENT").read().strip()
+    state2 = {
+        r["k"]: r["seg"]
+        for r in ingest.read_cdc_snapshot(spark, snap).collect()
+    }
+    assert state2 == {1: "a", 3: "c"}        # delete applied, insert merged
+    assert side2 != side1                    # the snapshot dir alternated
+    assert {side1, side2} <= {"a", "b"}
