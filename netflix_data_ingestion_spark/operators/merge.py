@@ -71,3 +71,57 @@ def merge_upsert(
                 .alias(c)
             )
     return joined.select(*out_cols)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    value_cols: list[str],
+) -> DataFrame:
+    """(keys..., change_type, values...) — the change feed that would
+    transform snapshot ``old`` into snapshot ``new``: the INVERSE of
+    `merge_upsert` (generate changes rather than apply them; feeding the
+    output back through merge_upsert with a tombstone on 'delete'
+    reproduces ``new``).
+
+    change_type: 'insert' (key only in ``new``), 'delete' (key only in
+    ``old``), 'update' (key in both, any value column differing
+    NULL-SAFELY — NULL->value and value->NULL transitions are real
+    updates, same discipline as scd2_history).  Unchanged rows are
+    omitted.  Values are the NEW side's (NULL for deletes).
+
+    Both inputs must be key-unique (snapshot semantics).  Plan shape:
+    one full-outer sort-merge join on the key — identical posture to
+    merge_upsert, bucketed tables make it shuffle-free.  At 100 TB this
+    is how a lakehouse without a transactional format emits a CDC feed:
+    diff the nightly snapshots, ship only the delta.
+    """
+    o = old.select(
+        *key_cols,
+        F.lit(True).alias("__in_old"),
+        *[F.col(c).alias(f"__o_{c}") for c in value_cols],
+    ).alias("o")
+    n = new.select(
+        *key_cols,
+        F.lit(True).alias("__in_new"),
+        *[F.col(c).alias(f"__n_{c}") for c in value_cols],
+    ).alias("n")
+    joined = o.join(n, key_cols, "full_outer")
+    unchanged = F.lit(True)
+    for c in value_cols:
+        unchanged = unchanged & F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("insert"))
+        .when(F.col("__in_new").isNull(), F.lit("delete"))
+        .when(~unchanged, F.lit("update"))
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            *key_cols,
+            "change_type",
+            *[F.col(f"__n_{c}").alias(c) for c in value_cols],
+        )
+    )

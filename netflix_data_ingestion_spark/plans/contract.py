@@ -557,6 +557,9 @@ _VERIFY_FIRST: list[str] = [
     "brand_priciest_part",
     "median_order_by_segment",
     "orders_above_customer_avg",
+    # new in round 4 (must sit inside the 50-query window)
+    "doc_chunk_text",
+    "customer_snapshot_diff",
 ]
 
 REGISTRY = {

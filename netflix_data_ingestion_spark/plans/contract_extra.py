@@ -503,8 +503,88 @@ ORDER BY c_custkey
 """
 
 
+# ---------------------------------------------------------------------------
+# Snapshot diff: generate the CDC feed between two snapshots (inverse MERGE)
+# ---------------------------------------------------------------------------
+
+
+def q_customer_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/merge.snapshot_diff between the customer snapshot and a
+    deterministically mutated successor: every 25th key dropped
+    (delete), every remaining 10th re-segmented with a balance credit
+    (update), a shadow row per 97th key at key+10M (insert).  The
+    output is the change feed merge_upsert would need to reproduce the
+    successor."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    upd = F.col("c_custkey") % 10 == 0
+    new = (
+        cust.filter(F.col("c_custkey") % 25 != 0)
+        .select(
+            "c_custkey",
+            F.when(upd, F.lit("REPRICED"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("c_mktsegment"),
+            F.when(upd, F.col("c_acctbal") + F.lit(100.0))
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 97 == 0).select(
+                (F.col("c_custkey") + F.lit(10_000_000)).alias("c_custkey"),
+                F.lit("SHADOW").alias("c_mktsegment"),
+                F.lit(0.0).alias("c_acctbal"),
+            )
+        )
+    )
+    return merge.snapshot_diff(
+        cust, new, ["c_custkey"], ["c_mktsegment", "c_acctbal"]
+    ).orderBy("c_custkey")
+
+
+ORACLE_SNAPSHOT_DIFF = """
+WITH cust AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+),
+new AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 10 = 0 THEN 'REPRICED'
+              ELSE c_mktsegment END AS c_mktsegment,
+         CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0
+              ELSE c_acctbal END AS c_acctbal
+  FROM cust WHERE c_custkey % 25 <> 0
+  UNION ALL
+  SELECT c_custkey + 10000000, 'SHADOW', 0.0
+  FROM cust WHERE c_custkey % 97 = 0
+),
+j AS (
+  SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+         o.c_custkey IS NOT NULL AS in_old,
+         n.c_custkey IS NOT NULL AS in_new,
+         o.c_mktsegment AS o_seg, o.c_acctbal AS o_bal,
+         n.c_mktsegment AS n_seg, n.c_acctbal AS n_bal
+  FROM cust o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+),
+typed AS (
+  SELECT c_custkey,
+         CASE WHEN NOT in_old THEN 'insert'
+              WHEN NOT in_new THEN 'delete'
+              WHEN (o_seg IS DISTINCT FROM n_seg)
+                OR (o_bal IS DISTINCT FROM n_bal) THEN 'update'
+         END AS change_type,
+         n_seg AS c_mktsegment, n_bal AS c_acctbal
+  FROM j
+)
+SELECT c_custkey, change_type, c_mktsegment, c_acctbal
+FROM typed WHERE change_type IS NOT NULL
+ORDER BY c_custkey
+"""
+
+
 REGISTRY_EXTRA = {
     "customer_merge_upsert": (q_customer_merge_upsert, ORACLE_MERGE_UPSERT),
+    "customer_snapshot_diff": (q_customer_snapshot_diff, ORACLE_SNAPSHOT_DIFF),
     "regional_revenue": (q_regional_revenue, ORACLE_REGIONAL_REVENUE),
     "user_event_gaps": (q_user_event_gaps, ORACLE_USER_GAPS),
     "customer_balance_quartiles": (

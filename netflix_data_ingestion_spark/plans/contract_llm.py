@@ -1428,8 +1428,41 @@ FROM s GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Overlapping token-window chunking (the RAG/context-window chunker)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/textstats.chunk_text: 64-token windows every 48 tokens
+    (16-token overlap).  Exercises the explode-of-start-sequence plan
+    including the zero-token short-circuit (empty docs emit no rows)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.chunk_text(
+        docs, "doc_id", "text", chunk_tokens=64, overlap=16
+    ).orderBy("doc_id", "chunk_idx")
+
+
+ORACLE_CHUNK_TEXT = f"""
+WITH {_DUCK_TOKS},
+starts AS (
+  SELECT doc_id, tk, unnest(range(1, len(tk) + 1, 48)) AS s
+  FROM toks WHERE len(tk) > 0
+)
+SELECT doc_id,
+       ((s - 1) // 48)::BIGINT AS chunk_idx,
+       len(list_slice(tk, s, least(s + 63, len(tk))))::BIGINT
+         AS n_chunk_tokens,
+       array_to_string(list_slice(tk, s, least(s + 63, len(tk))), ' ')
+         AS chunk_text
+FROM starts
+ORDER BY doc_id, chunk_idx
+"""
+
+
 REGISTRY_LLM = {
     "event_props_json": (q_event_props_json, ORACLE_PROPS_JSON),
+    "doc_chunk_text": (q_doc_chunk_text, ORACLE_CHUNK_TEXT),
     "top_tokens": (q_top_tokens, ORACLE_TOP_TOKENS),
     "train_test_split": (q_train_test_split, ORACLE_TRAIN_TEST_SPLIT),
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),

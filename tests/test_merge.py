@@ -41,3 +41,45 @@ def test_merge_without_tombstones(spark):
     by_k = {r["k"]: r for r in rows}
     # without tombstone handling the delete row is just an upsert
     assert by_k[3]["seg"] is None and by_k[3]["bal"] is None
+
+
+def test_snapshot_diff_classifies_and_roundtrips(spark):
+    from netflix_data_ingestion_spark.operators.merge import snapshot_diff
+    from pyspark.sql import functions as F
+
+    old = spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (2, "b", 20.0),
+            (3, "c", 30.0),
+            (5, None, 50.0),   # NULL -> value must count as an update
+            (6, "f", 60.0),    # unchanged: must be omitted
+        ],
+        "k long, seg string, bal double",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 10.0),    # unchanged
+            (2, "B2", None),   # update incl. value -> NULL
+            (4, "d", 40.0),    # insert
+            (5, "e", 50.0),    # NULL -> value update
+            (6, "f", 60.0),    # unchanged
+        ],
+        "k long, seg string, bal double",
+    )
+    diff = snapshot_diff(old, new, ["k"], ["seg", "bal"])
+    by_k = {r["k"]: r for r in diff.collect()}
+    assert {k: r["change_type"] for k, r in by_k.items()} == {
+        2: "update", 3: "delete", 4: "insert", 5: "update"
+    }
+    assert by_k[2]["seg"] == "B2" and by_k[2]["bal"] is None
+    assert by_k[3]["seg"] is None and by_k[3]["bal"] is None
+
+    # inverse property: applying the feed back via MERGE reproduces `new`
+    feed = diff.withColumn("deleted", F.col("change_type") == "delete").drop(
+        "change_type"
+    )
+    merged = merge_upsert(old, feed, ["k"], tombstone_col="deleted")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, new.collect())
+    )
