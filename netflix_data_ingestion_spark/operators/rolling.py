@@ -28,6 +28,66 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def trailing_distinct_daily(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """(day, n_active) — for every calendar day spanned by the input,
+    the count of DISTINCT keys observed in the trailing ``window_days``
+    days ending at that day inclusive (the WAU/MAU rolling-actives
+    metric).
+
+    COUNT(DISTINCT) over a moving RANGE frame has no distributed window
+    form (Spark window aggs take no DISTINCT), and the textbook
+    day-spine x events range join rescans ``window_days`` days of
+    events per spine day.  The scale shape instead:
+
+    1. collapse to distinct (day, key) — one map-side-combinable
+       shuffle, output bounded by actives/day not event count;
+    2. each (day, key) contributes to ``window_days`` window-ending
+       days: explode a literal 0..w-1 offset array (narrow flatMap,
+       amplification exactly w — the knob is explicit);
+    3. count distinct keys per window day (a key active on several
+       days inside one window must still count once) — second keyed
+       shuffle, Catalyst's two-phase distinct rewrite applies;
+    4. left-join the dense day spine (generated DISTRIBUTED from a
+       1-row bounds agg, same discipline as gapfill's per-key spine)
+       so quiet days report 0.
+
+    Shuffle volume is w x |distinct (day,key)| id-sized rows — linear
+    in actives, independent of per-day event skew.
+    """
+    day = F.to_date(F.col(ts_col))
+    dk = df.select(day.alias("__day"), F.col(key_col).alias("__key")).distinct()
+    contrib = (
+        dk.select(
+            "__key",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(window_days - 1)),
+                    lambda off: F.date_add(F.col("__day"), off),
+                )
+            ).alias("day"),
+        )
+    )
+    counts = contrib.groupBy("day").agg(
+        F.countDistinct("__key").alias("n_active")
+    )
+    spine = (
+        dk.agg(F.min("__day").alias("lo"), F.max("__day").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    )
+    return (
+        spine.join(counts, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n_active", F.lit(0)).cast("long").alias("n_active"),
+        )
+    )
+
+
 def trailing_range_stats(
     df: DataFrame,
     key_col: str,

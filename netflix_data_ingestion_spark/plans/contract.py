@@ -560,6 +560,7 @@ _VERIFY_FIRST: list[str] = [
     # new in round 4 (must sit inside the 50-query window)
     "doc_chunk_text",
     "customer_snapshot_diff",
+    "weekly_active_users",
 ]
 
 REGISTRY = {

@@ -633,7 +633,40 @@ ORDER BY r."rank"
 """
 
 
+# ---------------------------------------------------------------------------
+# Rolling distinct actives (WAU): trailing 7-day distinct users per day
+# ---------------------------------------------------------------------------
+
+
+def q_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/rolling.trailing_distinct_daily: distinct (day, user)
+    collapse -> bounded offset explode -> per-day distinct count, with a
+    distributed day spine zero-filling quiet days.  The oracle is the
+    textbook spine-range-join form the operator deliberately avoids at
+    scale."""
+    events = _t(spark, sf_dir, "events")
+    return rolling.trailing_distinct_daily(
+        events, "ts", "user_id", window_days=7
+    ).orderBy("day")
+
+
+ORACLE_WAU = """
+WITH dk AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM dk),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+  FROM bounds
+)
+SELECT s.day, COUNT(DISTINCT d.user_id)::BIGINT AS n_active
+FROM spine s LEFT JOIN dk d ON d.day BETWEEN s.day - 6 AND s.day
+GROUP BY s.day ORDER BY s.day
+"""
+
+
 REGISTRY_WINDOW = {
+    "weekly_active_users": (q_weekly_active_users, ORACLE_WAU),
     "event_transitions": (q_event_transitions, ORACLE_TRANSITIONS),
     "orders_profile": (q_orders_profile, ORACLE_PROFILE),
     "orders_price_histogram": (q_orders_price_histogram, ORACLE_HISTOGRAM),

@@ -53,3 +53,34 @@ def test_trailing_window_expiry(spark):
     }
     assert out[2]["n_trailing"] == 1
     assert out[2]["sum_value_trailing"] == 7.0
+
+
+def test_trailing_distinct_daily_counts_and_zero_fills(spark):
+    from netflix_data_ingestion_spark.operators.rolling import (
+        trailing_distinct_daily,
+    )
+
+    rows = [
+        # u1 active twice on day 1 and once on day 2: counts ONCE per window
+        ("2024-01-01 01:00:00", 1),
+        ("2024-01-01 09:00:00", 1),
+        ("2024-01-02 01:00:00", 1),
+        ("2024-01-02 02:00:00", 2),
+        # long gap: days 3..9 have no events at all
+        ("2024-01-10 00:00:00", 3),
+    ]
+    df = spark.createDataFrame(rows, "ts string, user_id long").selectExpr(
+        "CAST(ts AS TIMESTAMP) AS ts", "user_id"
+    )
+    out = {
+        str(r["day"]): r["n_active"]
+        for r in trailing_distinct_daily(df, "ts", "user_id", 3).collect()
+    }
+    # spine covers every day from min to max, gaps zero-filled
+    assert len(out) == 10
+    assert out["2024-01-01"] == 1          # u1 (deduped within the day)
+    assert out["2024-01-02"] == 2          # u1 (once across both days), u2
+    assert out["2024-01-03"] == 2          # window [1..3]
+    assert out["2024-01-04"] == 2          # window [2..4]: u1 and u2 on day 2
+    assert all(out[f"2024-01-0{d}"] == 0 for d in (5, 6, 7, 8, 9))
+    assert out["2024-01-10"] == 1          # u3
