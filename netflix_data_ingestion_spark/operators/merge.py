@@ -73,6 +73,51 @@ def merge_upsert(
     return joined.select(*out_cols)
 
 
+def merge_aggregates(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: list[str],
+    sum_cols: list[str] = (),
+    min_cols: list[str] = (),
+    max_cols: list[str] = (),
+) -> DataFrame:
+    """Combine two PARTIAL aggregate snapshots sharing a schema into the
+    aggregate of their union — incremental view maintenance: fold a
+    delta partition's aggregates into yesterday's snapshot instead of
+    recomputing the full history (the reference recomputes; its
+    customer back-fill rescans the whole fact table,
+    etl_pipeline_spark.py:1370-1455).
+
+    Only ALGEBRAIC aggregates merge (sum/count add; min/max combine);
+    non-decomposable ones (exact median, exact count-distinct) don't —
+    keep those in full recomputes or sketch them.  Float sums are
+    combination-order-sensitive: quantize to int64 partials first
+    (functions/vectors.group_centroids discipline) if bit-stability
+    across merge orders matters.
+
+    One full-outer join on the keys — shuffle-free on bucketed
+    snapshots; keys present in only one side pass through unchanged.
+    """
+    oa = a.alias("a")
+    ob = b.alias("b")
+    joined = oa.join(ob, key_cols, "full_outer")
+
+    def both(c, combine):
+        av, bv = F.col(f"a.{c}"), F.col(f"b.{c}")
+        return (
+            F.when(av.isNull(), bv)
+            .when(bv.isNull(), av)
+            .otherwise(combine(av, bv))
+            .alias(c)
+        )
+
+    out = [F.col(c) for c in key_cols]
+    out += [both(c, lambda x, y: x + y) for c in sum_cols]
+    out += [both(c, F.least) for c in min_cols]
+    out += [both(c, F.greatest) for c in max_cols]
+    return joined.select(*out)
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

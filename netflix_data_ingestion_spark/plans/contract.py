@@ -561,6 +561,7 @@ _VERIFY_FIRST: list[str] = [
     "doc_chunk_text",
     "customer_snapshot_diff",
     "weekly_active_users",
+    "daily_summary_incremental",
 ]
 
 REGISTRY = {

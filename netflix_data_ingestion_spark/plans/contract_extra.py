@@ -504,6 +504,64 @@ ORDER BY c_custkey
 
 
 # ---------------------------------------------------------------------------
+# Incremental aggregate maintenance: merge partial aggregates algebraically
+# ---------------------------------------------------------------------------
+
+
+def q_daily_summary_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/merge.merge_aggregates: the events table is split by
+    event_id parity into two 'delta partitions', each aggregated to
+    per-day partials (count + int64 fixed-point sum + min/max), then the
+    partials are MERGED instead of re-aggregating the union.  The oracle
+    aggregates the whole table in one pass — equality proves the
+    combine is exact for any split, which is the incremental-view
+    maintenance contract."""
+    events = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("q"),
+        "value",
+    )
+
+    def partial(half: DataFrame) -> DataFrame:
+        return half.groupBy("day").agg(
+            F.count("*").alias("n_events"),
+            F.sum("q").alias("q_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+
+    p_even = partial(events.filter(F.col("event_id") % 2 == 0))
+    p_odd = partial(events.filter(F.col("event_id") % 2 == 1))
+    merged = merge.merge_aggregates(
+        p_even,
+        p_odd,
+        ["day"],
+        sum_cols=["n_events", "q_value"],
+        min_cols=["min_value"],
+        max_cols=["max_value"],
+    )
+    return merged.select(
+        "day",
+        "n_events",
+        (F.col("q_value").cast("double") / F.lit(100.0)).alias("sum_value"),
+        "min_value",
+        "max_value",
+    ).orderBy("day")
+
+
+ORACLE_INCREMENTAL_AGG = """
+SELECT CAST(ts AS DATE) AS day,
+       COUNT(*)::BIGINT AS n_events,
+       SUM(round(value * 100)::BIGINT)::BIGINT::DOUBLE / 100.0 AS sum_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Snapshot diff: generate the CDC feed between two snapshots (inverse MERGE)
 # ---------------------------------------------------------------------------
 
@@ -585,6 +643,10 @@ ORDER BY c_custkey
 REGISTRY_EXTRA = {
     "customer_merge_upsert": (q_customer_merge_upsert, ORACLE_MERGE_UPSERT),
     "customer_snapshot_diff": (q_customer_snapshot_diff, ORACLE_SNAPSHOT_DIFF),
+    "daily_summary_incremental": (
+        q_daily_summary_incremental,
+        ORACLE_INCREMENTAL_AGG,
+    ),
     "regional_revenue": (q_regional_revenue, ORACLE_REGIONAL_REVENUE),
     "user_event_gaps": (q_user_event_gaps, ORACLE_USER_GAPS),
     "customer_balance_quartiles": (

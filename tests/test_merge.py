@@ -83,3 +83,27 @@ def test_snapshot_diff_classifies_and_roundtrips(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, new.collect())
     )
+
+
+def test_merge_aggregates_one_sided_keys_and_combines(spark):
+    from netflix_data_ingestion_spark.operators.merge import merge_aggregates
+
+    a = spark.createDataFrame(
+        [("d1", 2, 10, 1.0, 5.0), ("d2", 1, 7, 2.0, 2.0)],
+        "day string, n long, s long, mn double, mx double",
+    )
+    b = spark.createDataFrame(
+        [("d1", 3, 4, 0.5, 9.0), ("d3", 4, 1, 3.0, 3.0)],
+        "day string, n long, s long, mn double, mx double",
+    )
+    out = {
+        r["day"]: r
+        for r in merge_aggregates(
+            a, b, ["day"], sum_cols=["n", "s"], min_cols=["mn"], max_cols=["mx"]
+        ).collect()
+    }
+    assert out["d1"]["n"] == 5 and out["d1"]["s"] == 14
+    assert out["d1"]["mn"] == 0.5 and out["d1"]["mx"] == 9.0
+    # one-sided keys pass through untouched
+    assert (out["d2"]["n"], out["d2"]["s"]) == (1, 7)
+    assert (out["d3"]["n"], out["d3"]["s"]) == (4, 1)
