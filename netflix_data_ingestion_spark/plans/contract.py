@@ -562,6 +562,7 @@ _VERIFY_FIRST: list[str] = [
     "customer_snapshot_diff",
     "weekly_active_users",
     "daily_summary_incremental",
+    "brand_quantity_salted",
 ]
 
 REGISTRY = {

@@ -504,6 +504,59 @@ ORDER BY c_custkey
 
 
 # ---------------------------------------------------------------------------
+# Skew machinery under oracle: salted join + two-phase salted aggregation
+# ---------------------------------------------------------------------------
+
+
+def q_brand_quantity_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/skew.salted_join + salted_agg: lineitem (big, salted on
+    row hash) joins part (small, replicated across 8 salts) then a
+    two-phase (brand, salt)->brand aggregation — the manual skew path
+    for when AQE's sort-merge split doesn't apply.  The oracle is the
+    plain join+group-by: equality proves salting is semantically
+    invisible.  Quantity sums are int64 fixed-point so the two-phase
+    combine is bit-exact regardless of salt distribution."""
+    from netflix_data_ingestion_spark.operators import skew
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("q"),
+        "l_extendedprice",
+    )
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    joined = skew.salted_join(li, part, "l_partkey", n_salts=8)
+    agg = skew.salted_agg(
+        joined,
+        ["p_brand"],
+        {
+            "n_items": ("q", "count"),
+            "q_total": ("q", "sum"),
+            "max_price": ("l_extendedprice", "max"),
+        },
+        n_salts=8,
+    )
+    return agg.select(
+        "p_brand",
+        "n_items",
+        (F.col("q_total").cast("double") / F.lit(100.0)).alias("sum_qty"),
+        "max_price",
+    ).orderBy("p_brand")
+
+
+ORACLE_BRAND_SALTED = """
+SELECT p.p_brand,
+       COUNT(*)::BIGINT AS n_items,
+       SUM(round(l.l_quantity * 100)::BIGINT)::BIGINT::DOUBLE / 100.0
+         AS sum_qty,
+       MAX(l.l_extendedprice) AS max_price
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Incremental aggregate maintenance: merge partial aggregates algebraically
 # ---------------------------------------------------------------------------
 
@@ -647,6 +700,7 @@ REGISTRY_EXTRA = {
         q_daily_summary_incremental,
         ORACLE_INCREMENTAL_AGG,
     ),
+    "brand_quantity_salted": (q_brand_quantity_salted, ORACLE_BRAND_SALTED),
     "regional_revenue": (q_regional_revenue, ORACLE_REGIONAL_REVENUE),
     "user_event_gaps": (q_user_event_gaps, ORACLE_USER_GAPS),
     "customer_balance_quartiles": (
