@@ -183,3 +183,52 @@ def test_merge_upsert_is_single_pass_sort_merge(spark):
     plan = _plan(merge_upsert(cust, upd, ["c_custkey"]))
     assert "FullOuter" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_snapshot_diff_is_single_full_outer_join(spark):
+    """The CDC-feed diff is one full-outer sort-merge join on the key —
+    same posture as merge_upsert, no extra shuffles past the join."""
+    from netflix_data_ingestion_spark.operators.merge import snapshot_diff
+
+    cust = read_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    new = cust.filter(F.col("c_custkey") % 2 == 0)
+    plan = _plan(
+        snapshot_diff(cust, new, ["c_custkey"], ["c_mktsegment", "c_acctbal"])
+    )
+    assert "FullOuter" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # one per side
+    assert "Python" not in plan
+
+
+def test_trailing_distinct_explode_is_narrow(spark):
+    """The WAU offset explode must be a narrow Generate over the distinct
+    (day,key) frame — the window amplification never rides a shuffle of
+    raw events, and no driver-side calendar appears."""
+    from netflix_data_ingestion_spark.operators.rolling import (
+        trailing_distinct_daily,
+    )
+
+    ev = read_table(spark, SF_DIR, "events")
+    plan = _plan(trailing_distinct_daily(ev, "ts", "user_id", 7))
+    assert "Generate explode" in plan
+    assert "CollectLimit" not in plan
+    assert "Python" not in plan
+
+
+def test_merge_aggregates_single_join_no_reagg(spark):
+    """Partial-aggregate combine is ONE full-outer join with per-column
+    expressions — no re-aggregation pass over either snapshot."""
+    from netflix_data_ingestion_spark.operators.merge import merge_aggregates
+
+    ev = read_table(spark, SF_DIR, "events").select(
+        F.to_date("ts").alias("day"), "value"
+    )
+    pa = ev.groupBy("day").agg(F.count("*").alias("n"))
+    pb = ev.groupBy("day").agg(F.count("*").alias("n"))
+    plan = _plan(merge_aggregates(pa, pb, ["day"], sum_cols=["n"]))
+    assert "FullOuter" in plan
+    # two partial-agg inputs only: no third aggregation after the join
+    assert plan.count("HashAggregate") <= 4  # 2x (partial+final), none post-join
