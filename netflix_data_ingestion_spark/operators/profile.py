@@ -77,6 +77,49 @@ def histogram(
     )
 
 
+def exact_quantiles(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),
+) -> DataFrame:
+    """(keys..., n, p<q>...) — EXACT nearest-rank quantiles per group,
+    all in one windowed pass (generalizes the single-median query to a
+    full profile row; interpolation-free so the picked values are real
+    data points and cross-engine float identity holds).
+
+    Quantile q is the value at 1-based rank ``ceil(q * n)`` in the
+    group's value order (the "lower nearest-rank" definition — exact,
+    no averaging).  approx_percentile is cheaper at scale but its
+    sketch is neither deterministic across partitionings nor
+    reproducible in another engine; this is the auditable form.
+
+    Plan: one key shuffle + per-group sort (the window), then the
+    quantile picks fold into ONE conditional aggregation — no second
+    pass, no per-quantile scan.  Same hot-group caveat as
+    sample.quota_sample: a single group's sort is one task.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.col(value_col).asc())
+    ranked = df.select(
+        *key_cols,
+        F.col(value_col),
+        F.row_number().over(w).alias("__rn"),
+        F.count("*").over(Window.partitionBy(*key_cols)).alias("__n"),
+    )
+    picks = [
+        F.max(
+            F.when(
+                F.col("__rn") == F.ceil(F.lit(q) * F.col("__n")),
+                F.col(value_col),
+            )
+        ).alias(f"p{int(round(q * 100))}")
+        for q in qs
+    ]
+    return ranked.groupBy(*key_cols).agg(
+        F.max("__n").cast("long").alias("n"), *picks
+    )
+
+
 def skew_report(
     df: DataFrame, key_cols: list[str], top: int = 10
 ) -> DataFrame:

@@ -51,6 +51,43 @@ def quota_sample(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    fraction: float,
+    salt: str = "v1",
+) -> DataFrame:
+    """Deterministic PROPORTIONAL sample: each stratum keeps its
+    ``ceil(n * fraction)`` hash-first rows (quota_sample's fixed cap
+    becomes a per-stratum share, preserving the strata mix — the
+    eval-set/ablation sampler, where a cap would crush big strata and
+    keep small ones whole).
+
+    Same md5 order as quota_sample, so the kept set is uniform within
+    each stratum, engine-reproducible, and growth-stable.  ceil keeps
+    every non-empty stratum represented (a fraction of a tiny stratum
+    never rounds to zero rows).
+
+    Plan: one shuffle on the stratum key; the per-stratum count rides
+    the same window partition (no second aggregation pass).
+    """
+    hashed = ensure_parallelism(df).withColumn(
+        "__ss_h",
+        F.md5(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string"))),
+    )
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col("__ss_h").asc(), F.col(id_col).asc()
+    )
+    n = F.count("*").over(Window.partitionBy(strata_col))
+    return (
+        hashed.withColumn("sample_rank", F.row_number().over(w))
+        .withColumn("__ss_keep", F.ceil(F.lit(float(fraction)) * n))
+        .filter(F.col("sample_rank") <= F.col("__ss_keep"))
+        .drop("__ss_h", "__ss_keep")
+    )
+
+
 def pack_chunks(
     df: DataFrame,
     part_col: str,

@@ -1,0 +1,111 @@
+"""Deterministic count-min sketch — portable frequency estimation
+(beyond-reference; BASELINE.json north star names "a novel sketch" as a
+custom-operator class).
+
+A count-min sketch answers "how often does item x occur?" in
+sub-linear space: ``depth`` hash rows x ``width`` buckets of counters;
+each occurrence increments one bucket per row; the estimate is the MIN
+over rows — always >= the true count, over only by hash collisions
+(within eps = e/width of the stream size with probability
+1 - (1/e)^depth; Cormode & Muthukrishnan 2005).
+
+Two properties make this variant cluster- and oracle-grade:
+
+- the hash family is md5-derived (first 8 hex chars of
+  ``md5('<row>|<item>')`` mod width) — deterministic, partition-
+  invariant, and reproducible in any engine with md5, so a sketch
+  built on Spark can be probed in DuckDB (the contract oracle does
+  exactly that).  Spark's HLL sketch has neither property.
+- the sketch is a plain (row, bucket, cnt) DataFrame: build is one
+  map-side-combinable groupBy whose output is depth x width rows
+  REGARDLESS of stream size; sketches from delta partitions merge by
+  adding counts (merge.merge_aggregates composes) — the incremental /
+  distributed-combine story sketches exist for.
+
+At 100 TB: the build shuffles depth rows per input row but each
+carries only (int, int); the final state is KBs.  Probing is a
+broadcast join of the sketch against the query items.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from netflix_data_ingestion_spark.operators.util import ensure_parallelism
+
+
+def _bucket(item: Column, row: int, width: int) -> Column:
+    """md5-derived bucket of `item` for hash row `row` — first 8 hex
+    chars as an int, mod width (same portable construction as the
+    MinHash/LSH family in operators/dedup.py)."""
+    h = F.md5(F.concat(F.lit(f"{row}|"), item.cast("string")))
+    return F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(width)
+    ).cast("int")
+
+
+def cms_build(
+    df: DataFrame,
+    item_col: str,
+    width: int = 64,
+    depth: int = 4,
+) -> DataFrame:
+    """(row, bucket, cnt) — count-min sketch of the item column.
+
+    One narrow explode (xdepth) then one keyed groupBy; output is at
+    most depth x width rows.  Sketches over disjoint inputs merge by
+    summing cnt on (row, bucket)."""
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                _bucket(F.col(item_col), r, width).alias("bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        ensure_parallelism(df)
+        .select(F.explode(rows).alias("rb"))
+        .groupBy(
+            F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    width: int = 64,
+    depth: int = 4,
+) -> DataFrame:
+    """(item, est) — count-min estimate per item: min over the sketch's
+    depth rows of the item's bucket counter.  est >= true count always;
+    an item absent from every bucket estimates 0 via the coalesce (an
+    unseen item can still collide to a positive estimate — the CMS
+    one-sided error).
+
+    The sketch is broadcast (depth x width rows); probing is a narrow
+    join per hash row folded into one min aggregation."""
+    probes = items.select(
+        F.col(item_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _bucket(F.col(item_col), r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select(item_col, F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy(item_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est"))
+    )

@@ -563,6 +563,9 @@ _VERIFY_FIRST: list[str] = [
     "weekly_active_users",
     "daily_summary_incremental",
     "brand_quantity_salted",
+    "order_price_quantiles",
+    "doc_stratified_sample",
+    "user_event_cms",
 ]
 
 REGISTRY = {

@@ -504,6 +504,40 @@ ORDER BY c_custkey
 
 
 # ---------------------------------------------------------------------------
+# Exact multi-quantile profile (one windowed pass, nearest-rank)
+# ---------------------------------------------------------------------------
+
+
+def q_order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/profile.exact_quantiles: p25/p50/p75/p90 of order total
+    price per order status, picked by nearest rank in one windowed pass
+    (generalizes median_order_by_segment to a full profile row)."""
+    from netflix_data_ingestion_spark.operators.profile import exact_quantiles
+
+    orders = _t(spark, sf_dir, "orders")
+    return exact_quantiles(
+        orders, ["o_orderstatus"], "o_totalprice", qs=(0.25, 0.5, 0.75, 0.9)
+    ).orderBy("o_orderstatus")
+
+
+ORACLE_PRICE_QUANTILES = """
+WITH r AS (
+  SELECT o_orderstatus, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+  FROM orders
+)
+SELECT o_orderstatus, MAX(n)::BIGINT AS n,
+       MAX(CASE WHEN rn = CEIL(0.25 * n) THEN o_totalprice END) AS p25,
+       MAX(CASE WHEN rn = CEIL(0.5 * n) THEN o_totalprice END) AS p50,
+       MAX(CASE WHEN rn = CEIL(0.75 * n) THEN o_totalprice END) AS p75,
+       MAX(CASE WHEN rn = CEIL(0.9 * n) THEN o_totalprice END) AS p90
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Skew machinery under oracle: salted join + two-phase salted aggregation
 # ---------------------------------------------------------------------------
 
@@ -701,6 +735,7 @@ REGISTRY_EXTRA = {
         ORACLE_INCREMENTAL_AGG,
     ),
     "brand_quantity_salted": (q_brand_quantity_salted, ORACLE_BRAND_SALTED),
+    "order_price_quantiles": (q_order_price_quantiles, ORACLE_PRICE_QUANTILES),
     "regional_revenue": (q_regional_revenue, ORACLE_REGIONAL_REVENUE),
     "user_event_gaps": (q_user_event_gaps, ORACLE_USER_GAPS),
     "customer_balance_quartiles": (

@@ -745,6 +745,83 @@ ORDER BY doc_id
 """
 
 
+def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/sample.stratified_sample: 30% of every source stratum,
+    md5-ordered — proportional counterpart of the fixed-cap quota."""
+    from netflix_data_ingestion_spark.operators.sample import (
+        stratified_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        stratified_sample(docs, "source", "doc_id", 0.3, salt="v1")
+        .select(
+            "doc_id",
+            "source",
+            F.col("sample_rank").cast("long").alias("sample_rank"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_STRATIFIED_SAMPLE = """
+WITH r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5('v1|' || doc_id::VARCHAR) ASC, doc_id ASC
+         ) AS sample_rank,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT doc_id, source, sample_rank
+FROM r WHERE sample_rank <= CEIL(0.3 * n)
+ORDER BY doc_id
+"""
+
+
+def q_user_event_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/sketch.cms_build + cms_estimate: 64x4 deterministic
+    count-min sketch of events.user_id, probed for every distinct user.
+    The oracle rebuilds the identical md5 sketch in SQL — estimate
+    parity proves both the build and the probe, including collision
+    behavior."""
+    from netflix_data_ingestion_spark.operators import sketch
+
+    events = _t(spark, sf_dir, "events")
+    sk = sketch.cms_build(events, "user_id", width=64, depth=4)
+    users = events.select("user_id").distinct()
+    return sketch.cms_estimate(sk, users, "user_id", width=64, depth=4).orderBy(
+        "user_id"
+    )
+
+
+ORACLE_USER_CMS = """
+WITH rb AS (
+  SELECT user_id, r.row_id AS row,
+         (('0x' || substring(md5(r.row_id::VARCHAR || '|' || user_id::VARCHAR),
+                             1, 8))::BIGINT % 64)::INT AS bucket
+  FROM events, (SELECT unnest(range(0, 4)) AS row_id) r
+),
+sk AS (
+  SELECT row, bucket, COUNT(*)::BIGINT AS cnt
+  FROM rb GROUP BY 1, 2
+),
+probes AS (
+  SELECT DISTINCT user_id FROM events
+),
+pb AS (
+  SELECT p.user_id, r.row_id AS row,
+         (('0x' || substring(md5(r.row_id::VARCHAR || '|' || p.user_id::VARCHAR),
+                             1, 8))::BIGINT % 64)::INT AS bucket
+  FROM probes p, (SELECT unnest(range(0, 4)) AS row_id) r
+)
+SELECT pb.user_id, MIN(COALESCE(sk.cnt, 0))::BIGINT AS est
+FROM pb LEFT JOIN sk USING (row, bucket)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_doc_bernoulli_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/sample.bernoulli_mix with a per-source mixing policy:
     'src1*' sources kept at 80%, everything else at 30% — the
@@ -1490,6 +1567,8 @@ REGISTRY_LLM = {
     "kmeans_clusters": (q_kmeans_clusters, ORACLE_KMEANS),
     "doc_repetition_ratio": (q_doc_repetition_ratio, ORACLE_REPETITION),
     "doc_quota_sample": (q_doc_quota_sample, ORACLE_QUOTA_SAMPLE),
+    "doc_stratified_sample": (q_doc_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
+    "user_event_cms": (q_user_event_cms, ORACLE_USER_CMS),
     "doc_bernoulli_mix": (q_doc_bernoulli_mix, ORACLE_BERNOULLI_MIX),
     "doc_contamination": (q_doc_contamination, ORACLE_CONTAMINATION),
     "doc_pack_chunks": (q_doc_pack_chunks, ORACLE_PACK_CHUNKS),

@@ -1,0 +1,67 @@
+"""Unit tests: count-min sketch guarantees, stratified sampling
+proportions, exact nearest-rank quantiles."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from netflix_data_ingestion_spark.operators import sketch
+from netflix_data_ingestion_spark.operators.profile import exact_quantiles
+from netflix_data_ingestion_spark.operators.sample import stratified_sample
+
+
+def test_cms_estimate_is_one_sided_and_merges(spark):
+    rows = [(i, i % 7) for i in range(200)] + [(200 + i, 99) for i in range(50)]
+    df = spark.createDataFrame(rows, "rid long, item long")
+    sk = sketch.cms_build(df, "item", width=32, depth=4)
+    # sketch size is bounded by depth x width regardless of input rows
+    assert sk.count() <= 32 * 4
+    truth = {r["item"]: r["n"] for r in df.groupBy("item").agg(
+        F.count("*").alias("n")).collect()}
+    items = df.select("item").distinct()
+    est = {
+        r["item"]: r["est"]
+        for r in sketch.cms_estimate(sk, items, "item", 32, 4).collect()
+    }
+    # one-sided error: estimate never undercounts
+    assert all(est[i] >= truth[i] for i in truth)
+    # the heavy hitter dominates collisions at this width
+    assert est[99] >= 50
+
+    # merging two half-sketches equals the whole-stream sketch
+    from netflix_data_ingestion_spark.operators.merge import merge_aggregates
+
+    h1 = sketch.cms_build(df.filter(F.col("rid") % 2 == 0), "item", 32, 4)
+    h2 = sketch.cms_build(df.filter(F.col("rid") % 2 == 1), "item", 32, 4)
+    merged = merge_aggregates(h1, h2, ["row", "bucket"], sum_cols=["cnt"])
+    whole = {(r["row"], r["bucket"]): r["cnt"] for r in sk.collect()}
+    got = {(r["row"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    assert got == whole
+
+
+def test_stratified_sample_proportions(spark):
+    rows = [(i, "big") for i in range(100)] + [(1000 + i, "tiny") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_sample(df, "source", "doc_id", 0.3).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(by_src["big"]) == 30          # ceil(0.3 * 100)
+    assert len(by_src["tiny"]) == 1          # ceil(0.3 * 3) — never empty
+    # determinism: same seed -> same kept set
+    again = stratified_sample(df, "source", "doc_id", 0.3).collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in out}
+
+
+def test_exact_quantiles_nearest_rank(spark):
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 11)] + [("b", 5.0)],
+        "k string, v double",
+    )
+    out = {r["k"]: r for r in exact_quantiles(
+        df, ["k"], "v", qs=(0.25, 0.5, 0.9)).collect()}
+    # n=10: ranks ceil(2.5)=3, ceil(5)=5, ceil(9)=9
+    assert (out["a"]["p25"], out["a"]["p50"], out["a"]["p90"]) == (3.0, 5.0, 9.0)
+    assert out["a"]["n"] == 10
+    # singleton group: every quantile is the one value
+    assert (out["b"]["p25"], out["b"]["p50"], out["b"]["p90"]) == (5.0, 5.0, 5.0)
