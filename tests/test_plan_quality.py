@@ -232,3 +232,23 @@ def test_merge_aggregates_single_join_no_reagg(spark):
     assert "FullOuter" in plan
     # two partial-agg inputs only: no third aggregation after the join
     assert plan.count("HashAggregate") <= 4  # 2x (partial+final), none post-join
+
+
+def test_ivf_index_probe_is_partition_pruned(spark, tmp_path):
+    """The 100 TB IVF story: the assignment table is WRITTEN partitioned
+    by list_id, so a probe of nprobe lists is a partition-pruned scan of
+    ~nprobe/nlist of the corpus — assert the pruning actually happens."""
+    from netflix_data_ingestion_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    cent = ivf_centroids(emb, nlist=8)
+    assign = ivf_assign(emb, cent)
+    path = str(tmp_path / "ivf_index")
+    assign.write.partitionBy("list_id").mode("overwrite").parquet(path)
+    probe = spark.read.parquet(path).filter(F.col("list_id").isin(1, 3))
+    plan = _plan(probe)
+    part_filters = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "list_id" in part_filters
