@@ -240,12 +240,31 @@ def ivf_centroids(
     )
 
 
+def train_subset(
+    df: DataFrame, id_col: str, train_sample: float
+) -> DataFrame:
+    """Deterministic ~``train_sample`` fraction of rows for quantizer
+    training: keep ids whose md5 first hex digit is below
+    ``round(train_sample * 16)`` (granularity 1/16; >= 1.0 keeps all).
+    Portable (the SQL oracle applies the identical predicate) and
+    unbiased — md5's leading digit is uniform and independent of any
+    data property."""
+    hexmax = int(round(train_sample * 16))
+    if hexmax >= 16:
+        return df
+    return df.filter(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)
+        < F.lit(format(max(1, hexmax), "x"))
+    )
+
+
 def ivf_centroids_trained(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nlist: int = 16,
     iters: int = 2,
+    train_sample: float = 1.0,
 ) -> DataFrame:
     """(list_id, centroid) — TRAINED coarse quantizer: fixed-point Lloyd's
     k-means (operators/kmeans.kmeans_train) for the partition, then the
@@ -254,14 +273,20 @@ def ivf_centroids_trained(
     `ivf_assign`/`ivf_topk` compose unchanged; trained lists are
     balanced around the data's actual modes instead of whatever the
     lowest-id vectors happened to be, which evens out list sizes (the
-    probe cost at 100 TB is the size of the largest probed list)."""
+    probe cost at 100 TB is the size of the largest probed list).
+
+    ``train_sample`` < 1 trains on a deterministic md5-picked subset
+    (`train_subset`) — the standard IVF practice: centroid quality
+    needs only enough points per mode, so training cost shrinks ~1/f
+    while the full corpus is still assigned to the trained lists."""
     from netflix_data_ingestion_spark.functions.vectors import (
         group_centroids,
     )
     from netflix_data_ingestion_spark.operators.kmeans import kmeans_train
 
-    assigned = kmeans_train(corpus, id_col, vec_col, k=nlist, iters=iters)
-    joined = corpus.join(assigned.select(id_col, "cluster_id"), id_col)
+    tr = train_subset(corpus, id_col, train_sample)
+    assigned = kmeans_train(tr, id_col, vec_col, k=nlist, iters=iters)
+    joined = tr.join(assigned.select(id_col, "cluster_id"), id_col)
     return group_centroids(joined, "cluster_id", vec_col).select(
         F.col("cluster_id").alias("list_id"),
         F.col("centroid").cast("array<float>").alias("centroid"),
@@ -307,6 +332,7 @@ def ivf_topk(
     nprobe: int = 4,
     trained: bool = True,
     iters: int = 2,
+    train_sample: float = 1.0,
 ) -> DataFrame:
     """Approximate top-k via IVF: each query probes its `nprobe` nearest
     inverted lists and ranks exactly within them.  May return < k rows
@@ -318,9 +344,14 @@ def ivf_topk(
     list sizes around the data's modes; the probe cost at scale is the
     size of the largest probed list, so balance is the scaling knob.
     `trained=False` falls back to the sampled lowest-id quantizer
-    (audit/debug: zero training cost, reproducible anywhere)."""
+    (audit/debug: zero training cost, reproducible anywhere).
+    ``train_sample`` < 1 trains on an md5-picked fraction (corpora large
+    enough that every mode still lands >= nlist training points — don't
+    use on toy inputs, where the sample can be empty)."""
     if trained:
-        cent = ivf_centroids_trained(corpus, id_col, vec_col, nlist, iters)
+        cent = ivf_centroids_trained(
+            corpus, id_col, vec_col, nlist, iters, train_sample
+        )
     else:
         cent = ivf_centroids(corpus, id_col, vec_col, nlist)
     assign = ivf_assign(corpus, cent, id_col, vec_col)

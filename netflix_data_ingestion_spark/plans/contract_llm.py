@@ -526,16 +526,17 @@ ORDER BY id_a, id_b
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/similarity.ivf_topk with the TRAINED coarse quantizer
-    (the default): fixed-point Lloyd's k-means (2 rounds, nlist=16)
-    trains the centroids, per-cluster fixed-point means become the
-    centroid vectors, then the standard probe/assign/score machinery.
-    The oracle unrolls the identical training loop in SQL
-    (_ivf_trained_oracle), so the whole train->quantize->probe chain is
-    hash-checked end-to-end."""
+    (the default): fixed-point Lloyd's k-means (2 rounds, nlist=16) over
+    a deterministic 1/4 md5 training sample trains the centroids,
+    per-cluster fixed-point means become the centroid vectors, then the
+    standard probe/assign/score machinery over the FULL corpus.  The
+    oracle unrolls the identical sample + training loop in SQL
+    (_ivf_trained_oracle), so the whole sample->train->quantize->probe
+    chain is hash-checked end-to-end."""
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.ivf_topk(
-        emb, queries, k=10, nlist=16, nprobe=4
+        emb, queries, k=10, nlist=16, nprobe=4, train_sample=0.25
     ).orderBy("query_id", "neighbor_id")
 
 
@@ -932,19 +933,24 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
-def _kmeans_cte_chain(k: int, iters: int, scale: int) -> str:
+def _kmeans_cte_chain(
+    k: int, iters: int, scale: int, source: str = "embeddings",
+    pre_cte: str = "",
+) -> str:
     """Shared WITH-chain prefix for the k-means oracles: quantized vectors
     (qv/pos), lowest-id seeds, then `iters` unrolled Lloyd rounds ending
     at centroid CTE ``c{iters}``.  Used by both the k-means contract
     oracle and the trained-IVF oracle (which trains its coarse quantizer
-    with the identical loop)."""
+    with the identical loop over a `source` CTE — optionally declared in
+    ``pre_cte`` — holding the training sample)."""
+    lead = f"WITH {pre_cte},\nqv AS (" if pre_cte else "WITH qv AS ("
     parts = [
         f"""
-WITH qv AS (
+{lead}
   SELECT vec_id,
          list_transform(embedding,
                         x -> round(x::DOUBLE * {scale})::BIGINT) AS qv
-  FROM embeddings
+  FROM {source}
 ),
 pos AS (
   SELECT vec_id, i - 1 AS pos, qv[i] AS q
@@ -952,7 +958,7 @@ pos AS (
 ),
 seeds AS (
   SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
-  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+  FROM (SELECT vec_id FROM {source} ORDER BY vec_id LIMIT {k})
 ),
 c0 AS (
   SELECT s.cid, p.pos, p.q AS qc FROM seeds s JOIN pos p USING (vec_id)
@@ -1010,14 +1016,21 @@ def _ivf_trained_oracle(
     nprobe: int = 4,
     iters: int = 2,
     scale: int = 1_000_000,
+    train_hexmax: int = 4,
 ) -> str:
     """Trained-quantizer IVF oracle: the shared unrolled Lloyd chain
-    (k=nlist) produces the final assignment, per-cluster fixed-point
-    means (mirroring functions/vectors.group_centroids, incl. the cast
-    to float) become the centroids, then the probe/assign/score stages
-    identical to the sampled-quantizer oracle run on top."""
+    (k=nlist) over the md5-picked training sample (mirroring
+    similarity.train_subset at train_sample = train_hexmax/16) produces
+    the final assignment, per-cluster fixed-point means (mirroring
+    functions/vectors.group_centroids, incl. the cast to float) become
+    the centroids, then the probe/assign/score stages identical to the
+    sampled-quantizer oracle run on top."""
     fin = iters + 1
-    return f"""{_kmeans_cte_chain(nlist, iters, scale)},
+    tr = (
+        "tr AS (SELECT * FROM embeddings "
+        f"WHERE substring(md5(vec_id::VARCHAR), 1, 1) < '{train_hexmax:x}')"
+    )
+    return f"""{_kmeans_cte_chain(nlist, iters, scale, source="tr", pre_cte=tr)},
 d{fin} AS (
   SELECT p.vec_id, c.cid,
          SUM((p.q - c.qc) * (p.q - c.qc))::BIGINT AS dist
