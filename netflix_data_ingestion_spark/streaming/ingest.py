@@ -427,3 +427,58 @@ def read_cdc_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame:
     with open(os.path.join(snapshot_dir, "CURRENT")) as fh:
         cur = fh.read().strip()
     return spark.read.parquet(os.path.join(snapshot_dir, cur))
+
+
+def maintain_cms_stream(
+    events: DataFrame,
+    snapshot_dir: str,
+    checkpoint_dir: str,
+    item_col: str,
+    width: int = 64,
+    depth: int = 4,
+):
+    """Streaming frequency-sketch maintenance: each micro-batch is
+    sketched (operators/sketch.cms_build — bounded depth x width state)
+    and FOLDED into the snapshot sketch with the algebraic combine
+    (operators/merge.merge_aggregates: counts add on (row, bucket)) —
+    the composition the three operators were built for: a running
+    "how often has item x ever occurred" service whose state size never
+    grows with the stream.
+
+    Same alternating-dir atomic swap as apply_cdc_stream; same caveat —
+    a REPLAYED batch re-adds its counts (CMS estimates stay one-sided
+    upper bounds, so the failure mode is a looser bound, never an
+    undercount — acceptable for gating/heavy-hitter use; pair with an
+    idempotent sink if exact replay semantics matter).
+
+    Probe the snapshot with ``sketch.cms_estimate(read_cdc_snapshot(...))``.
+    """
+    import os
+
+    from netflix_data_ingestion_spark.operators.merge import merge_aggregates
+    from netflix_data_ingestion_spark.operators.sketch import cms_build
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = cms_build(batch_df, item_col, width, depth)
+        cur_marker = os.path.join(snapshot_dir, "CURRENT")
+        if os.path.exists(cur_marker):
+            with open(cur_marker) as fh:
+                cur = fh.read().strip()
+            target = spark.read.parquet(os.path.join(snapshot_dir, cur))
+            merged = merge_aggregates(
+                target, delta, ["row", "bucket"], sum_cols=["cnt"]
+            )
+        else:
+            cur = "b"
+            merged = delta
+        nxt = "a" if cur == "b" else "b"
+        merged.write.mode("overwrite").parquet(os.path.join(snapshot_dir, nxt))
+        with open(cur_marker, "w") as fh:
+            fh.write(nxt)
+
+    return (
+        events.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )

@@ -397,3 +397,65 @@ def test_streaming_cdc_restart_between_batches(spark, tmp_path_factory):
     assert state2 == {1: "a", 3: "c"}        # delete applied, insert merged
     assert side2 != side1                    # the snapshot dir alternated
     assert {side1, side2} <= {"a", "b"}
+
+
+def test_streaming_cms_maintenance(spark, tmp_path_factory):
+    """Micro-batched CMS maintenance: per-batch sketches fold into the
+    snapshot via the algebraic combine, and the final snapshot equals
+    the batch sketch of the whole stream (associativity made physical)."""
+    from netflix_data_ingestion_spark.operators import sketch
+
+    d = tmp_path_factory.mktemp("cms_stream")
+    src, snap, ckpt = str(d / "src"), str(d / "snap"), str(d / "ckpt")
+    import os
+
+    flat = f"{src}/flat"
+    os.makedirs(flat, exist_ok=True)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    def emit(ids_users, name):
+        rows = [
+            (i, BASE + datetime.timedelta(minutes=i), u, "view", 1.0, "{}")
+            for i, u in ids_users
+        ]
+        stage = f"{src}/{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        import glob
+        import shutil
+
+        for f in glob.glob(f"{stage}/*.parquet"):
+            shutil.copy(f, f"{flat}/{name}_{f.split('/')[-1]}")
+
+    emit([(i, i % 3) for i in range(30)], "b1")
+    emit([(100 + i, 7) for i in range(20)], "b2")
+
+    q = ingest.maintain_cms_stream(
+        spark.readStream.format("parquet").schema(schema).load(flat),
+        snap,
+        ckpt,
+        "user_id",
+        width=32,
+        depth=4,
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    snapshot = ingest.read_cdc_snapshot(spark, snap)
+    whole = spark.read.parquet(flat)
+    expected = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in sketch.cms_build(whole, "user_id", 32, 4).collect()
+    }
+    got = {
+        (r["row"], r["bucket"]): r["cnt"] for r in snapshot.collect()
+    }
+    assert got == expected
+    # and the probe sees the heavy hitter with a one-sided estimate
+    est = {
+        r["user_id"]: r["est"]
+        for r in sketch.cms_estimate(
+            snapshot, whole.select("user_id").distinct(), "user_id", 32, 4
+        ).collect()
+    }
+    assert est[7] >= 20
