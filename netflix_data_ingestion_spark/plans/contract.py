@@ -566,6 +566,7 @@ _VERIFY_FIRST: list[str] = [
     "order_price_quantiles",
     "doc_stratified_sample",
     "user_event_cms",
+    "events_sliding_window",
 ]
 
 REGISTRY = {

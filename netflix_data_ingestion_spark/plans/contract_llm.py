@@ -1347,6 +1347,43 @@ def q_events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming sliding window (streaming/ingest.
+    sliding_type_counts): 2-hour windows every 1 hour — each event lands
+    in exactly two windows.  Spark's F.window handles the fan-out; the
+    oracle reproduces it as an explicit 2-window explode per event, so
+    the overlap semantics (not just the bucket math) are hash-checked."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("event_count"),
+            F.countDistinct("user_id").alias("unique_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_count",
+            "unique_users",
+        )
+        .orderBy("window_start")
+    )
+
+
+ORACLE_SLIDING = """
+WITH contrib AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, ts)
+           - (r.k * INTERVAL 1 HOUR) AS window_start,
+         user_id
+  FROM events, (SELECT unnest(range(0, 2)) AS k) r
+)
+SELECT window_start,
+       COUNT(*) AS event_count,
+       COUNT(DISTINCT user_id) AS unique_users
+FROM contrib
+GROUP BY 1 ORDER BY 1
+"""
+
+
 ORACLE_TUMBLING = """
 SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
        COUNT(*) AS event_count,
@@ -1586,6 +1623,7 @@ REGISTRY_LLM = {
     "doc_contamination": (q_doc_contamination, ORACLE_CONTAMINATION),
     "doc_pack_chunks": (q_doc_pack_chunks, ORACLE_PACK_CHUNKS),
     "events_tumbling_window": (q_events_tumbling_window, ORACLE_TUMBLING),
+    "events_sliding_window": (q_events_sliding_window, ORACLE_SLIDING),
     "multimodal_meta": (q_multimodal_meta, ORACLE_MULTIMODAL),
     "multimodal_frame_sample": (q_multimodal_frame_sample, ORACLE_FRAME_SAMPLE),
 }
