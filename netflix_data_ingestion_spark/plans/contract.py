@@ -567,6 +567,7 @@ _VERIFY_FIRST: list[str] = [
     "doc_stratified_sample",
     "user_event_cms",
     "events_sliding_window",
+    "doc_line_dedup",
 ]
 
 REGISTRY = {

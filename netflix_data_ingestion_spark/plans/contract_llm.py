@@ -1587,7 +1587,54 @@ ORDER BY doc_id, chunk_idx
 """
 
 
+def q_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/linededup.remove_common_segments: corpus-level
+    boilerplate stripping (RefinedWeb-style line dedup).  The synthetic
+    corpus is single-line, so the contract exercises the mechanism at
+    token granularity (delim=' ', doc-frequency >= 390 of 500 docs);
+    real web corpora run it with delim='\\n'."""
+    from netflix_data_ingestion_spark.operators.linededup import (
+        remove_common_segments,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_common_segments(
+        docs, "doc_id", "text", delim=" ", min_docs=390
+    ).orderBy("doc_id")
+
+
+ORACLE_LINE_DEDUP = """
+WITH segs AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS segment,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+common AS (
+  SELECT segment FROM segs
+  GROUP BY segment HAVING count(DISTINCT doc_id) >= 390
+),
+kept AS (
+  SELECT * FROM segs WHERE segment NOT IN (SELECT segment FROM common)
+),
+rebuilt AS (
+  SELECT doc_id,
+         string_agg(segment, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+totals AS (SELECT doc_id, count(*) AS n_segments FROM segs GROUP BY doc_id)
+SELECT t.doc_id,
+       coalesce(r.clean_text, '') AS clean_text,
+       t.n_segments::BIGINT AS n_segments,
+       (t.n_segments - coalesce(r.n_kept, 0))::BIGINT AS n_removed
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 REGISTRY_LLM = {
+    "doc_line_dedup": (q_doc_line_dedup, ORACLE_LINE_DEDUP),
     "event_props_json": (q_event_props_json, ORACLE_PROPS_JSON),
     "doc_chunk_text": (q_doc_chunk_text, ORACLE_CHUNK_TEXT),
     "top_tokens": (q_top_tokens, ORACLE_TOP_TOKENS),
