@@ -568,6 +568,7 @@ _VERIFY_FIRST: list[str] = [
     "user_event_cms",
     "events_sliding_window",
     "doc_line_dedup",
+    "user_retention_cohorts",
 ]
 
 REGISTRY = {

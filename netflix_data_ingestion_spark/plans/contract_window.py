@@ -665,7 +665,51 @@ GROUP BY s.day ORDER BY s.day
 """
 
 
+def q_user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/retention.cohort_retention: first-activity-week cohorts
+    x weeks-since retention triangle over the events stream."""
+    from netflix_data_ingestion_spark.operators.retention import (
+        cohort_retention,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    # day-granularity cohorts: the synthetic stream spans 30 days, so
+    # daily buckets give a full retention triangle (weekly would
+    # collapse to one cohort)
+    return cohort_retention(events, "user_id", "ts", bucket="day").orderBy(
+        "cohort_week", "weeks_since"
+    )
+
+
+ORACLE_RETENTION = """
+WITH first AS (
+  SELECT user_id, min(date_trunc('day', ts))::DATE AS cohort_week
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS active_week
+  FROM events
+),
+cells AS (
+  SELECT f.cohort_week,
+         ((a.active_week - f.cohort_week) // 1)::BIGINT AS weeks_since,
+         count(DISTINCT a.user_id)::BIGINT AS retained
+  FROM active a JOIN first f USING (user_id)
+  GROUP BY 1, 2
+),
+sizes AS (
+  SELECT cohort_week, count(*)::BIGINT AS cohort_size
+  FROM first GROUP BY 1
+)
+SELECT c.cohort_week, c.weeks_since, s.cohort_size, c.retained,
+       c.retained::DOUBLE / s.cohort_size::DOUBLE AS retention_rate
+FROM cells c JOIN sizes s USING (cohort_week)
+ORDER BY cohort_week, weeks_since
+"""
+
+
 REGISTRY_WINDOW = {
+    "user_retention_cohorts": (q_user_retention_cohorts, ORACLE_RETENTION),
     "weekly_active_users": (q_weekly_active_users, ORACLE_WAU),
     "event_transitions": (q_event_transitions, ORACLE_TRANSITIONS),
     "orders_profile": (q_orders_profile, ORACLE_PROFILE),
