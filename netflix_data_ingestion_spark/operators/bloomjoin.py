@@ -1,0 +1,124 @@
+"""Bloom-filter semi-join: a distributed runtime filter for huge joins.
+
+The 100 TB problem this solves: a semi-join of a petabyte fact table
+against a selective dimension subset shuffles the ENTIRE fact table on
+the join key before the join can drop 99% of it.  The classic fix
+(Bloom join — Mackert & Lohman, SIGMOD'86; Spark's own
+``spark.sql.optimizer.runtime.bloomFilter.enabled`` applies it to plain
+joins) is to build a small bit-array summary of the dimension keys,
+pre-filter the fact table with it map-side (no false negatives, small
+false-positive rate), and only shuffle the survivors into the exact
+join.
+
+This operator builds the filter as a DATAFRAME of bit-words — not a
+driver-side bitmap — so nothing ever funnels through the driver:
+
+  build:  dim keys -> k md5 bit positions each -> group bit positions
+          by 64-bit word index -> ``bit_or`` the words.  Output is at
+          most ``n_bits/64`` rows (16k rows for a 1M-bit filter) —
+          broadcastable at any dimension cardinality.
+  probe:  k broadcast left joins word-index -> word, one per hash
+          function (narrow: no shuffle of the fact side); a key
+          survives iff every probed bit is set.
+  exact:  survivors left-semi join the dimension — false positives
+          drop here, so the END RESULT is byte-identical to a plain
+          semi-join (the DuckDB oracle is exactly that), while the
+          shuffle volume is survivors-only.
+
+Determinism: bit positions are md5-derived (same portable construction
+as operators/sketch.py / dedup.py), and the final exact join makes the
+output independent of filter sizing — n_bits/n_hashes only move the
+false-positive rate, i.e. the pre-shuffle survivor count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bit_pos(key: Column, hash_idx: int, n_bits: int) -> Column:
+    """md5-derived bit position of `key` for hash function `hash_idx`."""
+    h = F.md5(F.concat(F.lit(f"bloom{hash_idx}|"), key.cast("string")))
+    return F.pmod(
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long"), F.lit(n_bits)
+    )
+
+
+def bloom_build(
+    dim: DataFrame, key_col: str, n_bits: int = 1 << 20, n_hashes: int = 3
+) -> DataFrame:
+    """(word_idx, word) — 64-bit words of the Bloom filter over dim keys.
+
+    One narrow explode (x n_hashes) + one combinable ``bit_or`` groupBy;
+    at most ``ceil(n_bits / 64)`` output rows regardless of dim size.
+    """
+    key = F.col(key_col)
+    positions = F.array(
+        *[_bit_pos(key, i, n_bits) for i in range(n_hashes)]
+    )
+    return (
+        dim.select(F.explode(positions).alias("__pos"))
+        .select(
+            (F.col("__pos") / 64).cast("long").alias("word_idx"),
+            # SQL shiftleft: the python F.shiftleft only takes a literal
+            # shift amount
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))"
+            ).alias("__bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("__bit").alias("word"))
+    )
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    fact_key: str,
+    dim: DataFrame,
+    dim_key: str,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """fact rows whose key exists in dim — Bloom-prefiltered semi-join.
+
+    Result is exactly ``fact LEFT SEMI JOIN dim`` (false positives are
+    removed by the final exact join); the Bloom pass only reduces how
+    many fact rows reach the exact join's shuffle.
+    """
+    words = bloom_build(dim, dim_key, n_bits=n_bits, n_hashes=n_hashes)
+    key = F.col(fact_key)
+
+    probed = fact
+    survive = F.lit(True)
+    for i in range(n_hashes):
+        pos = _bit_pos(key, i, n_bits)
+        w = F.broadcast(
+            words.select(
+                F.col("word_idx").alias(f"__wi{i}"),
+                F.col("word").alias(f"__w{i}"),
+            )
+        )
+        probed = (
+            probed.withColumn(f"__pos{i}", pos)
+            .withColumn(f"__wi{i}", (F.col(f"__pos{i}") / 64).cast("long"))
+            .withColumn(
+                f"__b{i}",
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), CAST(__pos{i} % 64 AS INT))"
+                ),
+            )
+        )
+        probed = probed.join(w, f"__wi{i}", "left")
+        # a missing word row means no dim key ever touched this word
+        survive = survive & (
+            F.coalesce(F.col(f"__w{i}"), F.lit(0)).bitwiseAND(F.col(f"__b{i}"))
+            != 0
+        )
+
+    survivors = probed.where(survive).select(fact.columns)
+    return survivors.join(
+        dim.select(F.col(dim_key).alias(fact_key)).distinct(),
+        fact_key,
+        "left_semi",
+    )

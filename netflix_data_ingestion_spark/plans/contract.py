@@ -569,6 +569,7 @@ _VERIFY_FIRST: list[str] = [
     "events_sliding_window",
     "doc_line_dedup",
     "user_retention_cohorts",
+    "lineitem_bloom_semi",
 ]
 
 REGISTRY = {

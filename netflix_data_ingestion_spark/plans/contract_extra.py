@@ -727,7 +727,44 @@ ORDER BY c_custkey
 """
 
 
+def q_lineitem_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/bloomjoin.bloom_semi_join: Bloom-prefiltered semi-join
+    of lineitem against suppliers in one nation, then a per-supplier
+    rollup.  The oracle is the plain semi-join — the Bloom pass must be
+    semantically invisible (no false negatives; positives removed by
+    the exact join)."""
+    from netflix_data_ingestion_spark.operators.bloomjoin import (
+        bloom_semi_join,
+    )
+
+    lineitem = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier").where(F.col("s_nationkey") == 5)
+    kept = bloom_semi_join(
+        lineitem, "l_suppkey", supplier, "s_suppkey", n_bits=1 << 16
+    )
+    return (
+        kept.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+ORACLE_BLOOM_SEMI = """
+SELECT l_suppkey,
+       count(*)::BIGINT AS n_items,
+       sum(l_quantity::BIGINT)::BIGINT AS sum_qty
+FROM lineitem
+WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey = 5)
+GROUP BY l_suppkey
+ORDER BY l_suppkey
+"""
+
+
 REGISTRY_EXTRA = {
+    "lineitem_bloom_semi": (q_lineitem_bloom_semi, ORACLE_BLOOM_SEMI),
     "customer_merge_upsert": (q_customer_merge_upsert, ORACLE_MERGE_UPSERT),
     "customer_snapshot_diff": (q_customer_snapshot_diff, ORACLE_SNAPSHOT_DIFF),
     "daily_summary_incremental": (
