@@ -1,0 +1,84 @@
+"""Group-wise z-score outlier detection in exact integer arithmetic.
+
+Flags rows whose value deviates from their group's mean by more than
+``z`` population standard deviations — the standard data-quality /
+anomaly screen — WITHOUT ever computing a float mean or stddev.  The
+inequality
+
+    |x - mean| > z * stddev_pop
+
+is squared and cleared of denominators into pure integer form
+(x in fixed-point units, n/s/q the group count / sum / sum-of-squares,
+z = z_num/z_den rational):
+
+    (n*x - s)^2 * z_den^2  >  z_num^2 * (n*q - s^2)
+
+(both sides of |x - s/n| > z * sqrt((n*q - s^2)/n^2) multiplied by n^2).
+
+Every quantity is exact DECIMAL(38,0) — effectively int128 with a
+runtime overflow check under ANSI mode — so the flag is bit-identical
+on any engine and any partitioning (float mean/stddev would make
+borderline rows engine-dependent).  The DuckDB oracle runs the same
+inequality in HUGEINT.
+
+Scale shape (100 TB): one combinable groupBy for the (n, s, q) moments
+(constant bytes per group), one broadcast join of the tiny stats table
+back onto the fact rows, then a narrow filter.  Two passes over the
+input, zero driver state — the same shape as profile.skew_report.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DEC = "decimal(38,0)"
+
+
+def zscore_outliers(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    z_num: int = 2,
+    z_den: int = 1,
+    scale: int = 100,
+) -> DataFrame:
+    """Rows where |x - group mean| > (z_num/z_den) * group stddev_pop.
+
+    ``scale`` converts the (possibly float) value column to fixed-point
+    units first (100 = cents for currency).  Output keeps the input
+    columns plus ``value_units`` (the fixed-point value), ``group_n``,
+    and ``is_high`` (above vs below the mean).
+    """
+    keys = list(key_cols)
+    base = df.withColumn(
+        "__v", F.round(F.col(value_col) * F.lit(scale)).cast("long")
+    )
+    stats = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast(_DEC).alias("__n"),
+        F.sum(F.col("__v").cast("decimal(18,0)")).cast(_DEC).alias("__s"),
+        F.sum(
+            (F.col("__v").cast("decimal(18,0)") * F.col("__v").cast("decimal(18,0)"))
+        )
+        .cast(_DEC)
+        .alias("__q"),
+    )
+    joined = base.join(F.broadcast(stats), keys)
+
+    x = F.col("__v").cast(_DEC)
+    n, s, q = F.col("__n"), F.col("__s"), F.col("__q")
+    d = n * x - s
+    lhs = d * d * F.lit(z_den * z_den).cast(_DEC)
+    rhs = F.lit(z_num * z_num).cast(_DEC) * (n * q - s * s)
+
+    return (
+        joined.where(lhs > rhs)
+        .select(
+            *df.columns,
+            F.col("__v").alias("value_units"),
+            n.cast("bigint").alias("group_n"),
+            (d > 0).alias("is_high"),
+        )
+    )

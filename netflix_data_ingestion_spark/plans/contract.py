@@ -570,6 +570,7 @@ _VERIFY_FIRST: list[str] = [
     "doc_line_dedup",
     "user_retention_cohorts",
     "lineitem_bloom_semi",
+    "order_price_outliers",
 ]
 
 REGISTRY = {

@@ -727,6 +727,58 @@ ORDER BY c_custkey
 """
 
 
+def q_order_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/outliers.zscore_outliers: orders whose total price sits
+    more than 1.7 population sigmas (rational 17/10 — the inequality is
+    exact-integer, no float mean/stddev) from their priority group's
+    mean.  The synthetic prices are ~uniform (max |z| ~ 1.77), so 1.7
+    flags a real tail without flagging everything."""
+    from netflix_data_ingestion_spark.operators.outliers import (
+        zscore_outliers,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return (
+        zscore_outliers(
+            orders, ["o_orderpriority"], "o_totalprice", z_num=17, z_den=10
+        )
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "value_units",
+            "group_n",
+            "is_high",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+ORACLE_PRICE_OUTLIERS = """
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority,
+         round(o_totalprice * 100)::BIGINT AS v
+  FROM orders
+),
+stats AS (
+  SELECT o_orderpriority,
+         count(*)::HUGEINT AS n,
+         sum(v::HUGEINT) AS s,
+         sum(v::HUGEINT * v::HUGEINT) AS q
+  FROM base GROUP BY 1
+)
+SELECT b.o_orderkey, b.o_orderpriority,
+       b.v AS value_units,
+       n::BIGINT AS group_n,
+       (n * b.v::HUGEINT - s) > 0 AS is_high
+FROM base b JOIN stats USING (o_orderpriority)
+WHERE (n * b.v::HUGEINT - s) * (n * b.v::HUGEINT - s) * 100
+      > 289 * (n * q - s * s)
+ORDER BY o_orderkey
+"""
+
+
 def q_lineitem_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/bloomjoin.bloom_semi_join: Bloom-prefiltered semi-join
     of lineitem against suppliers in one nation, then a per-supplier
@@ -764,6 +816,7 @@ ORDER BY l_suppkey
 
 
 REGISTRY_EXTRA = {
+    "order_price_outliers": (q_order_price_outliers, ORACLE_PRICE_OUTLIERS),
     "lineitem_bloom_semi": (q_lineitem_bloom_semi, ORACLE_BLOOM_SEMI),
     "customer_merge_upsert": (q_customer_merge_upsert, ORACLE_MERGE_UPSERT),
     "customer_snapshot_diff": (q_customer_snapshot_diff, ORACLE_SNAPSHOT_DIFF),

@@ -1,0 +1,56 @@
+from __future__ import annotations
+
+from netflix_data_ingestion_spark.operators.outliers import zscore_outliers
+
+
+def _df(spark):
+    # group "a": values [0,0,0,0,100] -> mean 20, stddev_pop 40, so the
+    # 100 sits at EXACTLY z = 2; group "b" is flat (zero variance)
+    rows = [("a", i, v) for i, v in enumerate([0.0, 0.0, 0.0, 0.0, 100.0])]
+    rows += [("b", i, 5.0) for i in range(4)]
+    return spark.createDataFrame(rows, ["g", "row_id", "v"])
+
+
+def test_strict_inequality_at_exact_boundary(spark):
+    # |x - mean| == 2*sigma exactly -> NOT an outlier at z=2 (strict >)
+    out = zscore_outliers(_df(spark), ["g"], "v", z_num=2, z_den=1, scale=1)
+    assert out.count() == 0
+
+
+def test_rational_threshold_below_boundary_flags(spark):
+    # z = 199/100 < 2 -> the planted point is now past the threshold
+    out = zscore_outliers(
+        _df(spark), ["g"], "v", z_num=199, z_den=100, scale=1
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["g"], r["row_id"]) == ("a", 4)
+    assert r["value_units"] == 100
+    assert r["group_n"] == 5
+    assert r["is_high"] is True
+
+
+def test_zero_variance_group_never_flags(spark):
+    out = zscore_outliers(
+        _df(spark), ["g"], "v", z_num=1, z_den=100, scale=1
+    ).where("g = 'b'")
+    assert out.count() == 0
+
+
+def test_low_outliers_flagged_with_is_high_false(spark):
+    rows = [("a", i, 50.0) for i in range(10)] + [("a", 10, -50.0)]
+    df = spark.createDataFrame(rows, ["g", "row_id", "v"])
+    out = zscore_outliers(df, ["g"], "v", z_num=2, z_den=1, scale=1).collect()
+    assert len(out) == 1
+    assert out[0]["row_id"] == 10
+    assert out[0]["is_high"] is False
+
+
+def test_stats_join_is_broadcast(spark):
+    plan = (
+        zscore_outliers(_df(spark), ["g"], "v")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
