@@ -153,3 +153,89 @@ def skew_report(
             "rank",
         )
     )
+
+
+def global_rank(
+    df: DataFrame, value_col: str, id_col: str
+) -> DataFrame:
+    """Input + ``rank`` (1-based, dense total order by (value, id)) —
+    WITHOUT a single-partition window over the data.
+
+    The naive ``row_number() OVER (ORDER BY v)`` collapses the whole
+    table into one task.  The distributed construction:
+
+      1. per-value frequencies — one combinable shuffle on the value;
+      2. cumulative offsets over the |distinct values| frequency rows —
+         this window IS single-task, but over distinct values only
+         (same cardinality caveat as ``skew_report``: fine for
+         measure-ish columns, not for unique keys — for those the rank
+         is ``row_number`` within value anyway);
+      3. rank = value's offset + row_number within the value group
+         ordered by id — a window PARTITIONED by value, distributed.
+
+    Ranks are exact and deterministic (ties broken by id).
+    """
+    freq = df.groupBy(F.col(value_col).alias("__v")).agg(
+        F.count(F.lit(1)).alias("__f")
+    )
+    cum = freq.withColumn(
+        "__offset",
+        F.coalesce(
+            F.sum("__f").over(
+                Window.orderBy("__v").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("__v", "__offset")
+    within = F.row_number().over(
+        Window.partitionBy(value_col).orderBy(F.col(id_col).asc())
+    )
+    return (
+        df.withColumn("__within", within)
+        .join(cum, F.col(value_col) == F.col("__v"))
+        .withColumn(
+            "rank", (F.col("__offset") + F.col("__within")).cast("bigint")
+        )
+        .drop("__v", "__offset", "__within")
+    )
+
+
+def equidepth_histogram(
+    df: DataFrame, value_col: str, id_col: str, buckets: int = 10
+) -> DataFrame:
+    """(bucket, n_rows, min_v, max_v) — equi-DEPTH histogram with exact
+    NTILE semantics (first n%B buckets get one extra row), built on
+    ``global_rank`` so no single task ever sees the whole table.
+
+    The fixed-width twin is ``histogram``; equi-depth is the form that
+    survives skew (every bucket has ~n/B rows no matter the value
+    distribution) and the boundary set IS the equi-height histogram
+    statistics a cost-based optimizer keeps.
+    """
+    ranked = global_rank(df, value_col, id_col)
+    total = ranked.agg(F.count(F.lit(1)).alias("__n"))
+    # NTILE(B): with size = n div B and rem = n % B, rank r lands in
+    # bucket ceil(r/(size+1)) while inside the first rem*(size+1) rows,
+    # else rem + ceil((r - rem*(size+1))/size).  ceil(a/b) is spelled
+    # (a+b-1) div b — SQL integer division end to end (a double ceil
+    # would wobble near 2^53 row counts).
+    bucket = F.expr(
+        f"""CASE WHEN rank <= (__n % {buckets}) * ((__n div {buckets}) + 1)
+             THEN (rank + (__n div {buckets})) div ((__n div {buckets}) + 1)
+             ELSE (__n % {buckets})
+                  + (rank - (__n % {buckets}) * ((__n div {buckets}) + 1)
+                     + (__n div {buckets}) - 1) div (__n div {buckets})
+        END"""
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn("bucket", bucket.cast("bigint"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min(value_col).alias("min_v"),
+            F.max(value_col).alias("max_v"),
+        )
+    )

@@ -571,6 +571,7 @@ _VERIFY_FIRST: list[str] = [
     "user_retention_cohorts",
     "lineitem_bloom_semi",
     "order_price_outliers",
+    "order_price_equidepth",
 ]
 
 REGISTRY = {

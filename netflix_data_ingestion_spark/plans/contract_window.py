@@ -708,8 +708,34 @@ ORDER BY cohort_week, weeks_since
 """
 
 
+def q_order_price_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/profile.equidepth_histogram: 16 equal-count price
+    buckets with exact NTILE semantics, built on the distributed
+    global_rank (no single-partition window over the table)."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return profile.equidepth_histogram(
+        orders, "o_totalprice", "o_orderkey", buckets=16
+    ).orderBy("bucket")
+
+
+ORACLE_EQUIDEPTH = """
+WITH t AS (
+  SELECT o_totalprice AS v,
+         ntile(16) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+  FROM orders
+)
+SELECT bucket::BIGINT AS bucket,
+       count(*)::BIGINT AS n_rows,
+       min(v) AS min_v,
+       max(v) AS max_v
+FROM t GROUP BY bucket
+ORDER BY bucket
+"""
+
+
 REGISTRY_WINDOW = {
     "user_retention_cohorts": (q_user_retention_cohorts, ORACLE_RETENTION),
+    "order_price_equidepth": (q_order_price_equidepth, ORACLE_EQUIDEPTH),
     "weekly_active_users": (q_weekly_active_users, ORACLE_WAU),
     "event_transitions": (q_event_transitions, ORACLE_TRANSITIONS),
     "orders_profile": (q_orders_profile, ORACLE_PROFILE),
