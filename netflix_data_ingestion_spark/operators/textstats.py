@@ -356,3 +356,52 @@ def chunk_text(
         F.size(chunk).cast("long").alias("n_chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 1,
+    max_df_ratio: float | None = None,
+) -> DataFrame:
+    """(term, doc_freq, postings) — the search-index build: every term
+    mapped to its sorted posting list (comma-joined doc ids) and
+    document frequency.
+
+    Plan: narrow tokenize + explode, per-doc distinct folded into the
+    same term shuffle (count_distinct + collect_set are one grouped
+    pass), then the posting list is sorted per term — deterministic on
+    any partitioning.
+
+    100 TB honesty: per-term posting lists are the scale hazard — a
+    stopword's list is the whole corpus.  ``max_df_ratio`` drops terms
+    whose doc_freq exceeds that fraction of the corpus (the classic
+    stopword cut, same broadcast-total pattern as skew_report); real
+    deployments additionally shard postings by doc-id range, which is a
+    storage layout concern downstream of this operator.
+    """
+    pairs = ensure_parallelism(df).select(
+        F.col(id_col).alias("__doc"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    grouped = pairs.groupBy("term").agg(
+        F.count_distinct("__doc").cast("bigint").alias("doc_freq"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_set("__doc")),
+                lambda d: d.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+    out = grouped.where(F.col("doc_freq") >= F.lit(min_df))
+    if max_df_ratio is not None:
+        total = df.agg(
+            F.count_distinct(F.col(id_col)).cast("double").alias("__n_docs")
+        )
+        out = out.crossJoin(F.broadcast(total)).where(
+            F.col("doc_freq").cast("double")
+            <= F.col("__n_docs") * F.lit(max_df_ratio)
+        ).drop("__n_docs")
+    return out

@@ -572,6 +572,7 @@ _VERIFY_FIRST: list[str] = [
     "lineitem_bloom_semi",
     "order_price_outliers",
     "order_price_equidepth",
+    "doc_inverted_index",
 ]
 
 REGISTRY = {

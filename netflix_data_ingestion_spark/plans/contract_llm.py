@@ -1633,8 +1633,35 @@ ORDER BY doc_id
 """
 
 
+def q_doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/textstats.inverted_index: term -> (doc_freq, sorted
+    posting list) with the stopword cut at 79% corpus frequency (the synthetic vocabulary's doc-frequency knee)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.inverted_index(
+        docs, "doc_id", "text", min_df=2, max_df_ratio=0.79
+    ).orderBy("term")
+
+
+ORACLE_INVERTED_INDEX = f"""
+WITH {_DUCK_TOKS},
+pairs AS (
+  SELECT DISTINCT doc_id, unnest(tk) AS term FROM toks
+),
+grouped AS (
+  SELECT term, count(*)::BIGINT AS doc_freq,
+         string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+  FROM pairs GROUP BY term
+)
+SELECT term, doc_freq, postings FROM grouped
+WHERE doc_freq >= 2
+  AND doc_freq::DOUBLE <= (SELECT count(DISTINCT doc_id) FROM documents)::DOUBLE * 0.79
+ORDER BY term
+"""
+
+
 REGISTRY_LLM = {
     "doc_line_dedup": (q_doc_line_dedup, ORACLE_LINE_DEDUP),
+    "doc_inverted_index": (q_doc_inverted_index, ORACLE_INVERTED_INDEX),
     "event_props_json": (q_event_props_json, ORACLE_PROPS_JSON),
     "doc_chunk_text": (q_doc_chunk_text, ORACLE_CHUNK_TEXT),
     "top_tokens": (q_top_tokens, ORACLE_TOP_TOKENS),
