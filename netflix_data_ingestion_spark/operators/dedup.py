@@ -464,13 +464,29 @@ def cosine_near_dup_pairs_at_scale(
     interpreted-HOF JVM cosine here measured ~4x slower at sf0.1 (the
     candidate set is ~1M pairs; per-pair fold cost dominates).
     """
+    cand = cosine_lsh_candidate_pairs(
+        df, id_col, vec_col, planes, tables, dim
+    )
+    return exact_cosine_on_pairs(df, cand, id_col, vec_col, threshold)
+
+
+def exact_cosine_on_pairs(
+    df: DataFrame,
+    cand: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact cosine verify of an (id_a, id_b) candidate frame — the
+    shared tail of every candidates-then-verify semantic dedup path
+    (LSH candidates, k-means cluster candidates).  Joins the embeddings
+    back onto the pairs and scores each Arrow batch vectorized, with
+    the dim-sequential fold + JVM-side ROUND documented in
+    `cosine_near_dup_pairs_at_scale`."""
     import numpy as np
     import pandas as pd
     from collections.abc import Iterator
 
-    cand = cosine_lsh_candidate_pairs(
-        df, id_col, vec_col, planes, tables, dim
-    )
     a = df.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
     )
@@ -507,6 +523,44 @@ def cosine_near_dup_pairs_at_scale(
         .filter(F.col("cosine_sim") >= F.lit(float(threshold)))
         .select("id_a", "id_b", "cosine_sim")
     )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): k-means as the
+    candidate generator — embeddings are clustered, and ONLY
+    within-cluster pairs are cosine-verified.
+
+    vs the hyperplane-LSH path (`cosine_near_dup_pairs_at_scale`):
+    k-means buckets adapt to the data's density (LSH planes are
+    data-blind), which is why SemDeDup is the published choice for
+    web-scale embedding dedup.  Cost: per-cluster all-pairs is
+    (n/k)^2 — k MUST grow with n (the paper uses tens of thousands of
+    clusters for billions of docs); recall is bounded by the
+    clustering (near-dups straddling a cluster boundary are missed,
+    exactly the trade the paper accepts).
+
+    Everything downstream of the (already bit-exact, oracle-proven)
+    `kmeans_train` is the shared exact verify — deterministic end to
+    end.
+    """
+    from netflix_data_ingestion_spark.operators.kmeans import kmeans_train
+
+    asg = kmeans_train(df, id_col, vec_col, k=k, iters=iters)
+    a = asg.select(F.col(id_col).alias("id_a"), "cluster_id")
+    b = asg.select(F.col(id_col).alias("id_b"), "cluster_id")
+    cand = (
+        a.join(b, "cluster_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    return exact_cosine_on_pairs(df, cand, id_col, vec_col, threshold)
 
 
 def near_dup_pairs_at_scale(

@@ -573,6 +573,7 @@ _VERIFY_FIRST: list[str] = [
     "order_price_outliers",
     "order_price_equidepth",
     "doc_inverted_index",
+    "dedup_semantic",
 ]
 
 REGISTRY = {

@@ -1659,8 +1659,58 @@ ORDER BY term
 """
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/dedup.semantic_dedup_pairs: SemDeDup — k-means cluster
+    candidates (k=8, 2 Lloyd rounds, the oracle-proven kmeans_train)
+    then the shared exact cosine verify within clusters only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.semantic_dedup_pairs(
+        emb, "vec_id", "embedding", k=8, iters=2, threshold=0.4
+    ).orderBy("id_a", "id_b")
+
+
+def _semantic_dedup_oracle(
+    k: int = 8, iters: int = 2, scale: int = 1_000_000,
+    threshold: float = 0.4,
+) -> str:
+    fin = iters + 1
+    return f"""{_kmeans_cte_chain(k, iters, scale)},
+d{fin} AS (
+  SELECT p.vec_id, c.cid,
+         SUM((p.q - c.qc) * (p.q - c.qc))::BIGINT AS dist
+  FROM pos p JOIN c{iters} c USING (pos) GROUP BY 1, 2
+),
+asgf AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM d{fin}) WHERE rn = 1
+),
+cand AS (
+  SELECT x.vec_id AS ida, y.vec_id AS idb
+  FROM asgf x JOIN asgf y USING (cid)
+  WHERE x.vec_id < y.vec_id
+)
+SELECT p.ida AS id_a, p.idb AS id_b,
+       ROUND({_DUCK_DOT.format(a='ea', b='eb')} /
+             (sqrt({_DUCK_DOT.format(a='ea', b='ea')}) *
+              sqrt({_DUCK_DOT.format(a='eb', b='eb')})), 6) AS cosine_sim
+FROM cand p
+JOIN embeddings ea ON ea.vec_id = p.ida
+JOIN embeddings eb ON eb.vec_id = p.idb
+WHERE ROUND({_DUCK_DOT.format(a='ea', b='eb')} /
+            (sqrt({_DUCK_DOT.format(a='ea', b='ea')}) *
+             sqrt({_DUCK_DOT.format(a='eb', b='eb')})), 6) >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+ORACLE_SEMANTIC_DEDUP = _semantic_dedup_oracle()
+
+
 REGISTRY_LLM = {
     "doc_line_dedup": (q_doc_line_dedup, ORACLE_LINE_DEDUP),
+    "dedup_semantic": (q_dedup_semantic, ORACLE_SEMANTIC_DEDUP),
     "doc_inverted_index": (q_doc_inverted_index, ORACLE_INVERTED_INDEX),
     "event_props_json": (q_event_props_json, ORACLE_PROPS_JSON),
     "doc_chunk_text": (q_doc_chunk_text, ORACLE_CHUNK_TEXT),

@@ -202,3 +202,43 @@ def test_lsh_bucket_null_gating(spark):
     assert {r["vec_id"] for r in lsh_bucket(df, planes=4).collect()} == {
         0, 1, 4,
     }
+
+
+def test_semantic_dedup_subset_of_all_pairs_and_cluster_complete(spark):
+    """SemDeDup pairs must appear in the all-pairs audit twin with the
+    IDENTICAL rounded cosine, and within a single k-means cluster the
+    recall must be total (the only misses allowed are cross-cluster)."""
+    from netflix_data_ingestion_spark.operators.dedup import (
+        cosine_near_dup_pairs,
+        semantic_dedup_pairs,
+    )
+    from netflix_data_ingestion_spark.operators.kmeans import kmeans_train
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    audit = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in cosine_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    sem = {
+        (r["id_a"], r["id_b"]): r["cosine_sim"]
+        for r in semantic_dedup_pairs(
+            emb, "vec_id", "embedding", k=4, iters=1, threshold=0.4
+        ).collect()
+    }
+    assert sem
+    assert set(sem) <= set(audit)
+    assert all(audit[k] == v for k, v in sem.items())
+    # cluster-completeness: every audit pair whose endpoints share a
+    # cluster must have been found
+    cl = {
+        r["vec_id"]: r["cluster_id"]
+        for r in kmeans_train(
+            emb, "vec_id", "embedding", k=4, iters=1
+        ).collect()
+    }
+    same_cluster = {
+        p for p in audit if cl[p[0]] == cl[p[1]]
+    }
+    assert same_cluster <= set(sem)
