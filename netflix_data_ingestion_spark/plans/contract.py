@@ -574,6 +574,7 @@ _VERIFY_FIRST: list[str] = [
     "order_price_equidepth",
     "doc_inverted_index",
     "dedup_semantic",
+    "orders_zorder_key",
 ]
 
 REGISTRY = {

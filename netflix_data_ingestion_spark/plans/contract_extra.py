@@ -727,6 +727,56 @@ ORDER BY c_custkey
 """
 
 
+def q_orders_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/zorder.zorder_key: Morton keys interleaving customer
+    and price-cents bucket indices (8 bits each) — the layout key a
+    Z-ORDER clustered write sorts by so parquet min/max stats prune on
+    EITHER column."""
+    from netflix_data_ingestion_spark.operators.zorder import zorder_key
+
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+    return (
+        zorder_key(orders, ["o_custkey", "price_cents"], bits=8)
+        .select("o_orderkey", "zkey")
+        .orderBy("o_orderkey")
+    )
+
+
+def _zorder_oracle() -> str:
+    from netflix_data_ingestion_spark.operators.zorder import duckdb_zkey_sql
+
+    expr = duckdb_zkey_sql(["o_custkey", "price_cents"], bits=8)
+    return f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         round(o_totalprice * 100)::BIGINT AS price_cents
+  FROM orders
+),
+bounds AS (
+  SELECT min(o_custkey::BIGINT) AS __min_o_custkey,
+         max(o_custkey::BIGINT) AS __max_o_custkey,
+         min(price_cents) AS __min_price_cents,
+         max(price_cents) AS __max_price_cents
+  FROM base
+)
+SELECT o_orderkey, {expr}::BIGINT AS zkey
+FROM base, bounds
+ORDER BY o_orderkey
+"""
+
+
+ORACLE_ZORDER = _zorder_oracle()
+
+
 def q_order_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/outliers.zscore_outliers: orders whose total price sits
     more than 1.7 population sigmas (rational 17/10 — the inequality is
@@ -816,6 +866,7 @@ ORDER BY l_suppkey
 
 
 REGISTRY_EXTRA = {
+    "orders_zorder_key": (q_orders_zorder_key, ORACLE_ZORDER),
     "order_price_outliers": (q_order_price_outliers, ORACLE_PRICE_OUTLIERS),
     "lineitem_bloom_semi": (q_lineitem_bloom_semi, ORACLE_BLOOM_SEMI),
     "customer_merge_upsert": (q_customer_merge_upsert, ORACLE_MERGE_UPSERT),
