@@ -575,6 +575,7 @@ _VERIFY_FIRST: list[str] = [
     "doc_inverted_index",
     "dedup_semantic",
     "orders_zorder_key",
+    "orders_expectations",
 ]
 
 REGISTRY = {

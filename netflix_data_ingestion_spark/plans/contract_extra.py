@@ -727,6 +727,58 @@ ORDER BY c_custkey
 """
 
 
+def q_orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/expectations.run_expectations: six declarative checks
+    (nullability, uniqueness, range, set, regex, referential) compiled
+    into one aggregation pass + one anti-join — the reference's
+    hand-rolled safety validation as data."""
+    from netflix_data_ingestion_spark.operators import expectations as ex
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    report = ex.run_expectations(
+        orders,
+        [
+            ex.expect_not_null("o_orderkey"),
+            ex.expect_unique("o_orderkey"),
+            ex.expect_in_range("o_totalprice", 0, 600_000),
+            ex.expect_in_set("o_orderstatus", ["O", "F", "P"]),
+            ex.expect_regex("o_orderpriority", "^[1-5]-"),
+            ex.expect_foreign_key("o_custkey", customer, "c_custkey"),
+        ],
+    )
+    return report.orderBy("check", "column")
+
+
+ORACLE_EXPECTATIONS = """
+WITH n AS (SELECT count(*)::BIGINT AS n_rows FROM orders),
+checks AS (
+  SELECT 'not_null' AS "check", 'o_orderkey' AS "column",
+         (SELECT count(*) FILTER (WHERE o_orderkey IS NULL) FROM orders)::BIGINT AS v
+  UNION ALL
+  SELECT 'unique', 'o_orderkey',
+         (SELECT count(o_orderkey) - count(DISTINCT o_orderkey) FROM orders)::BIGINT
+  UNION ALL
+  SELECT 'in_range', 'o_totalprice',
+         (SELECT count(*) FILTER (WHERE coalesce(o_totalprice < 0 OR o_totalprice > 600000, FALSE)) FROM orders)::BIGINT
+  UNION ALL
+  SELECT 'in_set', 'o_orderstatus',
+         (SELECT count(*) FILTER (WHERE coalesce(o_orderstatus NOT IN ('O','F','P'), FALSE)) FROM orders)::BIGINT
+  UNION ALL
+  SELECT 'regex', 'o_orderpriority',
+         (SELECT count(*) FILTER (WHERE coalesce(NOT regexp_matches(o_orderpriority, '^[1-5]-'), FALSE)) FROM orders)::BIGINT
+  UNION ALL
+  SELECT 'foreign_key', 'o_custkey',
+         (SELECT count(*) FROM orders o
+          WHERE o.o_custkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))::BIGINT
+)
+SELECT "check", "column", n.n_rows, v AS n_violations, v = 0 AS passed
+FROM checks, n
+ORDER BY "check", "column"
+"""
+
+
 def q_orders_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/zorder.zorder_key: Morton keys interleaving customer
     and price-cents bucket indices (8 bits each) — the layout key a
@@ -866,6 +918,7 @@ ORDER BY l_suppkey
 
 
 REGISTRY_EXTRA = {
+    "orders_expectations": (q_orders_expectations, ORACLE_EXPECTATIONS),
     "orders_zorder_key": (q_orders_zorder_key, ORACLE_ZORDER),
     "order_price_outliers": (q_order_price_outliers, ORACLE_PRICE_OUTLIERS),
     "lineitem_bloom_semi": (q_lineitem_bloom_semi, ORACLE_BLOOM_SEMI),
