@@ -187,3 +187,78 @@ def dedup_clusters(
         F.count("*").over(w).alias("cluster_size"),
         (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 2,
+    damping: float = 0.85,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """(node, pr) — PageRank after ``iters`` synchronous power-iteration
+    rounds, entirely on the 1/``scale`` fixed-point grid (same
+    reproducibility discipline as operators/kmeans.py: iterative ML
+    must be bit-exact across engines and partitionings, so every
+    intermediate is an integer and every division is ONE double
+    division rounded back to the grid).
+
+    Semantics (the classic unnormalized form, Page et al. 1999):
+
+        pr_0(v)   = scale                          (i.e. 1.0)
+        pr_t+1(v) = (1-d)*scale + d * SUM over in-edges (u,v) of
+                    round(pr_t(u) / outdeg(u))     (then rounded)
+
+    Dangling nodes (no out-edges) contribute nothing — their mass
+    leaks, which keeps every round a pure edge-list join (the
+    redistribute-to-all variant needs a global aggregate per round;
+    callers who want it can add the constant themselves).  Duplicate
+    edges are collapsed first, so the graph is simple and the result
+    partition-invariant.
+
+    Scale shape: each round is one shuffle on src (contribution join)
+    + one on dst (sum), both map-side combinable, over the edge list
+    only; lineage is cut per round with eager localCheckpoint exactly
+    like ``connected_components``.  Round state is one bigint per node.
+    """
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).distinct()
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .union(e.select(F.col("__d").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
+    base = int(round((1.0 - damping) * scale))
+
+    pr = nodes.withColumn("pr", F.lit(int(scale)).cast("long")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(iters):
+        contrib = (
+            e.join(pr.withColumnRenamed("node", "__s"), "__s")
+            .join(outdeg, "__s")
+            .select(
+                F.col("__d").alias("node"),
+                F.round(F.col("pr").cast("double") / F.col("__deg"))
+                .cast("long")
+                .alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        pr = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.round(
+                        F.lit(damping)
+                        * F.coalesce(F.col("__in"), F.lit(0)).cast("double")
+                    ).cast("long")
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pr

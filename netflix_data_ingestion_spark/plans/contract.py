@@ -576,6 +576,7 @@ _VERIFY_FIRST: list[str] = [
     "dedup_semantic",
     "orders_zorder_key",
     "orders_expectations",
+    "customer_supplier_pagerank",
 ]
 
 REGISTRY = {

@@ -727,6 +727,63 @@ ORDER BY c_custkey
 """
 
 
+def q_customer_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/graph.pagerank: 2 fixed-point power-iteration rounds
+    over the bipartite customer->supplier order graph (distinct edges
+    from orders x lineitem; suppliers are dangling sinks)."""
+    from netflix_data_ingestion_spark.operators.graph import pagerank
+
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(
+            lineitem, orders.o_orderkey == lineitem.l_orderkey
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+    )
+    return pagerank(edges, "src", "dst", iters=2).orderBy("node")
+
+
+def _pagerank_oracle(
+    iters: int = 2, damping: float = 0.85, scale: int = 1_000_000
+) -> str:
+    base = int(round((1.0 - damping) * scale))
+    parts = [
+        f"""
+WITH e AS (
+  SELECT DISTINCT 'c' || o.o_custkey AS s, 's' || l.l_suppkey AS d
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+outdeg AS (SELECT s, count(*)::BIGINT AS deg FROM e GROUP BY s),
+pr0 AS (SELECT node, {scale}::BIGINT AS pr FROM nodes)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+c{i} AS (
+  SELECT e.d AS node,
+         sum(round(p.pr::DOUBLE / o.deg)::BIGINT)::BIGINT AS cin
+  FROM e JOIN pr{i - 1} p ON p.node = e.s JOIN outdeg o ON o.s = e.s
+  GROUP BY e.d
+),
+pr{i} AS (
+  SELECT n.node,
+         ({base} + round({damping}::DOUBLE *
+                         coalesce(c.cin, 0)::DOUBLE)::BIGINT)::BIGINT AS pr
+  FROM nodes n LEFT JOIN c{i} c ON c.node = n.node
+)"""
+        )
+    parts.append(f"\nSELECT node, pr FROM pr{iters} ORDER BY node")
+    return "".join(parts)
+
+
+ORACLE_PAGERANK = _pagerank_oracle()
+
+
 def q_orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/expectations.run_expectations: six declarative checks
     (nullability, uniqueness, range, set, regex, referential) compiled
@@ -918,6 +975,10 @@ ORDER BY l_suppkey
 
 
 REGISTRY_EXTRA = {
+    "customer_supplier_pagerank": (
+        q_customer_supplier_pagerank,
+        ORACLE_PAGERANK,
+    ),
     "orders_expectations": (q_orders_expectations, ORACLE_EXPECTATIONS),
     "orders_zorder_key": (q_orders_zorder_key, ORACLE_ZORDER),
     "order_price_outliers": (q_order_price_outliers, ORACLE_PRICE_OUTLIERS),
