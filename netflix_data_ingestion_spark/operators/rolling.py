@@ -120,3 +120,52 @@ def trailing_range_stats(
             "sum_value_trailing"
         ),
     )
+
+
+def trailing_ewma(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    window: int = 8,
+    alpha: float = 0.25,
+) -> DataFrame:
+    """Input + ``ewma``: the finite-window exponentially weighted moving
+    average of the last ``window`` rows per key (the "adjusted" EWMA —
+    weights (1-alpha)^j, j=0 at the current row, normalized by the
+    weight sum so partial leading windows are unbiased).
+
+    Cross-engine float discipline: the weighted sum AND the normalizer
+    are both LEFT FOLDS over the frame in frame order
+
+        acc <- acc * (1-alpha) + x
+
+    (Horner form), so every engine performs the identical IEEE-754
+    operation sequence — no reordered summation to diverge by an ulp —
+    and the final value is ONE double division of the two folds.  The
+    DuckDB oracle is ``list_reduce`` over the identical ``ROWS BETWEEN``
+    frame.
+
+    Plan: one keyed window (shuffle on key, sort by order cols); the
+    frame is bounded (``window`` rows), so per-row state is O(window)
+    regardless of history length — the scalable form of "smooth this
+    metric per user" at 100 TB of events.
+    """
+    decay = 1.0 - alpha
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(-(window - 1), 0)
+    )
+    frame = F.collect_list(F.col(value_col).cast("double")).over(w)
+    fold = F.aggregate(
+        frame,
+        F.lit(0.0),
+        lambda acc, x: acc * F.lit(decay) + x,
+    )
+    norm = F.aggregate(
+        frame,
+        F.lit(0.0),
+        lambda acc, x: acc * F.lit(decay) + F.lit(1.0),
+    )
+    return df.withColumn("ewma", fold / norm)

@@ -577,6 +577,7 @@ _VERIFY_FIRST: list[str] = [
     "orders_zorder_key",
     "orders_expectations",
     "customer_supplier_pagerank",
+    "events_ewma",
 ]
 
 REGISTRY = {

@@ -733,8 +733,42 @@ ORDER BY bucket
 """
 
 
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/rolling.trailing_ewma: 8-row adjusted EWMA per user
+    (alpha=0.25), Horner-fold float discipline on both engines."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        rolling.trailing_ewma(
+            events.select("user_id", "event_id", "ts", "value"),
+            ["user_id"],
+            ["ts", "event_id"],
+            "value",
+            window=8,
+            alpha=0.25,
+        )
+        .select("user_id", "event_id", "value", "ewma")
+        .orderBy("event_id")
+    )
+
+
+ORACLE_EWMA = """
+WITH f AS (
+  SELECT user_id, event_id, value,
+         list(value::DOUBLE) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS frame
+  FROM events
+)
+SELECT user_id, event_id, value,
+       list_reduce(f.frame, (acc, x) -> acc * 0.75::DOUBLE + x)
+       / list_reduce(list_transform(f.frame, y -> 1.0::DOUBLE),
+                     (acc, x) -> acc * 0.75::DOUBLE + x) AS ewma
+FROM f ORDER BY event_id
+"""
+
+
 REGISTRY_WINDOW = {
     "user_retention_cohorts": (q_user_retention_cohorts, ORACLE_RETENTION),
+    "events_ewma": (q_events_ewma, ORACLE_EWMA),
     "order_price_equidepth": (q_order_price_equidepth, ORACLE_EQUIDEPTH),
     "weekly_active_users": (q_weekly_active_users, ORACLE_WAU),
     "event_transitions": (q_event_transitions, ORACLE_TRANSITIONS),

@@ -84,3 +84,30 @@ def test_trailing_distinct_daily_counts_and_zero_fills(spark):
     assert out["2024-01-04"] == 2          # window [2..4]: u1 and u2 on day 2
     assert all(out[f"2024-01-0{d}"] == 0 for d in (5, 6, 7, 8, 9))
     assert out["2024-01-10"] == 1          # u3
+
+
+def test_trailing_ewma_horner_and_partial_windows(spark):
+    import datetime as dt
+
+    from netflix_data_ingestion_spark.operators.rolling import trailing_ewma
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("u", 1, t0, 10.0),
+        ("u", 2, t0 + dt.timedelta(minutes=1), 20.0),
+        ("u", 3, t0 + dt.timedelta(minutes=2), 30.0),
+        ("v", 4, t0, 7.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "id", "ts", "v"])
+    out = {
+        r["id"]: r["ewma"]
+        for r in trailing_ewma(
+            df, ["k"], ["ts", "id"], "v", window=2, alpha=0.25
+        ).collect()
+    }
+    # first row: partial window of 1 -> unbiased == value
+    assert out[1] == 10.0
+    assert out[4] == 7.0
+    # window=2 Horner fold: (10*0.75+20)/(0.75+1), then (20*0.75+30)/1.75
+    assert out[2] == (10.0 * 0.75 + 20.0) / 1.75
+    assert out[3] == (20.0 * 0.75 + 30.0) / 1.75
