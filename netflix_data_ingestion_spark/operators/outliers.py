@@ -37,26 +37,25 @@ from pyspark.sql import functions as F
 _DEC = "decimal(38,0)"
 
 
-def zscore_outliers(
+def moments_build(
     df: DataFrame,
     key_cols: Sequence[str],
     value_col: str,
-    z_num: int = 2,
-    z_den: int = 1,
     scale: int = 100,
 ) -> DataFrame:
-    """Rows where |x - group mean| > (z_num/z_den) * group stddev_pop.
+    """(keys..., __n, __s, __q) — per-group count / sum / sum-of-squares
+    of the fixed-point value, all DECIMAL(38,0).
 
-    ``scale`` converts the (possibly float) value column to fixed-point
-    units first (100 = cents for currency).  Output keeps the input
-    columns plus ``value_units`` (the fixed-point value), ``group_n``,
-    and ``is_high`` (above vs below the mean).
+    These moments are ALGEBRAIC: moments of a union are the field-wise
+    SUMS of the parts' moments, so partial aggregation combines map-side
+    and disjoint batches fold with ``merge.merge_aggregates`` — which is
+    what ``streaming.ingest.maintain_moments_stream`` does to keep a
+    running anomaly baseline over an unbounded stream in O(keys) state.
     """
-    keys = list(key_cols)
     base = df.withColumn(
         "__v", F.round(F.col(value_col) * F.lit(scale)).cast("long")
     )
-    stats = base.groupBy(*keys).agg(
+    return base.groupBy(*list(key_cols)).agg(
         F.count(F.lit(1)).cast(_DEC).alias("__n"),
         F.sum(F.col("__v").cast("decimal(18,0)")).cast(_DEC).alias("__s"),
         F.sum(
@@ -64,6 +63,24 @@ def zscore_outliers(
         )
         .cast(_DEC)
         .alias("__q"),
+    )
+
+
+def zscore_flag(
+    df: DataFrame,
+    stats: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    z_num: int = 2,
+    z_den: int = 1,
+    scale: int = 100,
+) -> DataFrame:
+    """Flag rows of ``df`` against an EXTERNAL moments frame (broadcast)
+    — the building block that lets a streaming micro-batch be screened
+    against the maintained baseline rather than its own tiny sample."""
+    keys = list(key_cols)
+    base = df.withColumn(
+        "__v", F.round(F.col(value_col) * F.lit(scale)).cast("long")
     )
     joined = base.join(F.broadcast(stats), keys)
 
@@ -82,3 +99,22 @@ def zscore_outliers(
             (d > 0).alias("is_high"),
         )
     )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    z_num: int = 2,
+    z_den: int = 1,
+    scale: int = 100,
+) -> DataFrame:
+    """Rows where |x - group mean| > (z_num/z_den) * group stddev_pop.
+
+    ``scale`` converts the (possibly float) value column to fixed-point
+    units first (100 = cents for currency).  Output keeps the input
+    columns plus ``value_units`` (the fixed-point value), ``group_n``,
+    and ``is_high`` (above vs below the mean).
+    """
+    stats = moments_build(df, key_cols, value_col, scale)
+    return zscore_flag(df, stats, key_cols, value_col, z_num, z_den, scale)

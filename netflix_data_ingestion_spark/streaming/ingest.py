@@ -482,3 +482,56 @@ def maintain_cms_stream(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
+
+
+def maintain_moments_stream(
+    events: DataFrame,
+    snapshot_dir: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    value_col: str,
+    scale: int = 100,
+):
+    """Streaming anomaly-baseline maintenance: each micro-batch's exact
+    per-key moments (operators/outliers.moments_build — count / sum /
+    sum-of-squares, all algebraic) fold into the snapshot with
+    merge_aggregates, so the running baseline costs O(keys) state no
+    matter how long the stream runs.  Screen any frame against the
+    current baseline with ``outliers.zscore_flag(df,
+    read_cdc_snapshot(spark, snapshot_dir), ...)`` — the exact integer
+    inequality, same bit-for-bit flags as the batch twin
+    (``zscore_outliers``) computed over the full history.
+
+    Same alternating-dir atomic swap + replay caveat as
+    maintain_cms_stream (a replayed batch double-counts its moments;
+    the batch twin is the audit tool).
+    """
+    import os
+
+    from netflix_data_ingestion_spark.operators.merge import merge_aggregates
+    from netflix_data_ingestion_spark.operators.outliers import moments_build
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = moments_build(batch_df, key_cols, value_col, scale)
+        cur_marker = os.path.join(snapshot_dir, "CURRENT")
+        if os.path.exists(cur_marker):
+            with open(cur_marker) as fh:
+                cur = fh.read().strip()
+            target = spark.read.parquet(os.path.join(snapshot_dir, cur))
+            merged = merge_aggregates(
+                target, delta, key_cols, sum_cols=["__n", "__s", "__q"]
+            )
+        else:
+            cur = "b"
+            merged = delta
+        nxt = "a" if cur == "b" else "b"
+        merged.write.mode("overwrite").parquet(os.path.join(snapshot_dir, nxt))
+        with open(cur_marker, "w") as fh:
+            fh.write(nxt)
+
+    return (
+        events.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )

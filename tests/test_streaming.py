@@ -459,3 +459,78 @@ def test_streaming_cms_maintenance(spark, tmp_path_factory):
         ).collect()
     }
     assert est[7] >= 20
+
+
+def test_streaming_moments_maintenance_and_anomaly_parity(
+    spark, tmp_path_factory
+):
+    """Micro-batched moments maintenance: per-batch (n, s, q) fold into
+    the snapshot algebraically, the final baseline equals the batch
+    moments of the whole stream, and screening the stream against it
+    flags exactly what the batch twin (zscore_outliers) flags."""
+    from netflix_data_ingestion_spark.operators import outliers
+
+    d = tmp_path_factory.mktemp("mom_stream")
+    src, snap, ckpt = str(d / "src"), str(d / "snap"), str(d / "ckpt")
+    import os
+
+    flat = f"{src}/flat"
+    os.makedirs(flat, exist_ok=True)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    def emit(rows, name):
+        stage = f"{src}/{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        import glob
+        import shutil
+
+        for f in glob.glob(f"{stage}/*.parquet"):
+            shutil.copy(f, f"{flat}/{name}_{f.split('/')[-1]}")
+
+    def ev(i, typ, v):
+        return (i, BASE + datetime.timedelta(minutes=i), 1, typ, v, "{}")
+
+    # "view" flat at 10.0 with one planted spike; "click" flat
+    emit([ev(i, "view", 10.0) for i in range(10)], "b1")
+    emit(
+        [ev(100 + i, "view", 10.0) for i in range(9)]
+        + [ev(199, "view", 1000.0)]
+        + [ev(300 + i, "click", 5.0) for i in range(5)],
+        "b2",
+    )
+
+    q = ingest.maintain_moments_stream(
+        spark.readStream.format("parquet").schema(schema).load(flat),
+        snap,
+        ckpt,
+        ["event_type"],
+        "value",
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    snapshot = ingest.read_cdc_snapshot(spark, snap)
+    whole = spark.read.parquet(flat)
+    want_stats = {
+        r["event_type"]: (r["__n"], r["__s"], r["__q"])
+        for r in outliers.moments_build(
+            whole, ["event_type"], "value"
+        ).collect()
+    }
+    got_stats = {
+        r["event_type"]: (r["__n"], r["__s"], r["__q"])
+        for r in snapshot.collect()
+    }
+    assert got_stats == want_stats
+
+    flagged = outliers.zscore_flag(
+        whole, snapshot, ["event_type"], "value", z_num=3
+    ).collect()
+    twin = outliers.zscore_outliers(
+        whole, ["event_type"], "value", z_num=3
+    ).collect()
+    assert sorted(r["event_id"] for r in flagged) == sorted(
+        r["event_id"] for r in twin
+    )
+    assert [r["event_id"] for r in flagged] == [199]
