@@ -578,6 +578,7 @@ _VERIFY_FIRST: list[str] = [
     "orders_expectations",
     "customer_supplier_pagerank",
     "events_ewma",
+    "part_name_fuzzy_pairs",
 ]
 
 REGISTRY = {

@@ -727,6 +727,30 @@ ORDER BY c_custkey
 """
 
 
+def q_part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/fuzzy.fuzzy_name_pairs: distinct part names within
+    Levenshtein distance 2, found via lossless length-band blocking —
+    the oracle is the pure edit-distance predicate, no blocking."""
+    from netflix_data_ingestion_spark.operators.fuzzy import (
+        fuzzy_name_pairs,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    return fuzzy_name_pairs(part, "p_name", max_dist=2).orderBy(
+        "name_a", "name_b"
+    )
+
+
+ORACLE_FUZZY_PAIRS = """
+WITH names AS (SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL)
+SELECT a.name AS name_a, b.name AS name_b,
+       levenshtein(a.name, b.name)::BIGINT AS dist
+FROM names a JOIN names b ON a.name < b.name
+WHERE levenshtein(a.name, b.name) BETWEEN 1 AND 2
+ORDER BY name_a, name_b
+"""
+
+
 def q_customer_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/graph.pagerank: 2 fixed-point power-iteration rounds
     over the bipartite customer->supplier order graph (distinct edges
@@ -975,6 +999,7 @@ ORDER BY l_suppkey
 
 
 REGISTRY_EXTRA = {
+    "part_name_fuzzy_pairs": (q_part_name_fuzzy_pairs, ORACLE_FUZZY_PAIRS),
     "customer_supplier_pagerank": (
         q_customer_supplier_pagerank,
         ORACLE_PAGERANK,
