@@ -579,6 +579,7 @@ _VERIFY_FIRST: list[str] = [
     "customer_supplier_pagerank",
     "events_ewma",
     "part_name_fuzzy_pairs",
+    "customer_busy_periods",
 ]
 
 REGISTRY = {

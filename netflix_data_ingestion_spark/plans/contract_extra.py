@@ -727,6 +727,56 @@ ORDER BY c_custkey
 """
 
 
+def q_customer_busy_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/intervals.merge_intervals: per-customer union of
+    order-in-flight intervals [o_orderdate, max l_shipdate] — the
+    interval twin of point sessionization."""
+    from netflix_data_ingestion_spark.operators.intervals import (
+        merge_intervals,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    spans = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy("o_orderkey", "o_custkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("ship_end"))
+    )
+    return merge_intervals(
+        spans, ["o_custkey"], "o_orderdate", "ship_end"
+    ).orderBy("o_custkey", "period_start")
+
+
+ORACLE_BUSY_PERIODS = """
+WITH spans AS (
+  SELECT o.o_custkey, o.o_orderdate AS s, max(l.l_shipdate) AS e
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_custkey, o.o_orderdate
+),
+flagged AS (
+  SELECT o_custkey, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   IS NULL
+              OR s > max(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM spans
+),
+islands AS (
+  SELECT o_custkey, s, e,
+         sum(new_island) OVER (PARTITION BY o_custkey ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM flagged
+)
+SELECT o_custkey, min(s) AS period_start, max(e) AS period_end,
+       count(*)::BIGINT AS n_intervals
+FROM islands GROUP BY o_custkey, island
+ORDER BY o_custkey, period_start
+"""
+
+
 def q_part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/fuzzy.fuzzy_name_pairs: distinct part names within
     Levenshtein distance 2, found via lossless length-band blocking —
@@ -999,6 +1049,7 @@ ORDER BY l_suppkey
 
 
 REGISTRY_EXTRA = {
+    "customer_busy_periods": (q_customer_busy_periods, ORACLE_BUSY_PERIODS),
     "part_name_fuzzy_pairs": (q_part_name_fuzzy_pairs, ORACLE_FUZZY_PAIRS),
     "customer_supplier_pagerank": (
         q_customer_supplier_pagerank,
