@@ -118,3 +118,63 @@ def zscore_outliers(
     """
     stats = moments_build(df, key_cols, value_col, scale)
     return zscore_flag(df, stats, key_cols, value_col, z_num, z_den, scale)
+
+
+def mad_outliers(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    k_num: int = 3,
+    k_den: int = 1,
+    scale: int = 100,
+) -> DataFrame:
+    """Robust outlier screen: rows where |x - median| > (k_num/k_den) *
+    MAD (median absolute deviation) within their group — the
+    breakdown-resistant twin of ``zscore_outliers`` (one wild value
+    drags a mean/stddev but not a median/MAD; Hampel's rule).
+
+    Exactness discipline mirrors the z-score path: the value is
+    fixed-point, both medians are EXACT lower-nearest-rank picks
+    (``profile.exact_quantiles``' definition — real data points, no
+    interpolation), and the decision is a strict integer inequality —
+    no floats anywhere, so flags are engine- and partition-exact.
+
+    Known caveat (inherent to MAD): a group where >50% of values are
+    identical has MAD = 0, and every deviating row is flagged — callers
+    screening near-constant groups should pre-filter them.
+
+    Plan: two windowed passes (median of values, then median of
+    deviations — the second NEEDS the first, so two keyed sorts is the
+    lower bound), each followed by a broadcast stats join; same
+    hot-group caveat as exact_quantiles.
+    """
+    from netflix_data_ingestion_spark.operators.profile import (
+        exact_quantiles,
+    )
+
+    keys = list(key_cols)
+    base = df.withColumn(
+        "__v", F.round(F.col(value_col) * F.lit(scale)).cast("long")
+    )
+    med = exact_quantiles(base, keys, "__v", qs=(0.5,)).select(
+        *keys, F.col("p50").alias("__med")
+    )
+    with_med = base.join(F.broadcast(med), keys).withColumn(
+        "__dev", F.abs(F.col("__v") - F.col("__med"))
+    )
+    mad = exact_quantiles(with_med, keys, "__dev", qs=(0.5,)).select(
+        *keys, F.col("p50").alias("__mad")
+    )
+    joined = with_med.join(F.broadcast(mad), keys)
+    return (
+        joined.where(
+            F.col("__dev") * F.lit(k_den) > F.lit(k_num) * F.col("__mad")
+        )
+        .select(
+            *df.columns,
+            F.col("__v").alias("value_units"),
+            F.col("__med").alias("group_median"),
+            F.col("__mad").alias("group_mad"),
+            (F.col("__v") > F.col("__med")).alias("is_high"),
+        )
+    )

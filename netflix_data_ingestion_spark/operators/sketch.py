@@ -109,3 +109,72 @@ def cms_estimate(
         .groupBy(item_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est"))
     )
+
+
+def hll_registers(
+    df: DataFrame,
+    item_col: str,
+    buckets: int = 64,
+) -> DataFrame:
+    """(bucket, register) — deterministic HyperLogLog register table
+    over the item column (Flajolet et al. 2007), the distinct-count
+    companion to ``cms_build``'s frequency sketch.
+
+    Register construction (one md5 per DISTINCT item value, split like
+    the MinHash family in operators/dedup.py):
+
+      bucket   = first 8 md5 hex chars as int,  mod ``buckets``
+      rho      = position of the highest set bit of the NEXT 8 hex
+                 chars (1-based from bit 31; 33 for the all-zero word)
+      register = MAX(rho) per bucket
+
+    Same portability contract as the CMS: md5 + integer bit math exist
+    in any engine (rho is ``33 - length(bin(w))`` — no clz needed), so
+    the oracle rebuilds the registers EXACTLY in SQL; and registers are
+    algebraic — sketches of disjoint inputs merge by MAX on bucket
+    (``merge.merge_aggregates(max_cols=["register"])``), which is what
+    makes the sketch maintainable over a stream.
+
+    Build is one combinable groupBy -> at most ``buckets`` rows
+    regardless of input size.  The cardinality ESTIMATE (harmonic mean
+    + bias correction) is ``hll_estimate`` — floats, so it stays out of
+    the register contract.
+    """
+    h = F.md5(F.concat(F.lit("hll|"), F.col("__item").cast("string")))
+    bucket = F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(buckets)
+    )
+    w = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    # bin(w) has no leading zeros, so its length locates the top bit:
+    # rho = 33 - length(bin(w)); the w == 0 corner (impossible-ish but
+    # defined) maps to 33
+    rho = F.when(F.col("__w") == 0, F.lit(33)).otherwise(
+        F.lit(33) - F.length(F.expr("bin(__w)"))
+    )
+    return (
+        ensure_parallelism(df)
+        .select(F.col(item_col).alias("__item"))
+        .where(F.col("__item").isNotNull())
+        .select(bucket.alias("bucket"), w.alias("__w"))
+        .withColumn("register", rho.cast("int"))
+        .groupBy("bucket")
+        .agg(F.max("register").alias("register"))
+    )
+
+
+def hll_estimate(registers: list[tuple[int, int]], buckets: int = 64) -> float:
+    """Driver-side cardinality estimate from a collected register table
+    (model-sized input: <= ``buckets`` rows).  Standard HLL estimator
+    with the small-range (linear counting) correction; absent buckets
+    count as register 0."""
+    import math
+
+    regs = {b: r for b, r in registers}
+    m = buckets
+    s = sum(2.0 ** -regs.get(b, 0) for b in range(m))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    raw = alpha * m * m / s
+    zeros = sum(1 for b in range(m) if regs.get(b, 0) == 0)
+    if raw <= 2.5 * m and zeros:
+        return m * math.log(m / zeros)
+    return raw

@@ -580,6 +580,8 @@ _VERIFY_FIRST: list[str] = [
     "events_ewma",
     "part_name_fuzzy_pairs",
     "customer_busy_periods",
+    "user_hll_registers",
+    "order_price_mad_outliers",
 ]
 
 REGISTRY = {

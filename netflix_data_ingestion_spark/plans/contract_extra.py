@@ -727,6 +727,72 @@ ORDER BY c_custkey
 """
 
 
+def q_order_price_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/outliers.mad_outliers: robust median/MAD screen at
+    k = 9/5 (uniform prices put MAD at a quarter of the range, so 1.8
+    MADs flags the ~10% tails) — exact nearest-rank medians, strict
+    integer decision."""
+    from netflix_data_ingestion_spark.operators.outliers import (
+        mad_outliers,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    return (
+        mad_outliers(
+            orders, ["o_orderstatus"], "o_totalprice", k_num=9, k_den=5
+        )
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "value_units",
+            "group_median",
+            "group_mad",
+            "is_high",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+ORACLE_MAD_OUTLIERS = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         round(o_totalprice * 100)::BIGINT AS v
+  FROM orders
+),
+r1 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY v ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+  FROM base
+),
+med AS (
+  SELECT o_orderstatus, MAX(CASE WHEN rn = CEIL(0.5 * n) THEN v END) AS m
+  FROM r1 GROUP BY 1
+),
+d AS (
+  SELECT b.o_orderkey, b.o_orderstatus, b.v, m.m,
+         abs(b.v - m.m) AS dev
+  FROM base b JOIN med m USING (o_orderstatus)
+),
+r2 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY dev ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+  FROM d
+),
+mad AS (
+  SELECT o_orderstatus, MAX(CASE WHEN rn = CEIL(0.5 * n) THEN dev END) AS mad
+  FROM r2 GROUP BY 1
+)
+SELECT d.o_orderkey, d.o_orderstatus, d.v AS value_units,
+       d.m AS group_median, mad.mad AS group_mad,
+       d.v > d.m AS is_high
+FROM d JOIN mad USING (o_orderstatus)
+WHERE d.dev * 5 > 9 * mad.mad
+ORDER BY o_orderkey
+"""
+
+
 def q_customer_busy_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/intervals.merge_intervals: per-customer union of
     order-in-flight intervals [o_orderdate, max l_shipdate] — the
@@ -1049,6 +1115,10 @@ ORDER BY l_suppkey
 
 
 REGISTRY_EXTRA = {
+    "order_price_mad_outliers": (
+        q_order_price_mad_outliers,
+        ORACLE_MAD_OUTLIERS,
+    ),
     "customer_busy_periods": (q_customer_busy_periods, ORACLE_BUSY_PERIODS),
     "part_name_fuzzy_pairs": (q_part_name_fuzzy_pairs, ORACLE_FUZZY_PAIRS),
     "customer_supplier_pagerank": (

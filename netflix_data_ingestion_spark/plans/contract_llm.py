@@ -1708,8 +1708,36 @@ ORDER BY id_a, id_b
 ORACLE_SEMANTIC_DEDUP = _semantic_dedup_oracle()
 
 
+def q_user_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/sketch.hll_registers: deterministic HLL register table
+    over event user_ids — the mergeable distinct-count sketch, register
+    math reproduced exactly by the oracle (md5 split + bin-length rho)."""
+    from netflix_data_ingestion_spark.operators.sketch import hll_registers
+
+    events = _t(spark, sf_dir, "events")
+    return hll_registers(events, "user_id", buckets=64).orderBy("bucket")
+
+
+ORACLE_HLL = """
+WITH h AS (
+  SELECT md5('hll|' || user_id::VARCHAR) AS hx
+  FROM events WHERE user_id IS NOT NULL
+),
+rb AS (
+  SELECT (('0x' || substring(hx, 1, 8))::BIGINT % 64) AS bucket,
+         ('0x' || substring(hx, 9, 8))::BIGINT AS w
+  FROM h
+)
+SELECT bucket,
+       max(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END)::INT
+         AS register
+FROM rb GROUP BY bucket ORDER BY bucket
+"""
+
+
 REGISTRY_LLM = {
     "doc_line_dedup": (q_doc_line_dedup, ORACLE_LINE_DEDUP),
+    "user_hll_registers": (q_user_hll_registers, ORACLE_HLL),
     "dedup_semantic": (q_dedup_semantic, ORACLE_SEMANTIC_DEDUP),
     "doc_inverted_index": (q_doc_inverted_index, ORACLE_INVERTED_INDEX),
     "event_props_json": (q_event_props_json, ORACLE_PROPS_JSON),
