@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from netflix_data_ingestion_spark.operators.util import ensure_parallelism
+
 
 def _bit_pos(key: Column, hash_idx: int, n_bits: int) -> Column:
     """md5-derived bit position of `key` for hash function `hash_idx`."""
@@ -89,7 +91,11 @@ def bloom_semi_join(
     words = bloom_build(dim, dim_key, n_bits=n_bits, n_hashes=n_hashes)
     key = F.col(fact_key)
 
-    probed = fact
+    # widen a file-bound input so the k md5 probes parallelize (no-op on
+    # a well-split 100 TB scan; locally a narrow round-robin, NOT a
+    # keyed shuffle — the point of the Bloom pass is avoiding the keyed
+    # exchange of non-survivors, which this preserves)
+    probed = ensure_parallelism(fact)
     survive = F.lit(True)
     for i in range(n_hashes):
         pos = _bit_pos(key, i, n_bits)
@@ -116,7 +122,7 @@ def bloom_semi_join(
             != 0
         )
 
-    survivors = probed.where(survive).select(fact.columns)
+    survivors = probed.where(survive).select(*fact.columns)
     return survivors.join(
         dim.select(F.col(dim_key).alias(fact_key)).distinct(),
         fact_key,
