@@ -113,3 +113,72 @@ def load_testdata(
         df.createOrReplaceTempView(t)
         out[t] = df
     return out
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str | list[str],
+    schema: str,
+    header: bool = True,
+    delimiter: str = ",",
+    bad_records_col: str = "_corrupt_record",
+) -> DataFrame:
+    """CSV scan with an EXPLICIT schema and PERMISSIVE corrupt-record
+    capture.
+
+    Policy choices, all deliberate for a 100 TB ingest:
+      * schema is required — ``inferSchema`` runs a second full scan of
+        the data and can flip types between daily drops; a declared
+        schema is the only stable contract (same reasoning as
+        schemas.py's DDL parity).
+      * PERMISSIVE + ``columnNameOfCorruptRecord``: malformed lines land
+        whole in ``bad_records_col`` instead of killing the job
+        (FAILFAST) or vanishing (DROPMALFORMED) — the caller routes them
+        to a dead-letter sink and ACCOUNTS for them, the same
+        drop-accounting discipline as the ratings parser.
+    """
+    return (
+        spark.read.schema(f"{schema}, {bad_records_col} string")
+        .option("header", str(header).lower())
+        .option("delimiter", delimiter)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", bad_records_col)
+        .csv(path)
+    )
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str | list[str],
+    schema: str,
+    bad_records_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSON-lines scan with explicit schema + corrupt-record capture
+    (same policy rationale as ``read_csv``).  Fields present in the
+    data but absent from the schema are ignored; absent fields read as
+    NULL — additive schema evolution without job changes."""
+    return (
+        spark.read.schema(f"{schema}, {bad_records_col} string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", bad_records_col)
+        .json(path)
+    )
+
+
+def split_dead_letters(
+    df: DataFrame, bad_records_col: str = "_corrupt_record"
+) -> tuple[DataFrame, DataFrame]:
+    """(clean, dead_letters) — clean rows lose the corrupt column;
+    dead letters keep the raw line for quarantine + replay.
+
+    The parsed frame is cached: Spark refuses plans that reference ONLY
+    the corrupt-record column of a raw CSV/JSON scan
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), and both
+    halves are about to be acted on anyway, so one shared
+    materialization is the documented-and-cheapest fix.  Callers
+    running at 100 TB unpersist after writing both sinks.
+    """
+    df = df.cache()
+    clean = df.where(F.col(bad_records_col).isNull()).drop(bad_records_col)
+    dead = df.where(F.col(bad_records_col).isNotNull())
+    return clean, dead
