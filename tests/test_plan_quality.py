@@ -252,3 +252,56 @@ def test_ivf_index_probe_is_partition_pruned(spark, tmp_path):
     plan = _plan(probe)
     part_filters = plan.split("PartitionFilters:")[1].splitlines()[0]
     assert "list_id" in part_filters
+
+
+def test_zorder_key_is_pure_codegen(spark):
+    """The Morton key must be a statically unrolled JVM expression —
+    whole-stage codegen, zero Python evaluation, zero extra shuffles
+    beyond the 1-row bounds broadcast."""
+    from netflix_data_ingestion_spark.operators.zorder import zorder_key
+
+    orders = read_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    keyed = zorder_key(
+        orders.withColumn("k2", F.col("o_orderkey") % 100),
+        ["o_custkey", "k2"],
+        bits=8,
+    )
+    keyed.collect()  # AQE only finalizes (and codegens) on execution
+    plan = _plan(keyed)
+    assert "Python" not in plan
+    assert "WholeStageCodegen" in plan or "*(" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_ewma_single_window_exchange(spark):
+    """The bounded-frame EWMA is ONE keyed window: one exchange, one
+    sort, no Python, no unbounded frame."""
+    from netflix_data_ingestion_spark.operators.rolling import trailing_ewma
+
+    ev = read_table(spark, SF_DIR, "events")
+    plan = _plan(
+        trailing_ewma(ev, ["user_id"], ["ts", "event_id"], "value", window=8)
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Python" not in plan
+
+
+def test_bloom_probe_no_keyed_exchange_before_prefilter(spark):
+    """The Bloom pass exists to keep non-survivors out of the keyed
+    shuffle: every probe join must broadcast, and the only hash
+    exchange of fact rows is the final exact semi-join."""
+    from netflix_data_ingestion_spark.operators.bloomjoin import (
+        bloom_semi_join,
+    )
+
+    li = read_table(spark, SF_DIR, "lineitem")
+    sup = read_table(spark, SF_DIR, "supplier").where(
+        F.col("s_nationkey") == 5
+    )
+    plan = _plan(bloom_semi_join(li, "l_suppkey", sup, "s_suppkey"))
+    assert plan.count("BroadcastHashJoin") >= 3
+    # fact-side keyed exchanges: the exact join's only (word/dim-side
+    # aggregations have their own small exchanges on non-fact keys)
+    assert plan.count("Exchange hashpartitioning(l_suppkey") <= 2
