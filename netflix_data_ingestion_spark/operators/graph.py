@@ -222,18 +222,26 @@ def pagerank(
     only; lineage is cut per round with eager localCheckpoint exactly
     like ``connected_components``.  Round state is one bigint per node.
     """
-    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).distinct()
+    # materialize the deduped edge list ONCE: every round joins it, and
+    # nodes/outdeg derive from it — without the checkpoint each round
+    # re-runs the upstream plan that produced the edges (often a join)
+    e = (
+        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         e.select(F.col("__s").alias("node"))
         .union(e.select(F.col("__d").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     outdeg = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__deg"))
     base = int(round((1.0 - damping) * scale))
 
-    pr = nodes.withColumn("pr", F.lit(int(scale)).cast("long")).localCheckpoint(
-        eager=True
-    )
+    # init needs no checkpoint of its own: it is a narrow projection of
+    # the already-checkpointed node frame
+    pr = nodes.withColumn("pr", F.lit(int(scale)).cast("long"))
     for _ in range(iters):
         contrib = (
             e.join(pr.withColumnRenamed("node", "__s"), "__s")
