@@ -55,8 +55,10 @@ def moments_build(
     base = df.withColumn(
         "__v", F.round(F.col(value_col) * F.lit(scale)).cast("long")
     )
+    # count(__v), not count(*): a NULL value must stay out of ALL three
+    # moments or n disagrees with s/q and the sigma inequality skews
     return base.groupBy(*list(key_cols)).agg(
-        F.count(F.lit(1)).cast(_DEC).alias("__n"),
+        F.count(F.col("__v")).cast(_DEC).alias("__n"),
         F.sum(F.col("__v").cast("decimal(18,0)")).cast(_DEC).alias("__s"),
         F.sum(
             (F.col("__v").cast("decimal(18,0)") * F.col("__v").cast("decimal(18,0)"))

@@ -173,7 +173,10 @@ def global_rank(
       3. rank = value's offset + row_number within the value group
          ordered by id — a window PARTITIONED by value, distributed.
 
-    Ranks are exact and deterministic (ties broken by id).
+    Ranks are exact and deterministic (ties broken by id).  Caller
+    contract: ``value_col`` non-NULL (engines disagree on NULL sort
+    position — Spark ASC puts NULLs first, DuckDB last — so a NULL
+    would make ranks engine-dependent; filter first).
     """
     freq = df.groupBy(F.col(value_col).alias("__v")).agg(
         F.count(F.lit(1)).alias("__f")

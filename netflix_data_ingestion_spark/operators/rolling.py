@@ -150,6 +150,10 @@ def trailing_ewma(
     frame is bounded (``window`` rows), so per-row state is O(window)
     regardless of history length — the scalable form of "smooth this
     metric per user" at 100 TB of events.
+
+    Caller contract: ``value_col`` non-NULL within smoothed rows
+    (collect_list SKIPS NULLs while DuckDB's list() keeps them, so a
+    NULL would silently shrink the frame and diverge engines).
     """
     decay = 1.0 - alpha
     w = (

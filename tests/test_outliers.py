@@ -54,3 +54,23 @@ def test_stats_join_is_broadcast(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_null_values_stay_out_of_all_moments(spark):
+    # a NULL value must not inflate n while being absent from s/q —
+    # the group's stats (and flags) must equal the null-free frame's
+    rows = [("g", i, float(v)) for i, v in enumerate([10, 10, 10, 10, 100])]
+    with_null = rows + [("g", 99, None)]
+    df_clean = spark.createDataFrame(rows, "g string, row_id long, v double")
+    df_null = spark.createDataFrame(
+        with_null, "g string, row_id long, v double"
+    )
+    a = sorted(
+        (r["row_id"], r["group_n"])
+        for r in zscore_outliers(df_clean, ["g"], "v", z_num=1, scale=1).collect()
+    )
+    b = sorted(
+        (r["row_id"], r["group_n"])
+        for r in zscore_outliers(df_null, ["g"], "v", z_num=1, scale=1).collect()
+    )
+    assert a == b
