@@ -110,3 +110,22 @@ def group_centroids(
             lambda s: s["c"],
         ).alias("centroid"),
     )
+
+
+def l2_normalize(a: Column, dim: int | None = None) -> Column:
+    """Unit-length rescale of a numeric array (double components).
+
+    The featurization step every cosine-based pipeline wants up front:
+    after normalization, cosine similarity degrades to a plain dot
+    product (one fold instead of three), which is how an ANN index
+    avoids per-pair norm recomputation at serving time.
+
+    Each component is ONE double division by the (fold-ordered) L2 norm
+    — cross-engine IEEE-identical given the same association order (the
+    oracle folds the same way).  Zero vectors map to NULL components
+    (``try_divide`` — ANSI mode would otherwise raise on 0/0, and
+    DuckDB's division by zero is NULL too) rather than raising — the
+    caller's gate, same policy as the LSH bucket NULL-gating.
+    """
+    n = norm(a, dim)
+    return F.transform(a, lambda x: F.try_divide(x.cast("double"), n))

@@ -582,6 +582,7 @@ _VERIFY_FIRST: list[str] = [
     "customer_busy_periods",
     "user_hll_registers",
     "order_price_mad_outliers",
+    "embedding_l2_normalize",
 ]
 
 REGISTRY = {

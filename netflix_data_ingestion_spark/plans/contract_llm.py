@@ -1737,8 +1737,43 @@ FROM rb GROUP BY bucket ORDER BY bucket
 """
 
 
+def q_embedding_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """functions/vectors.l2_normalize in long format (the
+    group-centroid contract's comparison discipline): one double
+    division per component by the fold-ordered norm, rounded once to
+    6dp for the cross-engine value hash."""
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    unit = emb.select(
+        "vec_id", vectors.l2_normalize(F.col("embedding")).alias("u")
+    )
+    return (
+        unit.select("vec_id", F.posexplode("u").alias("pos", "component"))
+        .select(
+            "vec_id",
+            F.col("pos").cast("int").alias("pos"),
+            F.round(F.col("component"), 6).alias("component"),
+        )
+        .orderBy("vec_id", "pos")
+    )
+
+
+ORACLE_L2_NORMALIZE = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+n AS (
+  SELECT vec_id, sqrt({_DUCK_DOT.format(a='e', b='e')}) AS nrm
+  FROM e
+)
+SELECT e.vec_id, (i - 1)::INT AS pos,
+       ROUND(e.embedding[i]::DOUBLE / n.nrm, 6) AS component
+FROM e JOIN n USING (vec_id),
+     unnest(range(1, len(e.embedding) + 1)) AS r(i)
+ORDER BY vec_id, pos
+"""
+
+
 REGISTRY_LLM = {
     "doc_line_dedup": (q_doc_line_dedup, ORACLE_LINE_DEDUP),
+    "embedding_l2_normalize": (q_embedding_l2_normalize, ORACLE_L2_NORMALIZE),
     "user_hll_registers": (q_user_hll_registers, ORACLE_HLL),
     "dedup_semantic": (q_dedup_semantic, ORACLE_SEMANTIC_DEDUP),
     "doc_inverted_index": (q_doc_inverted_index, ORACLE_INVERTED_INDEX),

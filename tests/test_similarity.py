@@ -133,3 +133,27 @@ def test_ivf_trained_centroids_compose(spark):
     assert assign.count() == emb.count()
     lists = {r["list_id"] for r in assign.collect()}
     assert lists <= {r["list_id"] for r in rows}
+
+
+def test_l2_normalize_unit_length_and_zero_vector_policy(spark):
+    from pyspark.sql import functions as F
+
+    from netflix_data_ingestion_spark.functions import vectors
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [0.0, -2.0])],
+        ["id", "v"],
+    )
+    out = {
+        r["id"]: r["u"]
+        for r in df.select(
+            "id", vectors.l2_normalize(F.col("v")).alias("u")
+        ).collect()
+    }
+    assert out[1] == [0.6, 0.8]
+    assert out[3] == [0.0, -1.0]
+    # zero vector -> NULL components (caller's gate), not an error
+    assert out[2] == [None, None]
+    # after normalization, dot IS cosine
+    a, b = out[1], out[3]
+    assert abs(sum(x * y for x, y in zip(a, b)) - (-0.8)) < 1e-12
