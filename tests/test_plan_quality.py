@@ -305,3 +305,33 @@ def test_bloom_probe_no_keyed_exchange_before_prefilter(spark):
     # fact-side keyed exchanges: the exact join's only (word/dim-side
     # aggregations have their own small exchanges on non-fact keys)
     assert plan.count("Exchange hashpartitioning(l_suppkey") <= 2
+
+
+def test_full_registry_plan_audit_has_no_unreviewed_smells(spark):
+    """Every contract plan with a Python stage, single-partition
+    exchange, or nested-loop join must carry a reviewed justification
+    in tools/audit_plans.SANCTIONED — a NEW smell fails here until it
+    is fixed or explicitly sanctioned."""
+    import importlib
+
+    audit = importlib.import_module("tools.audit_plans")
+    from netflix_data_ingestion_spark.plans.contract import REGISTRY
+
+    flagged = {}
+    for name, (fn, _oracle) in REGISTRY.items():
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        smells = []
+        py = sum(
+            plan.count(t)
+            for t in ("BatchEvalPython", "ArrowEvalPython", "PythonMapInArrow")
+        ) + plan.count("MapInPandas") + plan.count("FlatMapGroupsInPandas")
+        if py:
+            smells.append("PY")
+        if "Exchange SinglePartition" in plan:
+            smells.append("1PART")
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            smells.append("CARTES")
+        if smells:
+            flagged[name] = smells
+    unreviewed = sorted(set(flagged) - set(audit.SANCTIONED))
+    assert unreviewed == [], f"unreviewed plan smells: {unreviewed}"
