@@ -528,8 +528,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
 # unchanged — this is a pure reordering.
 #
 # Current rotation (round 4): the 3 never-verified queries first, then the 19
-# queries last verified in round 2, then queries new this round, then the
-# round-3-verified block.
+# queries last verified in round 2, then queries new this round (both
+# sessions — 47 entries total, so positions 48-50 re-verify the head of the
+# round-3-green block), then the rest of the round-3-verified block.
 # ---------------------------------------------------------------------------
 
 _VERIFY_FIRST: list[str] = [

@@ -171,14 +171,17 @@ def split_dead_letters(
     """(clean, dead_letters) — clean rows lose the corrupt column;
     dead letters keep the raw line for quarantine + replay.
 
-    The parsed frame is cached: Spark refuses plans that reference ONLY
-    the corrupt-record column of a raw CSV/JSON scan
+    The parsed frame is localCheckpoint'ed (lazily): Spark refuses plans
+    that reference ONLY the corrupt-record column of a raw CSV/JSON scan
     (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), and both
     halves are about to be acted on anyway, so one shared
-    materialization is the documented-and-cheapest fix.  Callers
-    running at 100 TB unpersist after writing both sinks.
+    materialization is the documented-and-cheapest fix.  A GC-scoped
+    checkpoint, not ``cache()`` — this package's storage-purity rule
+    (test_star_pipeline.test_no_lingering_persistent_rdds): blocks
+    drain when the frames are dropped, nothing pins the CacheManager
+    for the session lifetime.
     """
-    df = df.cache()
+    df = df.localCheckpoint(eager=False)
     clean = df.where(F.col(bad_records_col).isNull()).drop(bad_records_col)
     dead = df.where(F.col(bad_records_col).isNotNull())
     return clean, dead

@@ -535,3 +535,50 @@ def maintain_moments_stream(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
+
+
+def maintain_hll_stream(
+    events: DataFrame,
+    snapshot_dir: str,
+    checkpoint_dir: str,
+    item_col: str,
+    buckets: int = 64,
+):
+    """Streaming distinct-count maintenance: each micro-batch's HLL
+    registers (operators/sketch.hll_registers) MAX-fold into the
+    snapshot — a running "how many distinct users ever" service in
+    O(buckets) state.  Unlike the CMS/moments folds, MAX-merge is
+    IDEMPOTENT, so a replayed batch cannot move the registers at all —
+    this sketch is exactly-once under replay for free.
+
+    Estimate with ``sketch.hll_estimate(read_cdc_snapshot(...).collect())``.
+    """
+    import os
+
+    from netflix_data_ingestion_spark.operators.merge import merge_aggregates
+    from netflix_data_ingestion_spark.operators.sketch import hll_registers
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = hll_registers(batch_df, item_col, buckets)
+        cur_marker = os.path.join(snapshot_dir, "CURRENT")
+        if os.path.exists(cur_marker):
+            with open(cur_marker) as fh:
+                cur = fh.read().strip()
+            target = spark.read.parquet(os.path.join(snapshot_dir, cur))
+            merged = merge_aggregates(
+                target, delta, ["bucket"], max_cols=["register"]
+            )
+        else:
+            cur = "b"
+            merged = delta
+        nxt = "a" if cur == "b" else "b"
+        merged.write.mode("overwrite").parquet(os.path.join(snapshot_dir, nxt))
+        with open(cur_marker, "w") as fh:
+            fh.write(nxt)
+
+    return (
+        events.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )

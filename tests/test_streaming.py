@@ -534,3 +534,69 @@ def test_streaming_moments_maintenance_and_anomaly_parity(
         r["event_id"] for r in twin
     )
     assert [r["event_id"] for r in flagged] == [199]
+
+
+def test_streaming_hll_maintenance_idempotent_under_replay(
+    spark, tmp_path_factory
+):
+    """HLL registers MAX-fold per micro-batch; the final snapshot equals
+    the batch sketch of the whole stream, and re-folding a batch (replay)
+    cannot move the registers — MAX is idempotent."""
+    from netflix_data_ingestion_spark.operators import sketch
+    from netflix_data_ingestion_spark.operators.merge import merge_aggregates
+
+    d = tmp_path_factory.mktemp("hll_stream")
+    src, snap, ckpt = str(d / "src"), str(d / "snap"), str(d / "ckpt")
+    import os
+
+    flat = f"{src}/flat"
+    os.makedirs(flat, exist_ok=True)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    def emit(ids_users, name):
+        rows = [
+            (i, BASE + datetime.timedelta(minutes=i), u, "view", 1.0, "{}")
+            for i, u in ids_users
+        ]
+        stage = f"{src}/{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        import glob
+        import shutil
+
+        for f in glob.glob(f"{stage}/*.parquet"):
+            shutil.copy(f, f"{flat}/{name}_{f.split('/')[-1]}")
+
+    emit([(i, i % 40) for i in range(60)], "b1")
+    emit([(100 + i, 30 + i) for i in range(30)], "b2")
+
+    q = ingest.maintain_hll_stream(
+        spark.readStream.format("parquet").schema(schema).load(flat),
+        snap,
+        ckpt,
+        "user_id",
+        buckets=32,
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    snapshot = ingest.read_cdc_snapshot(spark, snap)
+    whole = spark.read.parquet(flat)
+    want = {
+        r["bucket"]: r["register"]
+        for r in sketch.hll_registers(whole, "user_id", 32).collect()
+    }
+    got = {r["bucket"]: r["register"] for r in snapshot.collect()}
+    assert got == want
+    # replay: folding batch 1 in again must be a no-op
+    replay = merge_aggregates(
+        snapshot,
+        sketch.hll_registers(
+            whole.where("event_id < 60"), "user_id", 32
+        ),
+        ["bucket"],
+        max_cols=["register"],
+    )
+    assert {
+        r["bucket"]: r["register"] for r in replay.collect()
+    } == want
