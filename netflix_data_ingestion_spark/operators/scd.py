@@ -68,3 +68,75 @@ def scd2_history(
         F.row_number().over(w2).cast("long").alias("version"),
         F.lead(ts_col).over(w2).isNull().alias("is_current"),
     )
+
+
+def pit_enrich(
+    facts: DataFrame,
+    history: DataFrame,
+    key_col: str,
+    ts_col: str,
+    payload_cols: list[str],
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    bucket_width_s: int = 86400,
+) -> DataFrame:
+    """Point-in-time (as-of-dimension) join: each fact row picks up the
+    SCD2 version whose half-open validity [from, to) contains its
+    timestamp — the temporal star-join every warehouse needs once a
+    dimension is versioned (facts must enrich with the state AT EVENT
+    TIME, not today's state).
+
+    Mechanics: the rangejoin.py bucketing trick adapted to validity
+    intervals — versions explode into the fixed-width time buckets they
+    overlap, facts join on (key, bucket) hash equality, then the exact
+    half-open predicate filters within the bucket.  A HASH join, never
+    a nested loop; shuffle keys are (key, bucket).
+
+    Open-ended current versions (the 9999-12-31 sentinel) would explode
+    into billions of buckets, so validity is first CLAMPED to the max
+    fact timestamp + 1us (a 1-row broadcast bound — versions beginning
+    after it cannot match and are dropped).  At most one version
+    matches per fact by SCD2's non-overlap invariant.
+    """
+    from netflix_data_ingestion_spark.operators.rangejoin import _epoch_us
+
+    w_us = int(bucket_width_s) * 1_000_000
+    bound = facts.agg(
+        (F.max(_epoch_us(ts_col)) + F.lit(1)).alias("__cap_us")
+    )
+    h = (
+        history.select(
+            F.col(key_col).alias("__k"),
+            _epoch_us(from_col).alias("__from_us"),
+            _epoch_us(to_col).alias("__to_raw"),
+            *payload_cols,
+        )
+        .crossJoin(F.broadcast(bound))
+        .withColumn("__to_us", F.least(F.col("__to_raw"), F.col("__cap_us")))
+        .where(F.col("__from_us") < F.col("__to_us"))
+        .withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("__from_us") / w_us),
+                    F.floor((F.col("__to_us") - 1) / w_us),
+                )
+            ),
+        )
+        .select("__k", "__from_us", "__to_us", "__bucket", *payload_cols)
+    )
+    f = facts.withColumn(
+        "__bucket", F.floor(_epoch_us(ts_col) / w_us)
+    ).withColumn("__ts_us", _epoch_us(ts_col))
+    return (
+        f.join(
+            h,
+            (f["__bucket"] == h["__bucket"])
+            & (F.col(key_col) == F.col("__k")),
+        )
+        .where(
+            (F.col("__ts_us") >= F.col("__from_us"))
+            & (F.col("__ts_us") < F.col("__to_us"))
+        )
+        .select(*facts.columns, *payload_cols)
+    )

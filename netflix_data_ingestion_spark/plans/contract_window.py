@@ -766,8 +766,57 @@ FROM f ORDER BY event_id
 """
 
 
+def q_events_pit_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/scd.pit_enrich: point-in-time star join — every event
+    picks up the SCD2 state version valid AT its timestamp (composition
+    of scd2_history + the bucketed validity-interval hash join)."""
+    events = _t(spark, sf_dir, "events")
+    history = scd.scd2_history(events, "user_id", "ts", "event_type")
+    return (
+        scd.pit_enrich(
+            events.select("event_id", "user_id", "ts"),
+            history.withColumnRenamed("state", "state_at_event"),
+            "user_id",
+            "ts",
+            ["state_at_event", "version"],
+        )
+        .select("event_id", "user_id", "state_at_event", "version")
+        .orderBy("event_id")
+    )
+
+
+ORACLE_PIT_STATE = """
+WITH ordered AS (
+  SELECT user_id, ts, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM events
+),
+chg AS (
+  SELECT user_id, event_type AS state, ts AS valid_from
+  FROM ordered
+  WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+),
+hist AS (
+  SELECT user_id, state AS state_at_event, valid_from,
+         COALESCE(
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from),
+           TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY valid_from)::BIGINT
+           AS version
+  FROM chg
+)
+SELECT e.event_id, e.user_id, h.state_at_event, h.version
+FROM events e JOIN hist h
+  ON h.user_id = e.user_id
+ AND e.ts >= h.valid_from AND e.ts < h.valid_to
+ORDER BY event_id
+"""
+
+
 REGISTRY_WINDOW = {
     "user_retention_cohorts": (q_user_retention_cohorts, ORACLE_RETENTION),
+    "events_pit_state": (q_events_pit_state, ORACLE_PIT_STATE),
     "events_ewma": (q_events_ewma, ORACLE_EWMA),
     "order_price_equidepth": (q_order_price_equidepth, ORACLE_EQUIDEPTH),
     "weekly_active_users": (q_weekly_active_users, ORACLE_WAU),

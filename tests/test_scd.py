@@ -63,3 +63,79 @@ def test_scd2_null_states_are_runs(spark):
     assert u1r[1]["valid_from"] == _ts(1) and u1r[1]["valid_to"] == _ts(3)
     u2 = [(r["state"], r["version"]) for r in rows if r["user_id"] == 2]
     assert u2 == [(None, 1), ("view", 2)]
+
+
+def test_pit_enrich_picks_the_version_valid_at_event_time(spark):
+    import datetime as dt
+
+    from netflix_data_ingestion_spark.operators.scd import (
+        pit_enrich,
+        scd2_history,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    ev = spark.createDataFrame(
+        [
+            (1, 7, t(0), "free"),
+            (2, 7, t(10), "free"),
+            (3, 7, t(20), "paid"),   # transition event -> new version
+            (4, 7, t(30), "paid"),
+            (5, 8, t(5), "trial"),
+        ],
+        ["event_id", "user_id", "ts", "event_type"],
+    )
+    hist = scd2_history(ev, "user_id", "ts", "event_type").withColumnRenamed(
+        "state", "state_at"
+    )
+    out = {
+        r["event_id"]: (r["state_at"], r["version"])
+        for r in pit_enrich(
+            ev.select("event_id", "user_id", "ts"),
+            hist,
+            "user_id",
+            "ts",
+            ["state_at", "version"],
+            bucket_width_s=60,  # small buckets: multi-bucket versions
+        ).collect()
+    }
+    assert out == {
+        1: ("free", 1),
+        2: ("free", 1),
+        3: ("paid", 2),  # boundary event belongs to the NEW version
+        4: ("paid", 2),
+        5: ("trial", 1),
+    }
+    # exactly one version per fact (SCD2 non-overlap preserved)
+    assert len(out) == 5
+
+
+def test_pit_enrich_is_a_hash_join(spark):
+    import datetime as dt
+
+    from netflix_data_ingestion_spark.operators.scd import (
+        pit_enrich,
+        scd2_history,
+    )
+
+    ev = spark.createDataFrame(
+        [(i, i % 3, dt.datetime(2024, 1, 1, 0, i), "s") for i in range(30)],
+        ["event_id", "user_id", "ts", "event_type"],
+    )
+    hist = scd2_history(ev, "user_id", "ts", "event_type")
+    plan = (
+        pit_enrich(
+            ev.select("event_id", "user_id", "ts"),
+            hist,
+            "user_id",
+            "ts",
+            ["state", "version"],
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the ONLY nested-loop allowed is the 1-row cap-bound crossJoin;
+    # the (key, bucket) join itself must be a hash join
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
