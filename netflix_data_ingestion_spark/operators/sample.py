@@ -162,3 +162,56 @@ def bernoulli_mix(
         10,
     ).cast("long")
     return df.filter(h32.cast("double") < rate * F.lit(4294967296.0))
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "v1",
+) -> DataFrame:
+    """~``k`` rows per group, inclusion probability PROPORTIONAL to the
+    integer weight (systematic PPS sampling: long documents must be
+    over-sampled when one epoch cannot cover the corpus, or token-level
+    coverage skews short).
+
+    Mechanics — exact integer arithmetic end to end, no randomness
+    beyond the md5 order:
+
+      1. rows order by md5(salt|id) within the group (uniform,
+         growth-perturbation-bounded — quota_sample's ordering);
+      2. running cumulative weight C_i (window sum);
+      3. step = ceil(total_weight / k); a row is SELECTED iff its
+         weight interval (C_{i-1}, C_i] contains a multiple of the
+         step — i.e. floor(C_i/step) > floor(C_{i-1}/step).
+
+    Rows heavier than the step can contain several multiples and are
+    still emitted once (with ``n_hits`` recording the multiplicity, the
+    caller's repeat knob — standard PPS-with-replacement accounting).
+    Zero/negative weights never select.  Deterministic on any
+    partitioning; one shuffle on the group key (same hot-group caveat
+    as quota_sample).
+    """
+    h = F.md5(
+        F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("__h").asc(), F.col(id_col).asc()
+    )
+    wg = Window.partitionBy(group_col)
+    base = (
+        df.withColumn("__h", h)
+        .withColumn("__w", F.greatest(F.col(weight_col).cast("long"), F.lit(0)))
+        .withColumn("__c", F.sum("__w").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("__total", F.sum("__w").over(wg))
+    )
+    step = F.expr(f"(__total + {int(k)} - 1) div {int(k)}")
+    hits = F.expr("__c div __step") - F.expr("(__c - __w) div __step")
+    return (
+        base.withColumn("__step", step)
+        .withColumn("n_hits", hits.cast("bigint"))
+        .where(F.col("n_hits") > 0)
+        .drop("__h", "__w", "__c", "__total", "__step")
+    )

@@ -1771,8 +1771,79 @@ ORDER BY vec_id, pos
 """
 
 
+def q_doc_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/sample.pps_systematic_sample: ~20 docs per source with
+    inclusion probability proportional to n_chars — integer systematic
+    PPS over the md5 order."""
+    from netflix_data_ingestion_spark.operators.sample import (
+        pps_systematic_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        pps_systematic_sample(docs, "source", "doc_id", "n_chars", k=20)
+        .select("doc_id", "source", "n_hits")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_PPS_SAMPLE = """
+WITH base AS (
+  SELECT doc_id, source,
+         md5('v1|' || doc_id::VARCHAR) AS h,
+         greatest(n_chars::BIGINT, 0) AS w
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, w,
+         sum(w) OVER (PARTITION BY source ORDER BY h, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         sum(w) OVER (PARTITION BY source) AS total
+  FROM base
+),
+s AS (
+  SELECT *, (total + 19) // 20 AS step FROM c
+)
+SELECT doc_id, source,
+       ((cw // step) - ((cw - w) // step))::BIGINT AS n_hits
+FROM s
+WHERE (cw // step) - ((cw - w) // step) > 0
+ORDER BY doc_id
+"""
+
+
+def q_user_context_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/textstats-adjacent featurization: the trailing-5-event
+    context string per event (model-input assembly; bounded window
+    frame, one keyed shuffle)."""
+    from netflix_data_ingestion_spark.operators.context import (
+        trailing_context,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    return (
+        trailing_context(
+            events, ["user_id"], ["ts", "event_id"], "event_type", n=5
+        )
+        .select("event_id", "user_id", "context")
+        .orderBy("event_id")
+    )
+
+
+ORACLE_CONTEXT = """
+SELECT event_id, user_id,
+       array_to_string(
+         list(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), ' ') AS context
+FROM events
+ORDER BY event_id
+"""
+
+
 REGISTRY_LLM = {
     "doc_line_dedup": (q_doc_line_dedup, ORACLE_LINE_DEDUP),
+    "doc_pps_sample": (q_doc_pps_sample, ORACLE_PPS_SAMPLE),
+    "user_context_window": (q_user_context_window, ORACLE_CONTEXT),
     "embedding_l2_normalize": (q_embedding_l2_normalize, ORACLE_L2_NORMALIZE),
     "user_hll_registers": (q_user_hll_registers, ORACLE_HLL),
     "dedup_semantic": (q_dedup_semantic, ORACLE_SEMANTIC_DEDUP),
