@@ -405,3 +405,42 @@ def inverted_index(
             <= F.col("__n_docs") * F.lit(max_df_ratio)
         ).drop("__n_docs")
     return out
+
+
+#: GPT-2-flavored pretokenizer, restricted to constructs whose semantics
+#: are identical in Java regex and RE2 (ASCII classes, no \p{} unicode
+#: properties — RE2's [[:alpha:]] and Java's \p{Alpha} don't port):
+#: contraction tails, letter runs, digit runs, symbol runs.
+BPE_PRETOKEN_PATTERN = r"'[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_pretokenize(text):
+    """Array of BPE-style pretokens (the segmentation a byte-pair
+    tokenizer refines; whitespace dropped, punctuation kept as runs) —
+    the token-budget estimator that tracks real tokenizer counts far
+    closer than whitespace splitting (which fuses 'word,' into one
+    token and undercounts punctuation-heavy text)."""
+    from pyspark.sql import functions as _F
+
+    return _F.regexp_extract_all(text, _F.lit(BPE_PRETOKEN_PATTERN), 0)
+
+
+def bpe_token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_tokens, n_word, n_number, n_symbol) under the BPE-style
+    pretokenization — one narrow map, no shuffle, no Python."""
+    tok = bpe_pretokenize(F.col(text_col))
+    is_word = lambda t: t.rlike("^'?[A-Za-z]")  # noqa: E731
+    is_num = lambda t: t.rlike("^[0-9]")  # noqa: E731
+    return ensure_parallelism(df).select(
+        F.col(id_col),
+        F.size(tok).cast("bigint").alias("n_tokens"),
+        F.size(F.filter(tok, is_word)).cast("bigint").alias("n_word"),
+        F.size(F.filter(tok, is_num)).cast("bigint").alias("n_number"),
+        (
+            F.size(tok)
+            - F.size(F.filter(tok, is_word))
+            - F.size(F.filter(tok, is_num))
+        )
+        .cast("bigint")
+        .alias("n_symbol"),
+    )

@@ -1840,8 +1840,41 @@ ORDER BY event_id
 """
 
 
+def q_doc_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/textstats.bpe_token_stats: BPE-style pretokenizer
+    counts (the token-budget estimator) — regex restricted to
+    Java==RE2-portable ASCII constructs."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.bpe_token_stats(docs, "doc_id", "text").orderBy(
+        "doc_id"
+    )
+
+
+ORACLE_BPE_STATS = r"""
+WITH tk AS (
+  SELECT doc_id,
+         regexp_extract_all(text,
+           '''[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       len(toks)::BIGINT AS n_tokens,
+       len(list_filter(toks, t -> regexp_matches(t, '^''?[A-Za-z]')))::BIGINT
+         AS n_word,
+       len(list_filter(toks, t -> regexp_matches(t, '^[0-9]')))::BIGINT
+         AS n_number,
+       (len(toks)
+        - len(list_filter(toks, t -> regexp_matches(t, '^''?[A-Za-z]')))
+        - len(list_filter(toks, t -> regexp_matches(t, '^[0-9]'))))::BIGINT
+         AS n_symbol
+FROM tk
+ORDER BY doc_id
+"""
+
+
 REGISTRY_LLM = {
     "doc_line_dedup": (q_doc_line_dedup, ORACLE_LINE_DEDUP),
+    "doc_bpe_token_stats": (q_doc_bpe_token_stats, ORACLE_BPE_STATS),
     "doc_pps_sample": (q_doc_pps_sample, ORACLE_PPS_SAMPLE),
     "user_context_window": (q_user_context_window, ORACLE_CONTEXT),
     "embedding_l2_normalize": (q_embedding_l2_normalize, ORACLE_L2_NORMALIZE),

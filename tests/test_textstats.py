@@ -158,3 +158,35 @@ def test_chunk_text_rejects_bad_overlap():
 
     with _pytest.raises(ValueError):
         textstats.chunk_text(None, "doc_id", "text", chunk_tokens=4, overlap=4)
+
+
+def test_bpe_pretokenize_classes_and_counts(spark):
+    from pyspark.sql import functions as F
+
+    from netflix_data_ingestion_spark.operators.textstats import (
+        bpe_pretokenize,
+        bpe_token_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "Hello's  world, 123 foo-bar!"), (2, ""), (3, "...")],
+        ["doc_id", "text"],
+    )
+    toks = df.select(
+        "doc_id", bpe_pretokenize(F.col("text")).alias("t")
+    ).collect()
+    by_id = {r["doc_id"]: r["t"] for r in toks}
+    # contraction split, punctuation runs kept, whitespace dropped
+    assert by_id[1] == [
+        "Hello", "'s", "world", ",", "123", "foo", "-", "bar", "!",
+    ]
+    assert by_id[2] == []
+    assert by_id[3] == ["..."]
+
+    stats = {
+        r["doc_id"]: (r["n_tokens"], r["n_word"], r["n_number"], r["n_symbol"])
+        for r in bpe_token_stats(df, "doc_id", "text").collect()
+    }
+    assert stats[1] == (9, 5, 1, 3)  # 's counts as a word token
+    assert stats[2] == (0, 0, 0, 0)
+    assert stats[3] == (1, 0, 0, 1)
