@@ -637,3 +637,55 @@ def near_dup_pairs_at_scale(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "intersection", "jaccard")
     )
+
+
+def incremental_near_dup_candidates(
+    new_docs: DataFrame,
+    band_snapshot: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental corpus dedup — the daily-ingest shape: band the NEW
+    batch only, probe it against the persisted band table of everything
+    already ingested, and return
+
+      (candidate pairs touching the new batch, the updated snapshot).
+
+    Pairs cover new-vs-old AND new-vs-new (a fresh batch can contain
+    its own duplicates); old-vs-old pairs were reported when those
+    batches arrived — nothing is recomputed over the historical corpus,
+    which is the entire point: per-day cost is O(batch x bands), not
+    O(corpus).  Because the md5 minhash family is deterministic, the
+    result equals the full-corpus ``minhash_lsh_candidate_pairs``
+    restricted to pairs with a new-batch member (asserted by test) —
+    the incremental path inherits the batch path's oracle.
+
+    The snapshot is a plain (id, band, band_key) DataFrame — persist it
+    partitioned/bucketed by (band, band_key) so tomorrow's probe join
+    is co-located; union'd snapshots stay valid because banding is
+    per-document.
+    """
+    new_bands = minhash_band_table(
+        new_docs, id_col, text_col, n, num_hashes, bands
+    )
+    a = new_bands.alias("a")
+    b = band_snapshot.union(new_bands).alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias(
+                "id_b"
+            ),
+        )
+        .distinct()
+    )
+    return pairs, band_snapshot.union(new_bands)

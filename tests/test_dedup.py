@@ -242,3 +242,40 @@ def test_semantic_dedup_subset_of_all_pairs_and_cluster_complete(spark):
         p for p in audit if cl[p[0]] == cl[p[1]]
     }
     assert same_cluster <= set(sem)
+
+
+def test_incremental_candidates_equal_filtered_full_corpus(spark):
+    """Splitting the corpus into 'historical' + 'new batch' and probing
+    the snapshot must produce EXACTLY the full-corpus LSH candidates
+    that touch the new batch (determinism of the md5 family makes the
+    incremental path inherit the batch path's oracle), and the updated
+    snapshot must equal banding the whole corpus."""
+    from netflix_data_ingestion_spark.operators.dedup import (
+        incremental_near_dup_candidates,
+        minhash_band_table,
+        minhash_lsh_candidate_pairs,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    old = docs.where("doc_id % 3 != 0")
+    new = docs.where("doc_id % 3 = 0")
+    snapshot = minhash_band_table(old, "doc_id", "text")
+
+    pairs, updated = incremental_near_dup_candidates(new, snapshot)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidate_pairs(docs, "doc_id", "text").collect()
+    }
+    new_ids = {r["doc_id"] for r in new.collect()}
+    want = {p for p in full if p[0] in new_ids or p[1] in new_ids}
+    assert got == want and got  # non-trivial on the near-dup testdata
+
+    a = sorted(map(tuple, updated.collect()))
+    b = sorted(
+        map(tuple, minhash_band_table(docs, "doc_id", "text").collect())
+    )
+    assert a == b
