@@ -16,6 +16,7 @@ from collections.abc import Callable
 from typing import TypeVar
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 logger = logging.getLogger(__name__)
 
@@ -128,3 +129,41 @@ def write_jdbc(
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     """Read a bucketed table back (bucket metadata comes from the catalog)."""
     return spark.table(table)
+
+
+def write_balanced(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    target_rows_per_file: int,
+    salt: str = "v1",
+) -> int:
+    """Write parquet in evenly-sized shards regardless of upstream skew.
+
+    Training-data loaders stream shards round-robin: one 10 GB shard
+    among 100 MB ones stalls a whole data-parallel epoch.  Partition
+    pruning / clustering does not matter for this consumer (it reads
+    everything), so rows are spread by the md5 of the id — uniform by
+    construction, deterministic across runs — into
+    ``ceil(n / target_rows_per_file)`` shards via repartitionByRange on
+    the hash (range, not hash-mod, so shard count is exact and shards
+    are contiguous hash slices).
+
+    One count (to size the layout) + one shuffle (the spread).  Returns
+    the shard count.
+    """
+    import math
+
+    n = df.count()
+    shards = max(1, math.ceil(n / target_rows_per_file))
+    keyed = df.withColumn(
+        "__shard_key",
+        F.md5(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string"))),
+    )
+    (
+        keyed.repartitionByRange(shards, F.col("__shard_key"))
+        .drop("__shard_key")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return shards

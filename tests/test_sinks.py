@@ -92,3 +92,31 @@ def test_read_jdbc_roundtrip_if_driver_available(spark, tmp_path):
         pytest.skip(f"no JDBC driver available: {type(exc).__name__}")
     out = read_jdbc(spark, url, "t")
     assert out.count() == 5
+
+
+def test_write_balanced_even_shards(spark, tmp_path):
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from netflix_data_ingestion_spark.sources.writers import write_balanced
+
+    # heavily skewed input partitioning: one fat partition + crumbs
+    df = (
+        spark.range(0, 5000)
+        .withColumn("payload", F.md5(F.col("id").cast("string")))
+        .repartitionByRange(10, F.col("id"))
+    )
+    path = str(tmp_path / "balanced")
+    shards = write_balanced(df, path, "id", target_rows_per_file=1000)
+    assert shards == 5
+    files = glob.glob(f"{path}/part-*.parquet")
+    assert len(files) == 5
+    counts = [
+        spark.read.parquet(f).count() for f in files
+    ]
+    # md5-range spread: every shard within 20% of the target
+    assert all(800 <= c <= 1200 for c in counts), counts
+    # nothing lost, nothing duplicated
+    assert spark.read.parquet(path).count() == 5000
+    assert spark.read.parquet(path).select("id").distinct().count() == 5000
