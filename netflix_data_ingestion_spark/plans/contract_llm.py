@@ -1661,18 +1661,20 @@ ORDER BY term
 
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/dedup.semantic_dedup_pairs: SemDeDup — k-means cluster
-    candidates (k=16, 2 Lloyd rounds, the oracle-proven kmeans_train;
+    candidates (k=16, 1 Lloyd round — clusters are CANDIDATE buckets, not a
+    model, so extra refinement rounds buy driver-coordinated jobs, not
+    recall; the oracle-proven kmeans_train;
     SemDeDup's k must grow with corpus size — 16 keeps within-cluster
     all-pairs ~ (n/16)^2 affordable at the bench scale)
     then the shared exact cosine verify within clusters only."""
     emb = _t(spark, sf_dir, "embeddings")
     return dedup.semantic_dedup_pairs(
-        emb, "vec_id", "embedding", k=16, iters=2, threshold=0.4
+        emb, "vec_id", "embedding", k=16, iters=1, threshold=0.4
     ).orderBy("id_a", "id_b")
 
 
 def _semantic_dedup_oracle(
-    k: int = 16, iters: int = 2, scale: int = 1_000_000,
+    k: int = 16, iters: int = 1, scale: int = 1_000_000,
     threshold: float = 0.4,
 ) -> str:
     fin = iters + 1
