@@ -1,0 +1,65 @@
+"""Time-bucket OHLC resampling — the hypertable "downsample to bars"
+rollup (beyond-reference; the time-series companion to
+operators/gapfill.time_bucket_gapfill's densify direction).
+
+Collapses an event stream to one row per (key, bucket) carrying
+open / high / low / close / count, the canonical lossy downsample for
+dashboards and for time-series feature tables in a training pipeline.
+
+Spark-first shape: ONE map-side-combinable ``groupBy`` — ``min_by`` /
+``max_by`` over a (ts, tiebreak) struct select open/close, plain
+``min``/``max`` give the extremes.  No window function, therefore no
+per-partition sort: every aggregate here is algebraic, so executors
+emit one partial row per (key, bucket) and the single exchange carries
+bucket-level rows, not events.  At 100 TB that is the difference
+between shuffling the stream and shuffling the (much smaller) bar
+table; a row_number()-based formulation would sort every partition and
+shuffle full event rows.
+
+Values are SELECTED, never arithmetically combined, so float columns
+round-trip bit-exactly (the oracle-parity discipline of
+operators/rolling.py applies with no fixed-point dance needed).
+
+Determinism: ties on the timestamp are broken by ``tiebreak_col``
+(any unique column, e.g. the event id) via struct ordering — the same
+tuple comparison both engines implement.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ohlc_resample(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    bucket: str = "hour",
+) -> DataFrame:
+    """(key..., bucket, open, high, low, close, n_events) — one bar per
+    key per ``date_trunc(bucket, ts)``.
+
+    ``bucket`` is a ``date_trunc`` unit (``"hour"``, ``"day"``, ...);
+    truncation keeps the bucket math portable to any SQL engine (unlike
+    Spark's ``window()`` struct, which has no cross-engine twin).
+    NULL timestamps are excluded — a bar cannot be placed for them.
+    """
+    ord_struct = F.struct(F.col(ts_col), F.col(tiebreak_col))
+    return (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(
+            *key_cols, F.date_trunc(bucket, F.col(ts_col)).alias("bucket")
+        )
+        .agg(
+            F.min_by(F.col(value_col), ord_struct).alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.max_by(F.col(value_col), ord_struct).alias("close"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+    )

@@ -111,6 +111,62 @@ def cms_estimate(
     )
 
 
+def heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    threshold: int,
+    width: int = 64,
+    depth: int = 4,
+) -> DataFrame:
+    """(item, cnt) — every item occurring at least ``threshold`` times,
+    with its EXACT count, found without a full keyed shuffle.
+
+    The classic two-pass screen (Cormode & Muthukrishnan 2005 §4):
+
+      1. build a count-min sketch (one map-side-combinable groupBy whose
+         state is depth x width counters, collected driver-side — the
+         same model-sized-collect license as kmeans centroids);
+      2. re-scan and keep only rows whose CMS estimate reaches the
+         threshold — a NARROW filter (depth md5s against literal counter
+         arrays, whole-stage-codegen-able, no join);
+      3. exact count + HAVING over the survivors only.
+
+    The CMS never undercounts, so step 2 has **no false negatives** and
+    step 3 makes the result exact — the sketch is semantically
+    invisible (the contract oracle is a plain GROUP BY ... HAVING).
+    At 100 TB with a skewed key domain the exact-count shuffle carries
+    only the tiny possibly-heavy slice instead of every key — the same
+    shuffle-avoidance trade as ``bloomjoin.bloom_semi_join`` (two cheap
+    scans beat one full-width shuffle).  NULL items hash to NULL buckets
+    and are dropped by the filter; callers wanting NULL-key counts must
+    count them separately.
+    """
+    counters = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_build(df, item_col, width, depth).collect()
+    }
+    row_arrays = [
+        F.array(
+            *[F.lit(int(counters.get((r, b), 0))) for b in range(width)]
+        )
+        for r in range(depth)
+    ]
+    est = F.least(
+        *[
+            F.element_at(
+                row_arrays[r], _bucket(F.col(item_col), r, width) + F.lit(1)
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.where(est >= F.lit(threshold))
+        .groupBy(item_col)
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .where(F.col("cnt") >= F.lit(threshold))
+    )
+
+
 def hll_registers(
     df: DataFrame,
     item_col: str,

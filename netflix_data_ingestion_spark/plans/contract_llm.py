@@ -1874,7 +1874,33 @@ ORDER BY doc_id
 """
 
 
+def q_user_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/sketch.heavy_hitters: exact frequent-item detection via
+    a count-min screen — sketch pass (combinable, KB state), narrow
+    CMS-estimate filter, exact count over survivors only.  The CMS
+    never undercounts, so the screen is semantically invisible: the
+    oracle is a plain GROUP BY ... HAVING, which is the proof that the
+    sketch admits no false negatives on this corpus."""
+    from netflix_data_ingestion_spark.operators import sketch
+
+    events = _t(spark, sf_dir, "events")
+    return sketch.heavy_hitters(events, "user_id", threshold=80).orderBy(
+        "user_id"
+    )
+
+
+ORACLE_HEAVY_HITTERS = """
+SELECT user_id, COUNT(*)::BIGINT AS cnt
+FROM events
+WHERE user_id IS NOT NULL
+GROUP BY 1
+HAVING COUNT(*) >= 80
+ORDER BY user_id
+"""
+
+
 REGISTRY_LLM = {
+    "user_heavy_hitters": (q_user_heavy_hitters, ORACLE_HEAVY_HITTERS),
     "doc_line_dedup": (q_doc_line_dedup, ORACLE_LINE_DEDUP),
     "doc_bpe_token_stats": (q_doc_bpe_token_stats, ORACLE_BPE_STATS),
     "doc_pps_sample": (q_doc_pps_sample, ORACLE_PPS_SAMPLE),

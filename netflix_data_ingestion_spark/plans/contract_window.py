@@ -814,7 +814,49 @@ ORDER BY event_id
 """
 
 
+def q_events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/resample.ohlc_resample: hourly OHLC bars per event
+    type — the hypertable downsample.  One combinable groupBy (min_by/
+    max_by on a (ts, event_id) struct), no window sort; the exchange
+    carries bar-level rows only.  Values are selected, not combined, so
+    the DOUBLE column round-trips bit-exactly."""
+    from netflix_data_ingestion_spark.operators.resample import (
+        ohlc_resample,
+    )
+
+    events = read_table(spark, sf_dir, "events")
+    return ohlc_resample(
+        events, ["event_type"], "ts", "event_id", "value", bucket="hour"
+    ).orderBy("event_type", "bucket")
+
+
+ORACLE_OHLC = """
+WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, ts, event_id, value
+  FROM events WHERE ts IS NOT NULL
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type, bucket
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, bucket
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM b
+)
+SELECT event_type, bucket,
+       MIN(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MIN(CASE WHEN rn_d = 1 THEN value END) AS close,
+       COUNT(*)::BIGINT AS n_events
+FROM r
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 REGISTRY_WINDOW = {
+    "events_ohlc_hourly": (q_events_ohlc_hourly, ORACLE_OHLC),
     "user_retention_cohorts": (q_user_retention_cohorts, ORACLE_RETENTION),
     "events_pit_state": (q_events_pit_state, ORACLE_PIT_STATE),
     "events_ewma": (q_events_ewma, ORACLE_EWMA),

@@ -111,3 +111,32 @@ def test_trailing_ewma_horner_and_partial_windows(spark):
     # window=2 Horner fold: (10*0.75+20)/(0.75+1), then (20*0.75+30)/1.75
     assert out[2] == (10.0 * 0.75 + 20.0) / 1.75
     assert out[3] == (20.0 * 0.75 + 30.0) / 1.75
+
+
+def test_ohlc_resample_ties_nulls_and_selection(spark):
+    from netflix_data_ingestion_spark.operators.resample import ohlc_resample
+
+    def t(h, m):
+        return datetime.datetime(2024, 1, 1, h, m)
+
+    df = spark.createDataFrame(
+        [
+            ("a", t(10, 0), 2, 7.0),   # ts-tie with event 1: id breaks it
+            ("a", t(10, 0), 1, 5.0),
+            ("a", t(10, 59), 3, 2.0),
+            ("a", t(11, 1), 4, 9.0),
+            ("b", None, 5, 1.0),       # NULL ts: no bar
+        ],
+        "k string, ts timestamp, eid long, v double",
+    )
+    out = {
+        (r["k"], r["bucket"].hour): r
+        for r in ohlc_resample(df, ["k"], "ts", "eid", "v").collect()
+    }
+    bar = out[("a", 10)]
+    # open = earliest (ts, eid) = event 1; close = latest = event 3
+    assert (bar["open"], bar["high"], bar["low"], bar["close"]) == (
+        5.0, 7.0, 2.0, 2.0)
+    assert bar["n_events"] == 3
+    assert out[("a", 11)]["open"] == out[("a", 11)]["close"] == 9.0
+    assert ("b", None) not in out and len(out) == 2

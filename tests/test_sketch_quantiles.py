@@ -39,6 +39,40 @@ def test_cms_estimate_is_one_sided_and_merges(spark):
     assert got == whole
 
 
+def test_heavy_hitters_exact_and_screened(spark):
+    # 3 planted heavy keys among a long tail of singletons
+    rows = (
+        [(i, 1) for i in range(40)]
+        + [(100 + i, 2) for i in range(25)]
+        + [(200 + i, 3) for i in range(10)]
+        + [(300 + i, 1000 + i) for i in range(60)]  # tail: one hit each
+    )
+    df = spark.createDataFrame(rows, "rid long, item long")
+    got = {
+        r["item"]: r["cnt"]
+        for r in sketch.heavy_hitters(df, "item", threshold=10, width=32).collect()
+    }
+    # exact counts, no tail key leaks through the exact verify
+    assert got == {1: 40, 2: 25, 3: 10}
+    # narrow screen: tighter threshold excludes the boundary key
+    got11 = {
+        r["item"]
+        for r in sketch.heavy_hitters(df, "item", threshold=11, width=32).collect()
+    }
+    assert got11 == {1, 2}
+    # NULL items are dropped by the screen, not counted
+    with_null = df.union(
+        spark.createDataFrame([(9000 + i, None) for i in range(20)],
+                              "rid long, item long")
+    )
+    gotn = {
+        r["item"]
+        for r in sketch.heavy_hitters(with_null, "item", threshold=10,
+                                      width=32).collect()
+    }
+    assert gotn == {1, 2, 3}
+
+
 def test_stratified_sample_proportions(spark):
     rows = [(i, "big") for i in range(100)] + [(1000 + i, "tiny") for i in range(3)]
     df = spark.createDataFrame(rows, "doc_id long, source string")
