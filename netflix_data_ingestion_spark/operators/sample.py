@@ -215,3 +215,130 @@ def pps_systematic_sample(
         .where(F.col("n_hits") > 0)
         .drop("__h", "__w", "__c", "__total", "__step")
     )
+
+
+def negative_sample(
+    positives: DataFrame,
+    items: DataFrame,
+    user_col: str,
+    item_col: str,
+    k: int = 4,
+    salt: str = "neg",
+) -> DataFrame:
+    """(user, item, slot) — up to ``k`` deterministic NEGATIVE items per
+    user: candidate items the user has NO positive interaction with
+    (the contrastive / recommender-training companion to
+    ``hash_split``'s example routing).
+
+    The scale-correct construction avoids the naive
+    ``users CROSS JOIN items ANTI JOIN positives`` (quadratic in the
+    catalog): per user, ``k`` candidate ids are drawn directly as
+    ``pmod(md5(salt|user|slot), n_items)`` — O(users x k) rows total —
+    then one hash anti-join against the positives removes accidental
+    positives, and duplicate draws collapse to their first slot.
+    Cost: the distinct-user shuffle plus one (user, item) anti-join;
+    nothing driver-side (``n_items`` rides a broadcast 1-row aggregate,
+    lazily).
+
+    Caller contract: item ids are DENSE ``0..n_items-1`` (``n_items`` =
+    ``max(item)+1`` over ``items``); sparse catalogs need an id-compact
+    step first.  Dropped draws (collisions with positives or duplicate
+    candidates) are NOT resampled — at scale you over-provision ``k``
+    instead, keeping the draw one narrow map.  Same md5 discipline as
+    the rest of this module: re-runs and engines agree bit-for-bit.
+    """
+    n = items.agg((F.max(F.col(item_col).cast("long")) + 1).alias("__n_items"))
+    users = positives.select(F.col(user_col)).distinct()
+    cand = (
+        users.crossJoin(F.broadcast(n))
+        .select(
+            user_col,
+            "__n_items",
+            F.explode(F.sequence(F.lit(0), F.lit(int(k) - 1))).alias("slot"),
+        )
+        .withColumn(
+            item_col,
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(f"{salt}|"),
+                                F.col(user_col).cast("string"),
+                                F.lit("|"),
+                                F.col("slot").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.col("__n_items"),
+            ).cast("long"),
+        )
+        .groupBy(user_col, item_col)
+        .agg(F.min("slot").cast("int").alias("slot"))
+    )
+    return cand.join(
+        positives.select(user_col, item_col).distinct(),
+        [user_col, item_col],
+        "left_anti",
+    )
+
+
+def balanced_oversample(
+    df: DataFrame,
+    class_col: str,
+    id_col: str,
+    salt: str = "bal",
+) -> DataFrame:
+    """(class, id, copy_idx) — replicate rows so every class reaches the
+    size of the LARGEST class exactly (class-imbalance correction by
+    deterministic oversampling; the label-balancing step before
+    training on skewed corpora).
+
+    Each row of a class with ``n_c`` rows gets ``target div n_c``
+    copies, and the first ``target mod n_c`` rows in md5 order get one
+    extra — per-class output is exactly ``target`` rows, and which rows
+    carry the extra copy is uniform, engine-portable, and growth-stable
+    (same md5-order rationale as ``quota_sample``).
+
+    Plan: one combinable class-count aggregate (broadcast back), one
+    class-keyed window for the md5 rank (quota_sample's skew caveat
+    applies: a single giant class serializes its sort — acceptable
+    because oversampling targets the SMALL classes by construction;
+    the giant class gets ``div = 1, mod = 0`` and needs no rank), then
+    a narrow ``explode(sequence(...))``.  copy_idx is 1-based.
+    """
+    counts = df.groupBy(class_col).agg(F.count("*").alias("__n_c"))
+    target = counts.agg(F.max("__n_c").alias("__target"))
+    w = Window.partitionBy(class_col).orderBy(
+        F.md5(
+            F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string"))
+        ).asc(),
+        F.col(id_col).asc(),
+    )
+    return (
+        ensure_parallelism(df)
+        .withColumn("__rk", F.row_number().over(w))
+        .join(F.broadcast(counts), class_col)
+        .crossJoin(F.broadcast(target))
+        .withColumn(
+            "__n_copies",
+            F.expr("__target div __n_c").cast("long")
+            + F.when(
+                F.col("__rk") <= F.pmod("__target", "__n_c"), F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .select(
+            class_col,
+            id_col,
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("__n_copies"))
+            ).alias("copy_idx"),
+        )
+    )

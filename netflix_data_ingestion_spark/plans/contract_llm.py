@@ -1899,8 +1899,101 @@ ORDER BY user_id
 """
 
 
+def q_customer_part_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/sample.negative_sample: deterministic contrastive
+    negatives — 4 md5-drawn candidate parts per ordering customer,
+    anti-joined against the customer's actual purchases.  O(users x k)
+    candidate rows, no catalog cross join; n_items rides a broadcast
+    1-row aggregate."""
+    from netflix_data_ingestion_spark.operators.sample import (
+        negative_sample,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    positives = (
+        orders.join(
+            lineitem, orders.o_orderkey == lineitem.l_orderkey
+        )
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").cast("long").alias("item"),
+        )
+        .distinct()
+    )
+    return negative_sample(
+        positives, part.select(F.col("p_partkey").alias("item")),
+        "user_id", "item", k=4,
+    ).orderBy("user_id", "item")
+
+
+ORACLE_NEGATIVES = """
+WITH pos AS (
+  SELECT DISTINCT o_custkey AS user_id, l_partkey::BIGINT AS item
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+n AS (SELECT max(p_partkey)::BIGINT + 1 AS n_items FROM part),
+cand AS (
+  SELECT u.user_id, s.slot,
+         (('0x' || substring(md5('neg|' || u.user_id::VARCHAR || '|'
+                                 || s.slot::VARCHAR), 1, 8))::BIGINT
+          % n.n_items)::BIGINT AS item
+  FROM (SELECT DISTINCT user_id FROM pos) u,
+       n,
+       (SELECT unnest(range(0, 4)) AS slot) s
+),
+dd AS (
+  SELECT user_id, item, MIN(slot)::INT AS slot
+  FROM cand GROUP BY 1, 2
+)
+SELECT user_id, item, slot
+FROM dd ANTI JOIN pos USING (user_id, item)
+ORDER BY user_id, item
+"""
+
+
+def q_doc_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/sample.balanced_oversample: every language class
+    oversampled (with replacement, deterministic md5 extra-copy
+    assignment) to exactly the size of the largest class."""
+    from netflix_data_ingestion_spark.operators.sample import (
+        balanced_oversample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return balanced_oversample(docs, "lang", "doc_id").orderBy(
+        "doc_id", "copy_idx"
+    )
+
+
+ORACLE_CLASS_BALANCE = """
+WITH c AS (SELECT lang, COUNT(*) AS n_c FROM documents GROUP BY 1),
+t AS (SELECT MAX(n_c) AS target FROM c),
+r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('bal|' || doc_id::VARCHAR), doc_id) AS rk
+  FROM documents
+),
+w AS (
+  SELECT r.lang, r.doc_id,
+         ((t.target // c.n_c)
+          + CASE WHEN r.rk <= t.target % c.n_c THEN 1 ELSE 0 END
+         )::BIGINT AS n_copies
+  FROM r JOIN c USING (lang), t
+)
+SELECT lang, doc_id, u.copy_idx::BIGINT AS copy_idx
+FROM w, unnest(range(1, n_copies + 1)) AS u(copy_idx)
+ORDER BY doc_id, copy_idx
+"""
+
+
 REGISTRY_LLM = {
     "user_heavy_hitters": (q_user_heavy_hitters, ORACLE_HEAVY_HITTERS),
+    "customer_part_negatives": (q_customer_part_negatives, ORACLE_NEGATIVES),
+    "doc_class_balance": (q_doc_class_balance, ORACLE_CLASS_BALANCE),
     "doc_line_dedup": (q_doc_line_dedup, ORACLE_LINE_DEDUP),
     "doc_bpe_token_stats": (q_doc_bpe_token_stats, ORACLE_BPE_STATS),
     "doc_pps_sample": (q_doc_pps_sample, ORACLE_PPS_SAMPLE),

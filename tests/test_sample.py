@@ -96,3 +96,68 @@ def test_bernoulli_mix_rates_and_determinism(spark):
     # boundary semantics
     assert bernoulli_mix(df, "doc_id", F.lit(0.0)).count() == 0
     assert bernoulli_mix(df, "doc_id", F.lit(1.0)).count() == 4000
+
+
+def test_negative_sample_excludes_positives_and_collapses_dups(spark):
+    from netflix_data_ingestion_spark.operators.sample import negative_sample
+
+    # tiny item domain (0..1) with k=8 draws: duplicate candidates MUST
+    # collapse to their first slot, and user 1's sole non-positive item
+    # is the only possible negative
+    positives = spark.createDataFrame(
+        [(1, 0), (2, 0), (2, 1)], "user_id long, item long"
+    )
+    items = spark.createDataFrame([(0,), (1,)], "item long")
+    out = negative_sample(positives, items, "user_id", "item", k=8).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append((r["item"], r["slot"]))
+    # user 2 owns the whole catalog: zero negatives survive the anti-join
+    assert 2 not in by_user
+    # user 1: only item 1 is a legal negative, collapsed to ONE row
+    assert len(by_user[1]) == 1 and by_user[1][0][0] == 1
+    # determinism
+    again = negative_sample(positives, items, "user_id", "item", k=8).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_negative_sample_draws_in_domain_and_bounded(spark):
+    from netflix_data_ingestion_spark.operators.sample import negative_sample
+
+    positives = spark.createDataFrame(
+        [(u, 0) for u in range(20)], "user_id long, item long"
+    )
+    items = spark.createDataFrame([(i,) for i in range(100)], "item long")
+    out = negative_sample(positives, items, "user_id", "item", k=4).collect()
+    assert all(0 <= r["item"] <= 99 for r in out)
+    per_user = {}
+    for r in out:
+        per_user[r["user_id"]] = per_user.get(r["user_id"], 0) + 1
+    assert all(n <= 4 for n in per_user.values())
+    # with a 100-item domain and one positive, nearly every draw survives
+    assert sum(per_user.values()) >= 20 * 3
+
+
+def test_balanced_oversample_exact_target_per_class(spark):
+    from netflix_data_ingestion_spark.operators.sample import (
+        balanced_oversample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "big") for i in range(5)] + [(100, "small"), (101, "small")],
+        "doc_id long, lang string",
+    )
+    out = balanced_oversample(df, "lang", "doc_id").collect()
+    per_class = {}
+    copies = {}
+    for r in out:
+        per_class[r["lang"]] = per_class.get(r["lang"], 0) + 1
+        copies[r["doc_id"]] = max(copies.get(r["doc_id"], 0), r["copy_idx"])
+    # every class lands exactly on the majority-class size
+    assert per_class == {"big": 5, "small": 5}
+    # big-class rows are copied once; small-class copies differ by <= 1
+    assert all(copies[i] == 1 for i in range(5))
+    assert sorted([copies[100], copies[101]]) == [2, 3]
+    # copy indexes are dense 1..n per doc
+    idx = sorted(r["copy_idx"] for r in out if r["doc_id"] == 101)
+    assert idx in ([1, 2], [1, 2, 3])
