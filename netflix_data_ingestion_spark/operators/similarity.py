@@ -397,3 +397,256 @@ def ivf_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cosine_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou, Douze, Schmid 2011): compressed-domain ANN
+# ---------------------------------------------------------------------------
+
+
+def _pq_qdist(sqv: F.Column, qc: list[int]) -> F.Column:
+    """Integer squared-L2 between a quantized subvector column and a
+    codeword literal — one JVM fold (operators/kmeans._qdist shape)."""
+    d = F.zip_with(sqv, F.lit(qc), lambda a, b: (a - b) * (a - b))
+    return F.aggregate(d, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def _pq_quantized(
+    df: DataFrame, id_col: str, vec_col: str, dim: int, scale: int
+) -> DataFrame:
+    """(id, __qv) — int64 fixed-point vectors; mis-sized vectors drop
+    (the NULL-gate discipline of bucket_expr)."""
+    return (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.round(x.cast("double") * scale).cast("long"),
+            ).alias("__qv"),
+        )
+        .filter(F.size("__qv") == dim)
+    )
+
+
+def _pq_sub_rows(q: DataFrame, id_col: str, m: int, dsub: int) -> DataFrame:
+    """(id, sub, sqv) — each vector split into its m subvectors (one
+    narrow explode, x m rows of 1/m-size payload: net zero data growth)."""
+    return q.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        F.slice(F.col("__qv"), s * dsub + 1, dsub).alias(
+                            "sqv"
+                        ),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("__ss"),
+    ).select(id_col, F.col("__ss.sub").alias("sub"), F.col("__ss.sqv").alias("sqv"))
+
+
+def _pq_assign_expr(cents: dict, m: int) -> F.Column:
+    """Best-codeword id for a (sub, sqv) row: per-sub argmin over the
+    codebook as array_min of k (d, cid) structs, selected by a
+    when-chain on sub — a narrow expression, no join
+    (kmeans.kmeans_train's assign step, per subspace).  The cid field is
+    extracted per-sub BEFORE the when-chain (merging struct columns
+    through when/otherwise drops field names)."""
+    code = None
+    for s in range(m):
+        cids = sorted(cid for (ss, cid) in cents if ss == s)
+        b = F.array_min(
+            F.array(
+                *[
+                    F.struct(
+                        _pq_qdist(F.col("sqv"), cents[(s, cid)]).alias("d"),
+                        F.lit(cid).alias("cid"),
+                    )
+                    for cid in cids
+                ]
+            )
+        )["cid"]
+        code = b if code is None else F.when(F.col("sub") == s, b).otherwise(code)
+    return code
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 1,
+    scale: int = 1_000_000,
+) -> dict:
+    """{(sub, cid): [int64 codeword]} — per-subspace k-means codebooks on
+    the 1/scale fixed-point grid (Lloyd's, operators/kmeans semantics:
+    lowest-id seeds, integer distances, integer-mean updates, empty
+    codewords drop out).  All m subspaces train TOGETHER: each round is
+    one pass over the (id, sub, sqv) rows plus one (sub, cid, pos)-keyed
+    shuffle whose payload is m x ksub x dsub partial sums — model-sized,
+    the parameter-server round-trip license of kmeans_train.
+    """
+    dsub = dim // m
+    q = _pq_quantized(corpus, id_col, vec_col, dim, scale)
+    seed_rows = q.orderBy(id_col).limit(ksub).collect()
+    cents = {
+        (s, cid): list(row["__qv"])[s * dsub : (s + 1) * dsub]
+        for cid, row in enumerate(seed_rows)
+        for s in range(m)
+    }
+    sub_rows = _pq_sub_rows(q, id_col, m, dsub)
+    for _ in range(iters):
+        # the generator (posexplode) must not share a select with the
+        # struct-extract chain: the analyzer's generator rewrite strips
+        # the struct field names — assign first, then explode
+        assigned = sub_rows.withColumn("code", _pq_assign_expr(cents, m))
+        new_rows = (
+            assigned.select("sub", "code", F.posexplode("sqv"))
+            .toDF("sub", "code", "spos", "q")
+            .groupBy("sub", "code", "spos")
+            .agg(F.sum("q").alias("sq"), F.count("*").alias("n"))
+            .select(
+                "sub",
+                "code",
+                "spos",
+                F.round(F.col("sq").cast("double") / F.col("n"))
+                .cast("long")
+                .alias("qc"),
+            )
+            .collect()
+        )
+        cents = {}
+        for r in new_rows:
+            cents.setdefault((r["sub"], r["code"]), [0] * dsub)
+            cents[(r["sub"], r["code"])][r["spos"]] = r["qc"]
+    return cents
+
+
+def pq_encode(
+    corpus: DataFrame,
+    cents: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 4,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """(id, sub, code) — each vector compressed to m codebook ids (the
+    stored PQ index: m small ints instead of dim floats, a ~dim/m x
+    compression).  Pure narrow map — codebooks ride in as literals."""
+    dsub = dim // m
+    q = _pq_quantized(corpus, id_col, vec_col, dim, scale)
+    sub_rows = _pq_sub_rows(q, id_col, m, dsub)
+    code = _pq_assign_expr(cents, m)
+    return sub_rows.select(id_col, "sub", code.cast("int").alias("code"))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 10,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 1,
+    candidates: int = 50,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Approximate top-k via product quantization with exact re-rank:
+    train per-subspace codebooks -> encode the corpus to m-byte codes ->
+    score candidates in the COMPRESSED domain by asymmetric distance
+    (ADC: per query, a m x ksub lookup table of integer subvector
+    distances; a vector's approx distance is the sum of its codes'
+    table entries) -> exact cosine re-rank of the top ``candidates``.
+
+    Scale shape: training is kmeans-style (iters corpus passes +
+    model-sized shuffles); encoding is a narrow map; the ADC scan joins
+    the (id, sub, code) table against a BROADCAST per-query lookup
+    table and reduces with one combinable (query, neighbor) sum — the
+    corpus-side payload is 3 small ints per subvector, never the float
+    vectors, which is the PQ promise at 100 TB (the index fits in a
+    fraction of the vector storage; full vectors are fetched only for
+    the ``candidates``-bounded re-rank).  All distances are fixed-point
+    integers, so ranking is bit-stable across engines; only the final
+    re-ranked cosine is float (rounded to 6, the shared tie discipline).
+    May return < k rows per query (recall grows with ``candidates``)."""
+    cents = pq_train_codebooks(
+        corpus, id_col, vec_col, dim, m, ksub, iters, scale
+    )
+    codes = pq_encode(corpus, cents, id_col, vec_col, dim, m, scale).select(
+        F.col(id_col).alias("neighbor_id"), "sub", "code"
+    )
+    dsub = dim // m
+    qq = _pq_quantized(queries, id_col, vec_col, dim, scale)
+    adc = qq.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        F.lit(cid).cast("int").alias("code"),
+                        _pq_qdist(
+                            F.slice(F.col("__qv"), s * dsub + 1, dsub),
+                            cents[(s, cid)],
+                        ).alias("pd"),
+                    )
+                    for (s, cid) in sorted(cents)
+                ]
+            )
+        ).alias("__e"),
+    ).select(
+        "query_id",
+        F.col("__e.sub").alias("sub"),
+        F.col("__e.code").alias("code"),
+        F.col("__e.pd").alias("pd"),
+    )
+    approx = (
+        codes.join(F.broadcast(adc), ["sub", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("pd").alias("adist"))
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        approx.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= candidates)
+        .select("query_id", "neighbor_id")
+    )
+    scored = (
+        cand.join(
+            queries.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+            ),
+            "query_id",
+        )
+        .join(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("c_vec"),
+            ),
+            "neighbor_id",
+        )
+        .withColumn(
+            "cosine_sim", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )

@@ -1097,6 +1097,124 @@ ORDER BY query_id, neighbor_id
 ORACLE_ANN_IVF = _ivf_trained_oracle()
 
 
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/similarity.pq_topk: product-quantization ANN — per-
+    subspace fixed-point k-means codebooks (4 subspaces x 16 dims,
+    8 codewords, 1 Lloyd round), corpus encoded to 4 small ints, ADC
+    candidate scoring in the compressed domain, exact cosine re-rank of
+    the top 50.  The oracle unrolls the whole thing (training included)
+    in SQL — integer distances make an iterative compression codec
+    hash-checkable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.pq_topk(
+        emb, queries, dim=64, k=10, m=4, ksub=8, iters=1, candidates=50
+    ).orderBy("query_id", "neighbor_id")
+
+
+def _pq_oracle(
+    dim: int = 64,
+    m: int = 4,
+    ksub: int = 8,
+    scale: int = 1_000_000,
+    candidates: int = 50,
+    k: int = 10,
+) -> str:
+    """Unrolled PQ oracle (1 Lloyd round): quantize -> per-subspace
+    seeds/assign/update -> encode -> ADC -> exact re-rank, mirroring
+    operators/similarity.pq_* stage by stage."""
+    dsub = dim // m
+    return f"""
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> round(x::DOUBLE * {scale})::BIGINT) AS qv
+  FROM embeddings WHERE len(embedding) = {dim}
+),
+pos AS (
+  SELECT vec_id, (i - 1) // {dsub} AS sub, (i - 1) % {dsub} AS spos, qv[i] AS q
+  FROM qv, unnest(range(1, len(qv) + 1)) AS r(i)
+),
+seeds AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+  FROM (SELECT vec_id FROM qv ORDER BY vec_id LIMIT {ksub})
+),
+c0 AS (
+  SELECT s.cid, p.sub, p.spos, p.q AS qc
+  FROM seeds s JOIN pos p USING (vec_id)
+),
+d1 AS (
+  SELECT p.vec_id, p.sub, c.cid,
+         SUM((p.q - c.qc) * (p.q - c.qc))::BIGINT AS dist
+  FROM pos p JOIN c0 c ON c.sub = p.sub AND c.spos = p.spos
+  GROUP BY 1, 2, 3
+),
+a1 AS (
+  SELECT vec_id, sub, cid FROM (
+    SELECT vec_id, sub, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                              ORDER BY dist, cid) AS rn
+    FROM d1) WHERE rn = 1
+),
+c1 AS (
+  SELECT a.cid, p.sub, p.spos,
+         round(SUM(p.q)::DOUBLE / COUNT(*))::BIGINT AS qc
+  FROM a1 a JOIN pos p USING (vec_id, sub)
+  GROUP BY 1, 2, 3
+),
+d2 AS (
+  SELECT p.vec_id, p.sub, c.cid,
+         SUM((p.q - c.qc) * (p.q - c.qc))::BIGINT AS dist
+  FROM pos p JOIN c1 c ON c.sub = p.sub AND c.spos = p.spos
+  GROUP BY 1, 2, 3
+),
+codes AS (
+  SELECT vec_id, sub, cid::INT AS code FROM (
+    SELECT vec_id, sub, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                              ORDER BY dist, cid) AS rn
+    FROM d2) WHERE rn = 1
+),
+adc AS (
+  SELECT p.vec_id AS query_id, p.sub, c.cid::INT AS code,
+         SUM((p.q - c.qc) * (p.q - c.qc))::BIGINT AS pd
+  FROM pos p JOIN c1 c ON c.sub = p.sub AND c.spos = p.spos
+  WHERE p.vec_id < 5
+  GROUP BY 1, 2, 3
+),
+ap AS (
+  SELECT a.query_id, cd.vec_id AS neighbor_id, SUM(a.pd)::BIGINT AS adist
+  FROM codes cd JOIN adc a ON a.sub = cd.sub AND a.code = cd.code
+  WHERE a.query_id <> cd.vec_id
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adist, neighbor_id) AS rn
+    FROM ap) WHERE rn <= {candidates}
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         ROUND({_DUCK_DOT.format(a='q', b='c')} /
+               (sqrt({_DUCK_DOT.format(a='q', b='q')}) *
+                sqrt({_DUCK_DOT.format(a='c', b='c')})), 6) AS cosine_sim
+  FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+            JOIN embeddings c ON c.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine_sim FROM (
+  SELECT scored.*,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+  FROM scored) WHERE rn <= {k}
+ORDER BY query_id, neighbor_id
+"""
+
+
+ORACLE_ANN_PQ = _pq_oracle()
+
+
 # ---------------------------------------------------------------------------
 # End-to-end corpus curation (the full ladder in one oracle-checked plan)
 # ---------------------------------------------------------------------------
@@ -2017,6 +2135,7 @@ REGISTRY_LLM = {
     "embedding_cosine_topk": (q_embedding_cosine_topk, ORACLE_COSINE_TOPK),
     "ann_lsh_topk": (q_ann_lsh_topk, ORACLE_ANN_LSH),
     "ann_ivf_topk": (q_ann_ivf_topk, ORACLE_ANN_IVF),
+    "ann_pq_topk": (q_ann_pq_topk, ORACLE_ANN_PQ),
     "doc_token_stats": (q_doc_token_stats, ORACLE_TOKEN_STATS),
     "doc_quality_score": (q_doc_quality_score, ORACLE_QUALITY),
     "doc_lang_id": (q_doc_lang_id, ORACLE_LANG_ID),

@@ -157,3 +157,67 @@ def test_l2_normalize_unit_length_and_zero_vector_policy(spark):
     # after normalization, dot IS cosine
     a, b = out[1], out[3]
     assert abs(sum(x * y for x, y in zip(a, b)) - (-0.8)) < 1e-12
+
+
+def test_pq_encode_shape_and_partition_invariance(spark):
+    import random
+
+    from netflix_data_ingestion_spark.operators.similarity import (
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = pq_train_codebooks(df, dim=8, m=4, ksub=4, iters=1)
+    # codebook keys live in [0, m) x [0, ksub)
+    assert all(0 <= s < 4 and 0 <= c < 4 for s, c in cents)
+    codes = pq_encode(df, cents, dim=8, m=4).collect()
+    # every vector gets exactly m codes, one per subspace
+    per_vec = {}
+    for r in codes:
+        per_vec.setdefault(r["vec_id"], set()).add(r["sub"])
+        assert (r["sub"], r["code"]) in cents
+    assert all(subs == {0, 1, 2, 3} for subs in per_vec.values())
+    # partition invariance: training + encoding are fixed-point integer
+    # ops, so any repartitioning gives identical codes
+    re = df.repartition(13)
+    cents2 = pq_train_codebooks(re, dim=8, m=4, ksub=4, iters=1)
+    assert cents2 == cents
+    codes2 = pq_encode(re, cents2, dim=8, m=4).collect()
+    assert sorted(map(tuple, codes2)) == sorted(map(tuple, codes))
+
+
+def test_pq_topk_finds_cluster_neighbors(spark):
+    import random
+
+    from netflix_data_ingestion_spark.operators.similarity import pq_topk
+
+    # two tight, well-separated direction clusters: PQ candidates must
+    # recover same-cluster neighbors for every query
+    rng = random.Random(3)
+
+    def around(base, n, start_id):
+        out = []
+        for j in range(n):
+            out.append(
+                (start_id + j,
+                 [b + rng.uniform(-0.02, 0.02) for b in base])
+            )
+        return out
+
+    a = around([1.0, 0.0, 1.0, 0.0, 1.0, 0.0, 1.0, 0.0], 12, 0)
+    b = around([-1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0], 12, 100)
+    df = spark.createDataFrame(a + b, "vec_id long, embedding array<float>")
+    from pyspark.sql import functions as F
+
+    queries = df.filter(F.col("vec_id").isin(0, 100))
+    out = pq_topk(
+        df, queries, dim=8, k=5, m=4, ksub=4, iters=1, candidates=12
+    ).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert all(n < 100 for n in got[0]) and len(got[0]) == 5
+    assert all(n >= 100 for n in got[100]) and len(got[100]) == 5
