@@ -689,3 +689,92 @@ def incremental_near_dup_candidates(
         .distinct()
     )
     return pairs, band_snapshot.union(new_bands)
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.9,
+    max_df: int = 5,
+) -> DataFrame:
+    """(id_a, id_b, intersection, containment) — ASYMMETRIC near-dup:
+    containment C = |A∩B| / min(|A|, |B|) >= threshold.  Catches the
+    short-doc-inside-long-doc duplicates (quoted articles, chunked
+    re-posts) that symmetric Jaccard structurally misses: a 100-shingle
+    doc embedded in a 10,000-shingle doc has J ≈ 0.01 but C = 1.0.
+
+    Candidates come from RARE-shingle blocking (the inverted-index
+    counterpart of MinHash banding): only shingles with document
+    frequency in [2, max_df] generate pairs, so per-shingle fan-out is
+    capped at max_df² and boilerplate shingles (the quadratic hazard)
+    never join.  Recall: a truly contained doc shares ALL its shingles
+    with its container, so it is found unless EVERY one of its
+    shingles is high-frequency boilerplate — the standard blocking
+    blind spot, owned here (such docs are better handled by
+    linededup.remove_common_segments first).
+
+    Shape at 100 TB: shingle df-count is one combinable shuffle; the
+    blocked self-join runs per rare-shingle group (bounded by max_df);
+    verification reuses the near_dup_pairs_at_scale long-format
+    single-projection pattern — one array projection pass, one join,
+    regroup shuffles candidate-matched arrays only.
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("__df"))
+        .filter((F.col("__df") >= 2) & (F.col("__df") <= max_df))
+        .select("shingle")
+    )
+    blocked = sh.join(rare, "shingle")
+    cand = (
+        blocked.alias("a")
+        .join(blocked.alias("b"), "shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    arrs = ensure_parallelism(df).select(
+        F.col(id_col).alias("jid"),
+        shingles(tokens(F.col(text_col)), n).alias("sh_arr"),
+    )
+    long = cand.select(
+        "id_a",
+        "id_b",
+        F.explode(
+            F.array(
+                F.struct(F.lit("a").alias("side"), F.col("id_a").alias("jid")),
+                F.struct(F.lit("b").alias("side"), F.col("id_b").alias("jid")),
+            )
+        ).alias("s"),
+    ).select(
+        "id_a", "id_b", F.col("s.side").alias("side"), F.col("s.jid").alias("jid")
+    )
+    paired = (
+        long.join(arrs, "jid")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.min_by("sh_arr", "side").alias("arr_a"),
+            F.max_by("sh_arr", "side").alias("arr_b"),
+        )
+    )
+    return (
+        paired.withColumn(
+            "intersection",
+            F.size(F.array_intersect("arr_a", "arr_b")).cast("long"),
+        )
+        .withColumn(
+            "containment",
+            F.col("intersection")
+            / F.least(
+                F.size("arr_a").cast("long"), F.size("arr_b").cast("long")
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "intersection", "containment")
+    )

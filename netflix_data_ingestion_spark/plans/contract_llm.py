@@ -1992,6 +1992,47 @@ ORDER BY doc_id
 """
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/dedup.containment_pairs: asymmetric short-in-long
+    near-dup via rare-shingle blocking (df in [2,5]) + exact
+    containment verify |A∩B|/min(|A|,|B|) >= 0.9 — the subset-dup
+    detector symmetric Jaccard structurally misses."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.9, max_df=5
+    ).orderBy("id_a", "id_b")
+
+
+ORACLE_CONTAINMENT = f"""
+WITH {_DUCK_SHINGLES},
+dfc AS (SELECT shingle, COUNT(*) AS dfn FROM sh GROUP BY 1),
+rare AS (SELECT shingle FROM dfc WHERE dfn BETWEEN 2 AND 5),
+blocked AS (SELECT s.doc_id, s.shingle FROM sh s JOIN rare USING (shingle)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM blocked a JOIN blocked b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+arrs AS (
+  SELECT doc_id, list(shingle) AS arr, COUNT(*) AS n_sh
+  FROM sh GROUP BY 1
+),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(sa.arr, sb.arr))::BIGINT AS intersection,
+         least(sa.n_sh, sb.n_sh)::BIGINT AS min_sh
+  FROM cand c
+  JOIN arrs sa ON sa.doc_id = c.id_a
+  JOIN arrs sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, intersection,
+       intersection::DOUBLE / min_sh::DOUBLE AS containment
+FROM verified
+WHERE intersection::DOUBLE / min_sh::DOUBLE >= 0.9
+ORDER BY id_a, id_b
+"""
+
+
 def q_user_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/sketch.heavy_hitters: exact frequent-item detection via
     a count-min screen — sketch pass (combinable, KB state), narrow
@@ -2129,6 +2170,7 @@ REGISTRY_LLM = {
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, ORACLE_DEDUP_MINHASH),
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "dedup_near_dup_scale": (q_dedup_near_dup_scale, ORACLE_DEDUP_NEAR_DUP_SCALE),
+    "dedup_containment": (q_dedup_containment, ORACLE_CONTAINMENT),
     "dedup_simhash": (q_dedup_simhash, ORACLE_DEDUP_SIMHASH),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, ORACLE_DEDUP_COSINE),
     "dedup_cosine_scale": (q_dedup_cosine_scale, ORACLE_DEDUP_COSINE_SCALE),

@@ -279,3 +279,49 @@ def test_incremental_candidates_equal_filtered_full_corpus(spark):
         map(tuple, minhash_band_table(docs, "doc_id", "text").collect())
     )
     assert a == b
+
+
+def test_containment_catches_subset_docs_jaccard_misses(spark):
+    from netflix_data_ingestion_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    words = [f"w{i}" for i in range(120)]
+    long_doc = " ".join(words)                 # 118 3-gram shingles
+    short_doc = " ".join(words[:12])           # 10 shingles, all inside
+    other = " ".join(f"x{i}" for i in range(50))
+    df = spark.createDataFrame(
+        [(1, long_doc), (2, short_doc), (3, other)],
+        "doc_id long, text string",
+    )
+    got = containment_pairs(
+        df, "doc_id", "text", n=3, threshold=0.9, max_df=5
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(1, 2)]
+    assert got[0]["containment"] == 1.0 and got[0]["intersection"] == 10
+    # symmetric Jaccard misses this pair at any usable threshold
+    jac = ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, threshold=0.5
+    ).collect()
+    assert (1, 2) not in [(r["id_a"], r["id_b"]) for r in jac]
+
+
+def test_containment_blocking_blind_spot_documented(spark):
+    from netflix_data_ingestion_spark.operators.dedup import containment_pairs
+
+    # a shingle shared by MORE than max_df docs never generates pairs:
+    # six identical docs with max_df=5 -> blocked (the boilerplate
+    # blind spot the docstring owns)
+    df = spark.createDataFrame(
+        [(i, "a b c d e f") for i in range(6)], "doc_id long, text string"
+    )
+    got = containment_pairs(
+        df, "doc_id", "text", n=3, threshold=0.9, max_df=5
+    ).collect()
+    assert got == []
+    # at max_df >= 6 the same corpus produces all 15 pairs
+    got6 = containment_pairs(
+        df, "doc_id", "text", n=3, threshold=0.9, max_df=6
+    ).collect()
+    assert len(got6) == 15
