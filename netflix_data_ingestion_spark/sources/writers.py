@@ -167,3 +167,117 @@ def write_balanced(
         .parquet(path)
     )
     return shards
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int,
+    order_col: str | None = None,
+) -> int:
+    """Rewrite a parquet directory into ``ceil(n / target)`` right-sized
+    files — the small-file compaction every long-running ingest needs
+    (streaming sinks and fine-grained partition writes accrete KB-sized
+    files; at 100 TB the NameNode/listing cost and per-file open
+    latency of millions of tiny files dominates scan time long before
+    the bytes do).
+
+    With ``order_col`` the rewrite uses ``repartitionByRange`` so files
+    stay CLUSTERED on that column and per-file min/max stats (parquet
+    footers and `write_manifest`) keep pruning power; without it a
+    plain repartition spreads rows evenly.  The swap is
+    write-to-temp + directory rename — the local-FS stand-in for the
+    manifest-pointer flip a table format does on an object store.
+    Returns the new file count.
+    """
+    import math
+    import os
+    import shutil
+
+    src = spark.read.parquet(path)
+    n = src.count()
+    shards = max(1, math.ceil(n / target_rows_per_file))
+    out = (
+        src.repartitionByRange(shards, F.col(order_col))
+        if order_col
+        else src.repartition(shards)
+    )
+    tmp = path.rstrip("/") + ".compact.tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return shards
+
+
+def _manifest_path(path: str) -> str:
+    return path.rstrip("/") + "_manifest"
+
+
+def write_manifest(
+    spark: SparkSession, path: str, key_cols: list[str]
+) -> str:
+    """Write a per-file min/max/row-count manifest for a parquet
+    directory — engine-level data skipping (the zone-map / table-format
+    pattern: prune FILES from the listing before any scan task runs,
+    which parquet row-group stats alone cannot do — they are consulted
+    only after a task has opened the file).
+
+    One aggregation pass grouped by ``input_file_name()``; output is
+    file-count-sized.  Pairs with `operators/zorder.zorder_layout` /
+    `compact_parquet(order_col=...)`: clustered layout makes per-file
+    ranges narrow, which is what gives min/max pruning its bite.
+    Returns the manifest path (``<path>_manifest``).
+    """
+    df = spark.read.parquet(path).withColumn("__file", F.input_file_name())
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in key_cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    man = (
+        df.groupBy("__file")
+        .agg(*aggs)
+        .withColumnRenamed("__file", "file")
+    )
+    mpath = _manifest_path(path)
+    man.coalesce(1).write.mode("overwrite").parquet(mpath)
+    return mpath
+
+
+def pruned_read(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    lo,
+    hi,
+) -> tuple[DataFrame, int, int]:
+    """Range-read ``[lo, hi]`` on ``key_col`` touching only the files
+    whose manifest min/max overlaps the range.  Returns
+    (dataframe, files_selected, files_total).
+
+    The manifest is a may-contain index, so the exact residual filter
+    is re-applied to the selected files — correctness never depends on
+    manifest freshness for FALSE positives (a stale manifest can only
+    over-select; after `compact_parquet` re-run `write_manifest`).
+    The manifest collect is file-list-sized (driver-safe).
+    """
+    man = spark.read.parquet(_manifest_path(path))
+    rows = man.select(
+        "file", f"min_{key_col}", f"max_{key_col}"
+    ).collect()
+    files = [
+        r["file"]
+        for r in rows
+        if r[f"max_{key_col}"] >= lo and r[f"min_{key_col}"] <= hi
+    ]
+    residual = F.col(key_col).between(lo, hi)
+    if not files:
+        return (
+            spark.read.parquet(path).filter(F.lit(False)),
+            0,
+            len(rows),
+        )
+    return (
+        spark.read.parquet(*files).filter(residual),
+        len(files),
+        len(rows),
+    )

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from netflix_data_ingestion_spark import schemas
 from netflix_data_ingestion_spark.sources.readers import read_jdbc
@@ -120,3 +121,48 @@ def test_write_balanced_even_shards(spark, tmp_path):
     # nothing lost, nothing duplicated
     assert spark.read.parquet(path).count() == 5000
     assert spark.read.parquet(path).select("id").distinct().count() == 5000
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    from netflix_data_ingestion_spark.sources.writers import compact_parquet
+
+    path = str(tmp_path / "frag")
+    df = spark.range(1000).withColumn("v", F.col("id") * 2)
+    df.repartition(50).write.parquet(path)
+    import glob
+
+    before = len(glob.glob(path + "/part-*.parquet"))
+    assert before == 50
+    shards = compact_parquet(spark, path, target_rows_per_file=500)
+    after = len(glob.glob(path + "/part-*.parquet"))
+    assert shards == 2 and after == 2
+    got = spark.read.parquet(path).orderBy("id").collect()
+    assert len(got) == 1000 and got[7]["v"] == 14
+    # temp dir cleaned up by the swap
+    assert not glob.glob(path + ".compact.tmp")
+
+
+def test_manifest_pruning_skips_files_and_matches_full_scan(spark, tmp_path):
+    from netflix_data_ingestion_spark.sources.writers import (
+        compact_parquet,
+        pruned_read,
+        write_manifest,
+    )
+
+    path = str(tmp_path / "clustered")
+    df = spark.range(2000).withColumn("v", F.col("id") % 7)
+    df.repartition(40).write.parquet(path)
+    # compact CLUSTERED on id, then manifest
+    compact_parquet(spark, path, target_rows_per_file=250, order_col="id")
+    write_manifest(spark, path, ["id"])
+    got, selected, total = pruned_read(spark, path, "id", 100, 180)
+    assert total == 8
+    # a narrow range on a range-clustered layout touches few files
+    assert 1 <= selected <= 2
+    expect = spark.read.parquet(path).filter(F.col("id").between(100, 180))
+    assert sorted(r["id"] for r in got.collect()) == sorted(
+        r["id"] for r in expect.collect()
+    )
+    # empty range: zero files, empty frame with the right schema
+    got0, sel0, _ = pruned_read(spark, path, "id", 99999, 100000)
+    assert sel0 == 0 and got0.count() == 0 and got0.columns == ["id", "v"]
