@@ -170,3 +170,34 @@ def snapshot_diff(
             *[F.col(f"__n_{c}").alias(c) for c in value_cols],
         )
     )
+
+
+def incremental_join_delta(
+    base_a: DataFrame,
+    delta_a: DataFrame,
+    base_b: DataFrame,
+    delta_b: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """The JOIN DELTA under append-only updates: exactly the rows that
+    (A∪ΔA) ⋈ (B∪ΔB) has beyond A ⋈ B — incremental view maintenance
+    for joins (the classic delta rule; Blakeley et al., SIGMOD'86),
+    the join-side companion to ``merge_aggregates``'s algebraic
+    combine.
+
+    Algebra: new⋈ − old⋈ = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB, computed here as
+    ``ΔA ⋈ (B∪ΔB)  ∪  A ⋈ ΔB`` — two joins covering the three terms
+    exactly once.  Both join only ON THE DELTAS' keys: at 100 TB the
+    daily increment of a maintained join costs O(|Δ| + base rows
+    matching Δ's keys) — with the base stored bucketed on ``on``
+    (sources/writers.write_bucketed), the base side is a shuffle-free
+    partition-pruned probe — instead of re-joining two full tables.
+
+    Caller contract: deltas are strictly NEW rows (append-only; updates
+    and deletes route through ``merge_upsert``/``snapshot_diff``
+    first), and delta schemas match their bases.  Emitting the delta
+    (not the merged view) is deliberate: downstream incremental
+    consumers (merge_aggregates, sinks) want the increment.
+    """
+    b_full = base_b.unionByName(delta_b)
+    return delta_a.join(b_full, on).unionByName(base_a.join(delta_b, on))

@@ -1114,7 +1114,93 @@ ORDER BY l_suppkey
 """
 
 
+# ---------------------------------------------------------------------------
+# dense_rank: top price LEVELS per brand with ties kept — the tie-aware
+# twin of part_revenue_rank_in_brand's row_number (which cuts ties
+# arbitrarily; a "top 3 price points" question needs every part AT each
+# point)
+# ---------------------------------------------------------------------------
+
+
+def q_brand_top_price_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
+    return (
+        part.withColumn("price_rank", F.dense_rank().over(w))
+        .filter(F.col("price_rank") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "price_rank")
+        .orderBy("p_brand", "price_rank", "p_partkey")
+    )
+
+
+ORACLE_TOP_PRICE_LEVELS = """
+SELECT p_brand, p_partkey, p_retailprice, price_rank
+FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         DENSE_RANK() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC)::INT AS price_rank
+  FROM part
+)
+WHERE price_rank <= 3
+ORDER BY p_brand, price_rank, p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Incremental join maintenance: the delta of orders ⋈ lineitem under
+# append-only increments.  The oracle computes new⋈ EXCEPT ALL old⋈ —
+# i.e. it verifies the IVM IDENTITY (delta formula == recompute diff),
+# not just the implementation against itself.
+# ---------------------------------------------------------------------------
+
+
+def q_orders_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/merge.incremental_join_delta on a deterministic split:
+    orders increment = keys % 10 == 0, lineitem increment = keys % 7 ==
+    0, so all three delta terms (ΔA⋈B, A⋈ΔB, ΔA⋈ΔB at % 70 == 0) are
+    exercised."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_custkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_linenumber", "l_quantity"
+    )
+    out = merge.incremental_join_delta(
+        orders.filter(F.col("okey") % 10 != 0),
+        orders.filter(F.col("okey") % 10 == 0),
+        li.filter(F.col("okey") % 7 != 0),
+        li.filter(F.col("okey") % 7 == 0),
+        ["okey"],
+    )
+    return out.select(
+        "okey", "l_linenumber", "o_custkey", "l_quantity"
+    ).orderBy("okey", "l_linenumber")
+
+
+ORACLE_JOIN_DELTA = """
+WITH o AS (SELECT o_orderkey AS okey, o_custkey FROM orders),
+l AS (SELECT l_orderkey AS okey, l_linenumber, l_quantity FROM lineitem),
+newj AS (
+  SELECT o.okey, l.l_linenumber, o.o_custkey, l.l_quantity
+  FROM o JOIN l USING (okey)
+),
+oldj AS (
+  SELECT o.okey, l.l_linenumber, o.o_custkey, l.l_quantity
+  FROM (SELECT * FROM o WHERE okey % 10 <> 0) o
+  JOIN (SELECT * FROM l WHERE okey % 7 <> 0) l USING (okey)
+)
+SELECT okey, l_linenumber, o_custkey, l_quantity
+FROM (SELECT * FROM newj EXCEPT ALL SELECT * FROM oldj)
+ORDER BY okey, l_linenumber
+"""
+
+
 REGISTRY_EXTRA = {
+    "orders_join_delta": (q_orders_join_delta, ORACLE_JOIN_DELTA),
+    "brand_top_price_levels": (
+        q_brand_top_price_levels,
+        ORACLE_TOP_PRICE_LEVELS,
+    ),
     "order_price_mad_outliers": (
         q_order_price_mad_outliers,
         ORACLE_MAD_OUTLIERS,

@@ -107,3 +107,38 @@ def test_merge_aggregates_one_sided_keys_and_combines(spark):
     # one-sided keys pass through untouched
     assert (out["d2"]["n"], out["d2"]["s"]) == (1, 7)
     assert (out["d3"]["n"], out["d3"]["s"]) == (4, 1)
+
+
+def test_incremental_join_delta_equals_recompute_diff(spark):
+    from netflix_data_ingestion_spark.operators.merge import (
+        incremental_join_delta,
+    )
+
+    a = spark.createDataFrame(
+        [(k, f"a{k}") for k in range(30)], "k long, av string"
+    )
+    b = spark.createDataFrame(
+        [(k % 20, f"b{i}") for i, k in enumerate(range(60))],
+        "k long, bv string",
+    )
+    base_a, delta_a = a.filter("k % 3 != 0"), a.filter("k % 3 = 0")
+    base_b, delta_b = b.filter("k % 4 != 0"), b.filter("k % 4 = 0")
+    got = incremental_join_delta(base_a, delta_a, base_b, delta_b, ["k"])
+    full = a.join(b, ["k"])
+    old = base_a.join(base_b, ["k"])
+    expect = full.exceptAll(old)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, expect.collect())
+    )
+    # empty increments produce an empty delta
+    none = incremental_join_delta(
+        a, a.limit(0), b, b.limit(0), ["k"]
+    ).count()
+    assert none == 0
+    # everything-is-new degenerates to the full join
+    allnew = incremental_join_delta(
+        a.limit(0), a, b.limit(0), b, ["k"]
+    )
+    assert sorted(map(tuple, allnew.collect())) == sorted(
+        map(tuple, full.collect())
+    )
