@@ -1992,6 +1992,31 @@ ORDER BY doc_id
 """
 
 
+def q_events_throttled_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming/ingest.throttle_events_batch: per-(user, day) rate cap
+    at 2 events, admitted in (ts, event_id) order — the oracle-pinned
+    batch twin of the applyInPandasWithState streaming rate limiter."""
+    from netflix_data_ingestion_spark.streaming.ingest import (
+        throttle_events_batch,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    return throttle_events_batch(
+        events, key_col="user_id", bucket="day", limit=2
+    ).orderBy("event_id")
+
+
+ORACLE_THROTTLED = """
+SELECT event_id, ts, user_id, event_type, value FROM (
+  SELECT event_id, ts, user_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn <= 2
+ORDER BY event_id
+"""
+
+
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/dedup.containment_pairs: asymmetric short-in-long
     near-dup via rare-shingle blocking (df in [2,5]) + exact
@@ -2151,6 +2176,7 @@ ORDER BY doc_id, copy_idx
 
 REGISTRY_LLM = {
     "user_heavy_hitters": (q_user_heavy_hitters, ORACLE_HEAVY_HITTERS),
+    "events_throttled_daily": (q_events_throttled_daily, ORACLE_THROTTLED),
     "customer_part_negatives": (q_customer_part_negatives, ORACLE_NEGATIVES),
     "doc_class_balance": (q_doc_class_balance, ORACLE_CLASS_BALANCE),
     "doc_line_dedup": (q_doc_line_dedup, ORACLE_LINE_DEDUP),

@@ -582,3 +582,95 @@ def maintain_hll_stream(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
+
+
+THROTTLE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ]
+)
+
+THROTTLE_STATE_SCHEMA = T.StructType(
+    [T.StructField("kept", T.IntegerType(), True)]
+)
+
+
+def throttle_events(
+    events: DataFrame,
+    key_col: str = "user_id",
+    bucket: str = "hour",
+    limit: int = 10,
+    watermark: str = "2 hours",
+    timeout_ms: int = 2 * 60 * 60 * 1000,
+) -> DataFrame:
+    """Per-key RATE LIMIT: pass through at most ``limit`` events per
+    (key, time bucket), drop the rest — the ingestion quota that stops
+    one hot producer flooding a 100 TB pipeline (the streaming-time
+    counterpart of sample.quota_sample's corpus-time domain cap).
+
+    ``applyInPandasWithState`` keyed on (key, bucket): state is ONE int
+    (events kept so far) per active (key, bucket) — bounded, expired by
+    timeout after the bucket goes quiet.  Within a micro-batch events
+    are admitted in (ts, event_id) order; ACROSS micro-batches
+    admission is by arrival (an already-admitted event is never
+    revoked), so under late data the streamed kept-set can differ from
+    the batch twin's first-N-by-event-time — the inherent
+    streaming/batch divergence, same as any online quota.  The batch
+    twin ``throttle_events_batch`` (oracle-checked) pins the bucket
+    math and the (ts, event_id) admission order.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (kept,) = state.get if state.exists else (0,)
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        room = max(0, limit - kept)
+        out = rows.iloc[:room]
+        state.update((min(limit, kept + len(rows)),))
+        state.setTimeoutDuration(timeout_ms)
+        if len(out):
+            yield out[["event_id", "ts", "user_id", "event_type", "value"]]
+
+    bucketed = events.withWatermark("ts", watermark).withColumn(
+        "__bucket", F.date_trunc(bucket, F.col("ts"))
+    )
+    return bucketed.groupBy(key_col, "__bucket").applyInPandasWithState(
+        fn,
+        outputStructType=THROTTLE_OUTPUT_SCHEMA,
+        stateStructType=THROTTLE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="ProcessingTimeTimeout",
+    )
+
+
+def throttle_events_batch(
+    events: DataFrame,
+    key_col: str = "user_id",
+    bucket: str = "hour",
+    limit: int = 10,
+) -> DataFrame:
+    """Batch twin of `throttle_events`: first ``limit`` events per
+    (key, bucket) in (ts, event_id) order — one keyed window, rank,
+    cut.  Oracle-checked (`events_throttled_hourly`)."""
+    w = Window.partitionBy(
+        key_col, F.date_trunc(bucket, F.col("ts"))
+    ).orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        events.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= limit)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )

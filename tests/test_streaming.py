@@ -600,3 +600,66 @@ def test_streaming_hll_maintenance_idempotent_under_replay(
     assert {
         r["bucket"]: r["register"] for r in replay.collect()
     } == want
+
+
+@pytest.fixture(scope="module")
+def throttle_dir(spark, tmp_path_factory):
+    # user 1: five events inside hour 0 (cap bites), one in hour 2;
+    # user 2: two events in hour 0 (under cap). Split across two files
+    # so admission spans micro-batches.
+    rows = _mk_events(
+        offsets_minutes=[0, 5, 10, 15, 20, 125, 7, 30],
+        user_ids=[1, 1, 1, 1, 1, 1, 2, 2],
+        values=[1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0],
+    )
+    df = spark.createDataFrame(rows, ingest.EVENT_SCHEMA)
+    flat = tmp_path_factory.mktemp("throttle_flat")
+    for i, pred in enumerate(["event_id < 4", "event_id >= 4"]):
+        part = str(flat / f"f{i}.parquet")
+        import glob as _g
+        import os as _os
+        import shutil as _sh
+
+        tmp = str(flat / f"tmp{i}")
+        df.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = _g.glob(tmp + "/*.parquet")[0]
+        _sh.copyfile(src, part)
+        _sh.rmtree(tmp)
+    return str(flat)
+
+
+def test_throttle_stream_caps_per_bucket(spark, throttle_dir):
+    stream = ingest.stream_events(spark, throttle_dir)
+    out = ingest.throttle_events(
+        stream, key_col="user_id", bucket="hour", limit=3
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_throttle")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("t_throttle").collect()
+    by_bucket = {}
+    for r in got:
+        key = (r["user_id"], r["ts"].hour)
+        by_bucket.setdefault(key, []).append(r["event_id"])
+    # cap holds per (user, hour) even across micro-batches
+    assert all(len(v) <= 3 for v in by_bucket.values())
+    assert len(by_bucket[(1, 0)]) == 3
+    # under-cap buckets pass through whole
+    assert sorted(by_bucket[(2, 0)]) == [6, 7]
+    assert by_bucket[(1, 2)] == [5]
+
+
+def test_throttle_batch_twin_event_time_order(spark, throttle_dir):
+    events = spark.read.parquet(throttle_dir)
+    got = ingest.throttle_events_batch(
+        events, key_col="user_id", bucket="hour", limit=3
+    ).collect()
+    ids = sorted(r["event_id"] for r in got)
+    # batch twin admits the FIRST 3 by event time: ids 0,1,2 for user 1
+    # hour 0; everything else under cap
+    assert ids == [0, 1, 2, 5, 6, 7]
