@@ -444,3 +444,47 @@ def bpe_token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .cast("bigint")
         .alias("n_symbol"),
     )
+
+
+def bigram_lm_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(w1, w2, cnt, ctx_total, cont_w2) — corpus bigram language-model
+    count table with the Kneser-Ney ingredients (Kneser & Ney 1995;
+    Chen & Goodman 1998): raw bigram count, the left context's total
+    outgoing mass ``ctx_total = Σ_x c(w1 x)``, and the right word's
+    continuation breadth ``cont_w2 = |{x : c(x w2) > 0}|``.  From these
+    a consumer computes absolute-discount / KN probabilities without
+    another corpus pass — the count table IS the trained model, which
+    is what n-gram quality scoring and perplexity-based data filtering
+    need at corpus scale.
+
+    Shape: ONE corpus pass (narrow token/pair explode) into one
+    combinable (w1, w2) groupBy; ctx_total and cont_w2 are then
+    UNORDERED window aggregates over the bigram-count table itself —
+    two exchanges of the (much smaller) count table, no sort (a
+    whole-partition window), and no second scan of the corpus.
+    cont_w2 is COUNT(*) per w2 over the count table — one row per
+    distinct (w1, w2) makes that exactly the distinct-context count.
+    """
+    tok = tokens(F.col(text_col))
+    pairs = F.when(
+        F.size(tok) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tok) - 1),
+            lambda i: F.struct(
+                F.element_at(tok, i).alias("w1"),
+                F.element_at(tok, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    counts = (
+        ensure_parallelism(df)
+        .select(F.explode(pairs).alias("bg"))
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w_ctx = Window.partitionBy("w1")
+    w_cont = Window.partitionBy("w2")
+    return counts.withColumn(
+        "ctx_total", F.sum("cnt").over(w_ctx).cast("long")
+    ).withColumn("cont_w2", F.count(F.lit(1)).over(w_cont).cast("long"))

@@ -1992,6 +1992,34 @@ ORDER BY doc_id
 """
 
 
+def q_corpus_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/textstats.bigram_lm_counts: the corpus bigram count
+    table with Kneser-Ney ingredients (context mass + continuation
+    breadth) — one corpus pass, two unordered window exchanges over the
+    count table."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.bigram_lm_counts(docs, "doc_id", "text").orderBy(
+        "w1", "w2"
+    )
+
+
+ORACLE_BIGRAM_LM = f"""
+WITH {_DUCK_TOKS},
+bg AS (
+  SELECT tk[i] AS w1, tk[i + 1] AS w2
+  FROM toks, unnest(range(1, len(tk))) AS u(i)
+),
+counts AS (
+  SELECT w1, w2, COUNT(*)::BIGINT AS cnt FROM bg GROUP BY 1, 2
+)
+SELECT w1, w2, cnt,
+       SUM(cnt) OVER (PARTITION BY w1)::BIGINT AS ctx_total,
+       COUNT(*) OVER (PARTITION BY w2)::BIGINT AS cont_w2
+FROM counts
+ORDER BY w1, w2
+"""
+
+
 def q_events_throttled_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """streaming/ingest.throttle_events_batch: per-(user, day) rate cap
     at 2 events, admitted in (ts, event_id) order — the oracle-pinned
@@ -2181,6 +2209,7 @@ REGISTRY_LLM = {
     "doc_class_balance": (q_doc_class_balance, ORACLE_CLASS_BALANCE),
     "doc_line_dedup": (q_doc_line_dedup, ORACLE_LINE_DEDUP),
     "doc_bpe_token_stats": (q_doc_bpe_token_stats, ORACLE_BPE_STATS),
+    "corpus_bigram_lm": (q_corpus_bigram_lm, ORACLE_BIGRAM_LM),
     "doc_pps_sample": (q_doc_pps_sample, ORACLE_PPS_SAMPLE),
     "user_context_window": (q_user_context_window, ORACLE_CONTEXT),
     "embedding_l2_normalize": (q_embedding_l2_normalize, ORACLE_L2_NORMALIZE),

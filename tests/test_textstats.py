@@ -190,3 +190,25 @@ def test_bpe_pretokenize_classes_and_counts(spark):
     assert stats[1] == (9, 5, 1, 3)  # 's counts as a word token
     assert stats[2] == (0, 0, 0, 0)
     assert stats[3] == (1, 0, 0, 1)
+
+
+def test_bigram_lm_counts_kn_ingredients(spark):
+    from netflix_data_ingestion_spark.operators.textstats import (
+        bigram_lm_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "b c"), (3, "solo"), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["w1"], r["w2"]): (r["cnt"], r["ctx_total"], r["cont_w2"])
+        for r in bigram_lm_counts(df, "doc_id", "text").collect()
+    }
+    # counts: ab x2 (doc1), ba x1, bc x2 (doc1 + doc2); single-token and
+    # empty docs contribute nothing
+    assert got == {
+        ("a", "b"): (2, 2, 1),   # ctx a->* total 2; contexts of b = {a}
+        ("b", "a"): (1, 3, 1),   # ctx b->* total 3; contexts of a = {b}
+        ("b", "c"): (2, 3, 1),   # contexts of c = {b}
+    }
