@@ -488,3 +488,51 @@ def bigram_lm_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return counts.withColumn(
         "ctx_total", F.sum("cnt").over(w_ctx).cast("long")
     ).withColumn("cont_w2", F.count(F.lit(1)).over(w_cont).cast("long"))
+
+
+def vocab_growth(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bucket_size: int = 100,
+) -> DataFrame:
+    """(bucket, new_terms, vocab_size) — the corpus vocabulary-growth
+    (Heaps-law) curve sampled at ``bucket_size``-document boundaries:
+    how many NEVER-SEEN-BEFORE terms each id-ordered document block
+    introduces, and the running distinct-vocabulary total.  The
+    diagnostic behind tokenizer-coverage and dedup-health checks (a
+    corpus whose curve stays linear is accreting boilerplate variants;
+    a healthy crawl flattens).
+
+    Distributed shape: "running distinct" without any per-doc global
+    window — each term's FIRST document (one combinable min shuffle
+    over the term space), counts per bucket (combinable), then ONE
+    ordered cumulative sum over the #buckets-row frame.  Buckets are
+    the scale valve: the only unpartitioned window runs over
+    n_docs / bucket_size rows (a plottable curve is at most a few
+    thousand points no matter the corpus), never over documents.
+    Empty buckets in id-range gaps are absent from the output (the
+    curve is sampled at occupied blocks; gap-fill composes via
+    operators/gapfill if a dense axis is wanted).
+    """
+    first_seen = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(tokens(F.col(text_col)))).alias(
+                "__term"
+            ),
+        )
+        .groupBy("__term")
+        .agg(F.min(id_col).alias("__first_doc"))
+    )
+    per_bucket = first_seen.groupBy(
+        (F.col("__first_doc") - F.pmod("__first_doc", F.lit(bucket_size)))
+        .alias("bucket")
+    ).agg(F.count("*").cast("long").alias("new_terms"))
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_bucket.withColumn(
+        "vocab_size", F.sum("new_terms").over(w).cast("long")
+    )

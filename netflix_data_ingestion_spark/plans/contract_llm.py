@@ -1992,6 +1992,77 @@ ORDER BY doc_id
 """
 
 
+def q_doc_quality_source_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition: per-SOURCE adaptive quality gate — keep documents at
+    or above their own source's p25 quality (textstats.quality_score ->
+    profile.exact_quantiles -> broadcast threshold join).  A fixed
+    global cutoff over-prunes clean sources and under-prunes noisy
+    ones; the per-source percentile is the standard corpus-mix-
+    preserving form.  NULL-score (empty/token-free) docs are excluded
+    before ranking — engines disagree on NULL sort position."""
+    from netflix_data_ingestion_spark.operators.profile import (
+        exact_quantiles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    q = textstats.quality_score(docs, "doc_id", "text").select(
+        "doc_id", "quality_score"
+    )
+    scored = (
+        docs.select("doc_id", "source")
+        .join(q, "doc_id")
+        .filter(F.col("quality_score").isNotNull())
+    )
+    p25 = exact_quantiles(
+        scored, ["source"], "quality_score", qs=(0.25,)
+    ).select("source", "p25")
+    return (
+        scored.join(F.broadcast(p25), "source")
+        .filter(F.col("quality_score") >= F.col("p25"))
+        .select("doc_id", "source", "quality_score", "p25")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_QUALITY_SOURCE_CUT = f"""
+WITH {_DUCK_TOKS},
+qbase AS (
+  SELECT d.doc_id, d.source,
+         length(d.text)::BIGINT AS n,
+         length(regexp_replace(d.text, '[^A-Za-z]', '', 'g'))::BIGINT AS alpha,
+         length(regexp_replace(d.text, '[^0-9]', '', 'g'))::BIGINT AS digit,
+         length(regexp_replace(d.text, '[^ ]', '', 'g'))::BIGINT AS space,
+         len(t.tk)::BIGINT AS n_tokens,
+         len(list_filter(t.tk, x -> x IN ({_STOP_LIST_SQL})))::BIGINT AS n_stop
+  FROM documents d JOIN toks t USING (doc_id)
+  WHERE length(d.text) > 0 AND len(t.tk) > 0
+),
+scored AS (
+  SELECT doc_id, source,
+         (4 * alpha * n_tokens + 3 * n_stop * n +
+          3 * n_tokens * (alpha + digit + space))::DOUBLE
+           / (10 * n * n_tokens)::DOUBLE AS quality_score
+  FROM qbase
+),
+rk AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY quality_score ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM scored
+),
+p AS (
+  SELECT source,
+         MAX(CASE WHEN rn = CEIL(0.25 * n) THEN quality_score END) AS p25
+  FROM rk GROUP BY 1
+)
+SELECT s.doc_id, s.source, s.quality_score, p.p25
+FROM scored s JOIN p USING (source)
+WHERE s.quality_score >= p.p25
+ORDER BY s.doc_id
+"""
+
+
 def q_corpus_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/textstats.bigram_lm_counts: the corpus bigram count
     table with Kneser-Ney ingredients (context mass + continuation
@@ -2017,6 +2088,41 @@ SELECT w1, w2, cnt,
        COUNT(*) OVER (PARTITION BY w2)::BIGINT AS cont_w2
 FROM counts
 ORDER BY w1, w2
+"""
+
+
+def q_corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/textstats.vocab_growth: Heaps-law curve at 2-doc
+    blocks — distributed running-distinct via per-term first-doc (one
+    combinable shuffle); the only unpartitioned window runs over the
+    bucket frame, never over documents.  (The synthetic corpus has a
+    ~31-word vocabulary that saturates within the first handful of
+    docs, so the contract samples finely to get a real curve.)"""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.vocab_growth(
+        docs, "doc_id", "text", bucket_size=2
+    ).orderBy("bucket")
+
+
+ORACLE_VOCAB_GROWTH = f"""
+WITH {_DUCK_TOKS},
+terms AS (
+  SELECT doc_id, t.term
+  FROM toks, unnest(list_distinct(tk)) AS t(term)
+),
+firstd AS (
+  SELECT term, MIN(doc_id) AS fd FROM terms GROUP BY 1
+),
+per_bucket AS (
+  SELECT fd - (fd % 2) AS bucket, COUNT(*)::BIGINT AS new_terms
+  FROM firstd GROUP BY 1
+)
+SELECT bucket, new_terms,
+       SUM(new_terms) OVER (ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         AS vocab_size
+FROM per_bucket
+ORDER BY bucket
 """
 
 
@@ -2210,6 +2316,11 @@ REGISTRY_LLM = {
     "doc_line_dedup": (q_doc_line_dedup, ORACLE_LINE_DEDUP),
     "doc_bpe_token_stats": (q_doc_bpe_token_stats, ORACLE_BPE_STATS),
     "corpus_bigram_lm": (q_corpus_bigram_lm, ORACLE_BIGRAM_LM),
+    "doc_quality_source_cut": (
+        q_doc_quality_source_cut,
+        ORACLE_QUALITY_SOURCE_CUT,
+    ),
+    "corpus_vocab_growth": (q_corpus_vocab_growth, ORACLE_VOCAB_GROWTH),
     "doc_pps_sample": (q_doc_pps_sample, ORACLE_PPS_SAMPLE),
     "user_context_window": (q_user_context_window, ORACLE_CONTEXT),
     "embedding_l2_normalize": (q_embedding_l2_normalize, ORACLE_L2_NORMALIZE),

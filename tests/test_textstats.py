@@ -212,3 +212,23 @@ def test_bigram_lm_counts_kn_ingredients(spark):
         ("b", "a"): (1, 3, 1),   # ctx b->* total 3; contexts of a = {b}
         ("b", "c"): (2, 3, 1),   # contexts of c = {b}
     }
+
+
+def test_vocab_growth_first_seen_accounting(spark):
+    from netflix_data_ingestion_spark.operators.textstats import vocab_growth
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c"),        # bucket 0: introduces a,b,c
+            (1, "b c d"),        # +d
+            (10, "a d e"),       # bucket 10: +e
+            (11, ""),            # empty doc introduces nothing
+            (20, "a b"),         # bucket 20: nothing new -> absent
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["bucket"]: (r["new_terms"], r["vocab_size"])
+        for r in vocab_growth(df, "doc_id", "text", bucket_size=10).collect()
+    }
+    assert got == {0: (4, 4), 10: (1, 5)}
