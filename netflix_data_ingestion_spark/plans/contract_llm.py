@@ -2091,6 +2091,79 @@ ORDER BY w1, w2
 """
 
 
+def q_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/cooccur.cooccurrence_pairs: parts bought together
+    (order = basket, set semantics, support >= 2) with the exact-integer
+    PMI marginals."""
+    from netflix_data_ingestion_spark.operators.cooccur import (
+        cooccurrence_pairs,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return cooccurrence_pairs(
+        li, "l_orderkey", "l_partkey", min_support=2
+    ).orderBy("item_a", "item_b")
+
+
+ORACLE_COOCCURRENCE = """
+WITH bi AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+),
+pairs AS (
+  SELECT a.i AS item_a, b.i AS item_b, COUNT(*)::BIGINT AS pair_count
+  FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+),
+ic AS (SELECT i, COUNT(*)::BIGINT AS c FROM bi GROUP BY 1),
+t AS (SELECT COUNT(DISTINCT b)::BIGINT AS n_baskets FROM bi)
+SELECT p.item_a, p.item_b, p.pair_count,
+       ca.c AS count_a, cb.c AS count_b, t.n_baskets
+FROM pairs p
+JOIN ic ca ON ca.i = p.item_a
+JOIN ic cb ON cb.i = p.item_b, t
+ORDER BY item_a, item_b
+"""
+
+
+def q_purchase_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/attribution.linear_attribution: each purchase's credit
+    split 1/n over the same user's views in the preceding day —
+    one user-keyed join + one unordered window; the 1/n weight is a
+    single int division (bit-identical across engines)."""
+    from netflix_data_ingestion_spark.operators.attribution import (
+        linear_attribution,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    return linear_attribution(events).orderBy(
+        "conversion_id", "touch_id"
+    )
+
+
+ORACLE_ATTRIBUTION = """
+WITH conv AS (
+  SELECT event_id AS conversion_id, user_id, ts AS cts
+  FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT event_id AS touch_id, user_id, ts AS tts
+  FROM events WHERE event_type = 'view'
+),
+j AS (
+  SELECT c.conversion_id, t.touch_id, c.user_id
+  FROM conv c JOIN touch t
+    ON c.user_id = t.user_id
+   AND t.tts < c.cts
+   AND t.tts >= c.cts - INTERVAL 1 DAY
+)
+SELECT conversion_id, touch_id, user_id,
+       1::DOUBLE / COUNT(*) OVER (PARTITION BY conversion_id) AS weight
+FROM j
+ORDER BY conversion_id, touch_id
+"""
+
+
 def q_corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/textstats.vocab_growth: Heaps-law curve at 2-doc
     blocks — distributed running-distinct via per-term first-doc (one
@@ -2321,6 +2394,11 @@ REGISTRY_LLM = {
         ORACLE_QUALITY_SOURCE_CUT,
     ),
     "corpus_vocab_growth": (q_corpus_vocab_growth, ORACLE_VOCAB_GROWTH),
+    "part_cooccurrence": (q_part_cooccurrence, ORACLE_COOCCURRENCE),
+    "purchase_view_attribution": (
+        q_purchase_view_attribution,
+        ORACLE_ATTRIBUTION,
+    ),
     "doc_pps_sample": (q_doc_pps_sample, ORACLE_PPS_SAMPLE),
     "user_context_window": (q_user_context_window, ORACLE_CONTEXT),
     "embedding_l2_normalize": (q_embedding_l2_normalize, ORACLE_L2_NORMALIZE),
