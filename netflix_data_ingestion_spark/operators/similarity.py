@@ -650,3 +650,38 @@ def pq_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cosine_sim")
     )
+
+
+def random_projection(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 8,
+    dim: int | None = None,
+) -> DataFrame:
+    """(id, proj) — Johnson-Lindenstrauss-style dimensionality reduction
+    to ``out_dim`` via the md5 hyperplane family (Achlioptas-flavored
+    discrete components): output component p is the plane-p projection
+    Σ_d vec[d]·(hexdigit(md5('p:d')) − 7.5).  ``bucket_expr`` is the
+    SIGN pattern of exactly this map, so indexes built in the reduced
+    space stay consistent with the LSH buckets; distances contract
+    toward 1±ε per JL with out_dim ~ O(log n / ε²).
+
+    Pure narrow map (one JVM fold per output dim, no shuffle, no
+    Python) — the cheap first stage before brute-force/PQ in the
+    reduced space.  With ``dim`` given, components embed as literals
+    (no runtime md5).  NULL/mis-sized vectors drop, the bucket_expr
+    NULL-gate discipline.
+    """
+    vec = F.col(vec_col)
+    arr = F.array(
+        *[_plane_projection(vec, p, dim) for p in range(1, out_dim + 1)]
+    )
+    guard = (
+        F.size(vec) == F.lit(dim) if dim is not None else F.size(vec) > 0
+    )
+    return (
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.when(guard, arr).alias("proj"))
+        .filter(F.col("proj").isNotNull())
+    )

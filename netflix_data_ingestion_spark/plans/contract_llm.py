@@ -2091,6 +2091,41 @@ ORDER BY w1, w2
 """
 
 
+def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/similarity.random_projection: JL reduction 64 -> 6 dims
+    via the md5 hyperplane family (literal components, one JVM fold per
+    output dim, zero shuffle).  Long format + round-6, the
+    l2_normalize comparison discipline; the oracle's list_sum fold
+    replays the identical IEEE op sequence."""
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    proj = similarity.random_projection(
+        emb, "vec_id", "embedding", out_dim=6, dim=64
+    )
+    return (
+        proj.select("vec_id", F.posexplode("proj").alias("pos", "component"))
+        .select(
+            "vec_id",
+            (F.col("pos") + 1).cast("int").alias("plane"),
+            F.round(F.col("component"), 6).alias("component"),
+        )
+        .orderBy("vec_id", "plane")
+    )
+
+
+ORACLE_RANDOM_PROJECTION = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id < 200 AND len(embedding) = 64)
+SELECT vec_id, p::INT AS plane,
+       ROUND(list_sum(list_transform(range(1, len(embedding) + 1),
+         i -> embedding[i]::DOUBLE *
+              (strpos('0123456789abcdef',
+                      substr(md5(p::VARCHAR || ':' || i::VARCHAR), 1, 1))
+               - 1 - 7.5))), 6) AS component
+FROM e, unnest(range(1, 7)) AS pr(p)
+ORDER BY vec_id, plane
+"""
+
+
 def q_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/cooccur.cooccurrence_pairs: parts bought together
     (order = basket, set semantics, support >= 2) with the exact-integer
@@ -2395,6 +2430,10 @@ REGISTRY_LLM = {
     ),
     "corpus_vocab_growth": (q_corpus_vocab_growth, ORACLE_VOCAB_GROWTH),
     "part_cooccurrence": (q_part_cooccurrence, ORACLE_COOCCURRENCE),
+    "embedding_random_projection": (
+        q_embedding_random_projection,
+        ORACLE_RANDOM_PROJECTION,
+    ),
     "purchase_view_attribution": (
         q_purchase_view_attribution,
         ORACLE_ATTRIBUTION,

@@ -221,3 +221,31 @@ def test_pq_topk_finds_cluster_neighbors(spark):
         got.setdefault(r["query_id"], []).append(r["neighbor_id"])
     assert all(n < 100 for n in got[0]) and len(got[0]) == 5
     assert all(n >= 100 for n in got[100]) and len(got[100]) == 5
+
+
+def test_random_projection_signs_match_lsh_buckets(spark):
+    import random
+
+    from netflix_data_ingestion_spark.operators.similarity import (
+        lsh_bucket,
+        random_projection,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(30)
+    ] + [(99, [0.1] * 5)]  # mis-sized: dropped by both
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    proj = {
+        r["vec_id"]: r["proj"]
+        for r in random_projection(df, out_dim=8, dim=16).collect()
+    }
+    buckets = {
+        r["vec_id"]: r["bucket"]
+        for r in lsh_bucket(df, planes=8, dim=16).collect()
+    }
+    assert 99 not in proj and 99 not in buckets
+    assert set(proj) == set(buckets) and len(proj) == 30
+    for vid, comps in proj.items():
+        signs = "".join("1" if c > 0 else "0" for c in comps)
+        assert signs == buckets[vid]
