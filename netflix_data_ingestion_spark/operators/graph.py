@@ -270,3 +270,71 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return pr
+
+
+def triangle_counts(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """(node, triangles) — how many triangles each node belongs to, for
+    nodes in at least one (the clustering-coefficient numerator;
+    community density / spam-cluster signals over similarity and
+    co-occurrence graphs).
+
+    Degree-ordered orientation (Suri & Vassilvitskii, WWW'11): each
+    undirected edge points from its LOWER-(degree, id) endpoint to the
+    higher, so every triangle is generated by exactly one wedge — the
+    one centered at its lowest-ranked corner — and per-node wedge
+    fan-out is bounded by out-degree², which the orientation caps at
+    O(sqrt(m)) even for hub nodes.  That bound is the whole point: the
+    naive wedge join explodes quadratically at hubs ("the curse of the
+    last reducer"); the oriented join's total wedge count is O(m^1.5)
+    regardless of skew.
+
+    Plan: degree aggregation (combinable), two joins to attach ranks,
+    one self-join on the wedge center, one edge-membership join, then a
+    corner explode + count.  All shuffles key on node ids.  The
+    orientation is semantically invisible — the oracle counts triangles
+    by brute-force enumeration.
+    """
+    e = (
+        pairs.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    ranked = (
+        e.join(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
+        .select(
+            "u",
+            "v",
+            F.struct(F.col("du").alias("d"), F.col("u").alias("n")).alias("ru"),
+            F.struct(F.col("dv").alias("d"), F.col("v").alias("n")).alias("rv"),
+        )
+    )
+    oriented = ranked.select(
+        F.when(F.col("ru") < F.col("rv"), F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(F.col("ru") < F.col("rv"), F.col("v")).otherwise(F.col("u")).alias("d"),
+        F.when(F.col("ru") < F.col("rv"), F.col("rv")).otherwise(F.col("ru")).alias("rd"),
+    )
+    o1 = oriented.select("s", F.col("d").alias("b"), F.col("rd").alias("rb"))
+    o2 = oriented.select("s", F.col("d").alias("c"), F.col("rd").alias("rc"))
+    wedges = o1.join(o2, "s").where(F.col("rb") < F.col("rc")).select(
+        F.col("s").alias("a"), "b", "c"
+    )
+    closing = oriented.select(F.col("s").alias("b"), F.col("d").alias("c"))
+    tri = wedges.join(closing, ["b", "c"])
+    corners = tri.select(
+        F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("node")
+    )
+    return corners.groupBy("node").agg(
+        F.count("*").cast("long").alias("triangles")
+    )

@@ -72,3 +72,40 @@ def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             (counts["ssn"] + counts["phone"] + counts["email"]) > 0
         ).alias("has_pii"),
     )
+
+
+def pseudonymize(
+    df: DataFrame,
+    cols: list[str],
+    salt: str = "v1",
+    keep_prefix: int = 16,
+) -> DataFrame:
+    """Replace identifier columns with salted md5 surrogates —
+    deterministic PSEUDONYMIZATION (GDPR art. 4(5) sense): the same
+    input value always maps to the same surrogate, so joins,
+    group-bys, and train/test splits on the pseudonymized frame behave
+    exactly like the original, while the raw identifier leaves the
+    dataset.  The salt is the re-identification secret: without it the
+    mapping cannot be rebuilt by hashing guesses, and rotating it
+    unlinks releases from each other.  (This complements `redact_pii`,
+    which handles identifiers embedded in free TEXT; this handles the
+    structured key columns.)
+
+    Pure narrow map, one md5 per cell; NULLs stay NULL (md5(NULL) is
+    NULL, preserving join semantics on missing keys).  ``keep_prefix``
+    truncates the surrogate (collision odds 2^-keep_prefix*2 — 16 hex
+    chars = 64 bits is plenty below trillions of distinct keys).
+    """
+    out = df
+    for c in cols:
+        out = out.withColumn(
+            c,
+            F.substring(
+                F.md5(
+                    F.concat(F.lit(f"{salt}|"), F.col(c).cast("string"))
+                ),
+                1,
+                keep_prefix,
+            ),
+        )
+    return out

@@ -1195,8 +1195,109 @@ ORDER BY okey, l_linenumber
 """
 
 
+# ---------------------------------------------------------------------------
+# Pseudonymization: salted md5 surrogates for identifier columns
+# ---------------------------------------------------------------------------
+
+
+def q_customer_pseudonymized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/redact.pseudonymize: c_name/c_phone replaced by salted
+    md5 surrogates (joins and group-bys keep working; raw identifiers
+    leave the dataset) — the structured-column companion to
+    doc_pii_redact's free-text scrub."""
+    from netflix_data_ingestion_spark.operators.redact import pseudonymize
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    return pseudonymize(cust, ["c_name"]).orderBy("c_custkey")
+
+
+ORACLE_PSEUDONYMIZED = """
+SELECT c_custkey,
+       substring(md5('v1|' || c_name), 1, 16) AS c_name,
+       c_nationkey, c_mktsegment
+FROM customer
+ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT / melt: wide metric columns -> long (metric, value) rows
+# ---------------------------------------------------------------------------
+
+
+def q_orders_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational melt via DataFrame.unpivot (the inverse of
+    pivot_event_types): per-lineitem metric columns to long format — the
+    shape metric stores and chart layers consume.  Narrow 1-to-k row
+    expansion, no shuffle."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("quantity"),
+        F.col("l_discount").cast("double").alias("discount"),
+        F.col("l_tax").cast("double").alias("tax"),
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["quantity", "discount", "tax"],
+        "metric",
+        "metric_value",
+    ).orderBy("l_orderkey", "l_linenumber", "metric")
+
+
+ORACLE_UNPIVOT = """
+SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+       l_quantity::DOUBLE AS metric_value
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'discount', l_discount::DOUBLE FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'tax', l_tax::DOUBLE FROM lineitem
+ORDER BY l_orderkey, l_linenumber, metric
+"""
+
+
+# ---------------------------------------------------------------------------
+# percent_rank within group: balance percentile inside market segment
+# ---------------------------------------------------------------------------
+
+
+def q_customer_balance_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank of account balance WITHIN market segment (the
+    partitioned form — per-key windows distribute, unlike the global
+    ntile query's sanctioned single pass).  (rank-1)/(n-1) is one
+    int/int double division — bit-stable."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return (
+        cust.withColumn("balance_pr", F.percent_rank().over(w))
+        .select("c_custkey", "c_mktsegment", "c_acctbal", "balance_pr")
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_BALANCE_PERCENTILE = """
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       percent_rank() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal ASC, c_custkey ASC)
+         AS balance_pr
+FROM customer
+ORDER BY c_custkey
+"""
+
+
 REGISTRY_EXTRA = {
     "orders_join_delta": (q_orders_join_delta, ORACLE_JOIN_DELTA),
+    "customer_pseudonymized": (q_customer_pseudonymized, ORACLE_PSEUDONYMIZED),
+    "orders_unpivot": (q_orders_unpivot, ORACLE_UNPIVOT),
+    "customer_balance_percentile": (
+        q_customer_balance_percentile,
+        ORACLE_BALANCE_PERCENTILE,
+    ),
     "brand_top_price_levels": (
         q_brand_top_price_levels,
         ORACLE_TOP_PRICE_LEVELS,

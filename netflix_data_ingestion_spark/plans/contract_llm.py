@@ -2091,6 +2091,47 @@ ORDER BY w1, w2
 """
 
 
+def q_part_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/graph.triangle_counts over the part co-occurrence graph
+    (cooccur edges at support >= 2): per-node triangle membership via
+    degree-ordered wedge orientation — the oracle brute-force-enumerates
+    triangles, proving the orientation trick semantically invisible."""
+    from netflix_data_ingestion_spark.operators.cooccur import (
+        cooccurrence_pairs,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_pairs(
+        li, "l_orderkey", "l_partkey", min_support=2
+    ).select("item_a", "item_b")
+    return graph.triangle_counts(edges, "item_a", "item_b").orderBy("node")
+
+
+ORACLE_TRIANGLES = """
+WITH bi AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+),
+e AS (
+  SELECT a.i AS u, b.i AS v
+  FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+tri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+corners AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT node, COUNT(*)::BIGINT AS triangles
+FROM corners GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/similarity.random_projection: JL reduction 64 -> 6 dims
     via the md5 hyperplane family (literal components, one JVM fold per
@@ -2434,6 +2475,7 @@ REGISTRY_LLM = {
         q_embedding_random_projection,
         ORACLE_RANDOM_PROJECTION,
     ),
+    "part_triangle_counts": (q_part_triangle_counts, ORACLE_TRIANGLES),
     "purchase_view_attribution": (
         q_purchase_view_attribution,
         ORACLE_ATTRIBUTION,

@@ -110,3 +110,19 @@ def test_cc_property_random_graphs(spark):
         assert got == _union_find_components(edges)
 
     check()
+
+
+def test_triangle_counts_known_graph_and_hub_orientation(spark):
+    from netflix_data_ingestion_spark.operators.graph import triangle_counts
+
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant edge
+    # and a disconnected triangle {10,11,12}
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = k4 + [(4, 5), (10, 11), (11, 12), (10, 12)]
+    # duplicate + reversed edges must not double-count
+    edges += [(2, 1), (10, 11)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 10: 1, 11: 1, 12: 1}
+    # pendant node 5 is in no triangle -> absent
+    assert 5 not in got
