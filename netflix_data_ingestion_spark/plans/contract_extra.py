@@ -1290,8 +1290,44 @@ ORDER BY c_custkey
 """
 
 
+# ---------------------------------------------------------------------------
+# Skyline: per-brand Pareto frontier (cheapest price / largest size)
+# ---------------------------------------------------------------------------
+
+
+def q_part_skyline_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/skyline.skyline_2d: parts no brand-mate beats on both
+    (lower price, larger size) — prefix-max over distinct price points,
+    no row sort, no quadratic self-join.  The oracle is the NOT EXISTS
+    dominance definition, proving the construction semantically."""
+    from netflix_data_ingestion_spark.operators.skyline import skyline_2d
+
+    part = _t(spark, sf_dir, "part").select(
+        "p_brand", "p_partkey", "p_retailprice", "p_size"
+    )
+    return skyline_2d(
+        part, ["p_brand"], "p_retailprice", "p_size"
+    ).orderBy("p_brand", "p_partkey")
+
+
+ORACLE_SKYLINE = """
+SELECT p_brand, p_partkey, p_retailprice, p_size
+FROM part a
+WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+  AND NOT EXISTS (
+    SELECT 1 FROM part b
+    WHERE b.p_brand = a.p_brand
+      AND b.p_retailprice <= a.p_retailprice
+      AND b.p_size >= a.p_size
+      AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+  )
+ORDER BY p_brand, p_partkey
+"""
+
+
 REGISTRY_EXTRA = {
     "orders_join_delta": (q_orders_join_delta, ORACLE_JOIN_DELTA),
+    "part_skyline_by_brand": (q_part_skyline_by_brand, ORACLE_SKYLINE),
     "customer_pseudonymized": (q_customer_pseudonymized, ORACLE_PSEUDONYMIZED),
     "orders_unpivot": (q_orders_unpivot, ORACLE_UNPIVOT),
     "customer_balance_percentile": (

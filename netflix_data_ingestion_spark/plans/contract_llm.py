@@ -2091,6 +2091,53 @@ ORDER BY w1, w2
 """
 
 
+def q_user_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised-training label assembly: per-user activity features +
+    a churn label (no event in the corpus's final 7 days).  One
+    combinable user aggregate; the label horizon rides a broadcast
+    1-row max — the labeling pass a training pipeline runs before
+    hash_split routes examples."""
+    events = _t(spark, sf_dir, "events")
+    horizon = events.agg(F.max("ts").alias("__max_ts"))
+    per_user = events.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.count_distinct("event_type").cast("long").alias("n_types"),
+        F.count_distinct(F.to_date("ts")).cast("long").alias("days_active"),
+        F.max("ts").alias("last_ts"),
+    )
+    return (
+        per_user.crossJoin(F.broadcast(horizon))
+        .select(
+            "user_id",
+            "n_events",
+            "n_types",
+            "days_active",
+            "last_ts",
+            (
+                F.col("last_ts")
+                < F.col("__max_ts") - F.expr("INTERVAL 7 DAYS")
+            )
+            .cast("int")
+            .alias("churned"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_CHURN_LABELS = """
+WITH h AS (SELECT MAX(ts) AS max_ts FROM events)
+SELECT user_id,
+       COUNT(*)::BIGINT AS n_events,
+       COUNT(DISTINCT event_type)::BIGINT AS n_types,
+       COUNT(DISTINCT ts::DATE)::BIGINT AS days_active,
+       MAX(ts) AS last_ts,
+       (MAX(ts) < (SELECT max_ts FROM h) - INTERVAL 7 DAY)::INT AS churned
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 def q_part_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/graph.triangle_counts over the part co-occurrence graph
     (cooccur edges at support >= 2): per-node triangle membership via
@@ -2476,6 +2523,7 @@ REGISTRY_LLM = {
         ORACLE_RANDOM_PROJECTION,
     ),
     "part_triangle_counts": (q_part_triangle_counts, ORACLE_TRIANGLES),
+    "user_churn_labels": (q_user_churn_labels, ORACLE_CHURN_LABELS),
     "purchase_view_attribution": (
         q_purchase_view_attribution,
         ORACLE_ATTRIBUTION,

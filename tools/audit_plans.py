@@ -84,6 +84,7 @@ SANCTIONED: dict[str, str] = {
     "customer_balance_quartiles": "global ntile = one ordered window, doc'd",
     "customer_part_negatives": "1-row n_items broadcast crossJoin, doc'd",
     "doc_class_balance": "1-row target-size broadcast crossJoin, doc'd",
+    "user_churn_labels": "1-row label-horizon broadcast crossJoin, doc'd",
     "dedup_cosine_scale": "Arrow verify stage (doc'd); 1-row plan stats",
     "dedup_embedding_cosine": "AUDIT twin: driver block-matrix, doc'd",
     "dedup_semantic": "Arrow verify stage shared with cosine_scale",
