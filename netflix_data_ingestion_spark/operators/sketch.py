@@ -234,3 +234,40 @@ def hll_estimate(registers: list[tuple[int, int]], buckets: int = 64) -> float:
     if raw <= 2.5 * m and zeros:
         return m * math.log(m / zeros)
     return raw
+
+
+def cms_join_size_estimate(
+    df_a: DataFrame,
+    col_a: str,
+    df_b: DataFrame,
+    col_b: str,
+    width: int = 64,
+    depth: int = 4,
+) -> DataFrame:
+    """1-row (est_join_rows) — upper bound on |A ⋈ B| on an equi-key,
+    from two count-min sketches alone: per hash row, Σ_bucket
+    cntA·cntB counts every true joining pair (both sides of a key land
+    in the same bucket) plus collision cross-terms; the MIN over the
+    depth rows is the tightest such bound.  Always >= the true join
+    cardinality — the one-sided guarantee that makes it safe for join
+    planning (size the shuffle / pick broadcast side / refuse a
+    runaway join) WITHOUT running the join: the whole estimate reads
+    two depth x width count tables.
+
+    At 100 TB this is the optimizer's trick made explicit: sketches
+    are built once per table (combinable, KB state, maintainable over
+    a stream via merge_aggregates) and any pairwise join size quotes
+    from them in O(depth x width).
+    """
+    a = cms_build(df_a, col_a, width, depth).select(
+        "row", "bucket", F.col("cnt").alias("cnt_a")
+    )
+    b = cms_build(df_b, col_b, width, depth).select(
+        "row", "bucket", F.col("cnt").alias("cnt_b")
+    )
+    per_row = (
+        a.join(b, ["row", "bucket"])
+        .groupBy("row")
+        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("s"))
+    )
+    return per_row.agg(F.min("s").cast("long").alias("est_join_rows"))

@@ -2091,6 +2091,127 @@ ORDER BY w1, w2
 """
 
 
+def q_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-path mining: gaps-and-islands sessionization (30-min
+    gap), per-session ordered event-type path, global top-20 paths —
+    the journey-mining composition.  Path assembly is
+    collect_list(struct) + array_sort (struct ordering on (ts,
+    event_id) makes the concat deterministic without an ordered-window
+    collect)."""
+    events = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    flagged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            lag_ts.isNull()
+            | (F.col("ts") >= lag_ts + F.expr("INTERVAL 30 MINUTES")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    islands = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    paths = islands.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(20)
+    )
+
+
+ORACLE_SESSION_PATHS = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) IS NULL
+              OR ts >= LAG(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id)
+                       + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+islands AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(new_session) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS session_id
+  FROM flagged
+),
+paths AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM islands GROUP BY 1, 2
+)
+SELECT path, COUNT(*)::BIGINT AS n_sessions
+FROM paths GROUP BY 1
+ORDER BY n_sessions DESC, path ASC
+LIMIT 20
+"""
+
+
+def q_orders_lineitem_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/sketch.cms_join_size_estimate: quote |orders ⋈
+    lineitem| from two KB-sized CMS sketches without running the join —
+    the optimizer's cardinality estimate made explicit, one-sided
+    (never an underestimate), oracle-rebuilt exactly in SQL."""
+    from netflix_data_ingestion_spark.operators.sketch import (
+        cms_join_size_estimate,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return cms_join_size_estimate(orders, "o_orderkey", li, "l_orderkey")
+
+
+ORACLE_JOIN_SIZE_EST = """
+WITH ra AS (
+  SELECT o_orderkey AS item, r.row_id AS row,
+         (('0x' || substring(md5(r.row_id::VARCHAR || '|' ||
+                                 o_orderkey::VARCHAR), 1, 8))::BIGINT
+          % 64)::INT AS bucket
+  FROM orders, (SELECT unnest(range(0, 4)) AS row_id) r
+),
+rb AS (
+  SELECT l_orderkey AS item, r.row_id AS row,
+         (('0x' || substring(md5(r.row_id::VARCHAR || '|' ||
+                                 l_orderkey::VARCHAR), 1, 8))::BIGINT
+          % 64)::INT AS bucket
+  FROM lineitem, (SELECT unnest(range(0, 4)) AS row_id) r
+),
+sa AS (SELECT row, bucket, COUNT(*)::BIGINT AS cnt_a FROM ra GROUP BY 1, 2),
+sb AS (SELECT row, bucket, COUNT(*)::BIGINT AS cnt_b FROM rb GROUP BY 1, 2),
+per_row AS (
+  SELECT sa.row, SUM(sa.cnt_a * sb.cnt_b) AS s
+  FROM sa JOIN sb USING (row, bucket)
+  GROUP BY 1
+)
+SELECT MIN(s)::BIGINT AS est_join_rows FROM per_row
+"""
+
+
 def q_user_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supervised-training label assembly: per-user activity features +
     a churn label (no event in the corpus's final 7 days).  One
@@ -2524,6 +2645,11 @@ REGISTRY_LLM = {
     ),
     "part_triangle_counts": (q_part_triangle_counts, ORACLE_TRIANGLES),
     "user_churn_labels": (q_user_churn_labels, ORACLE_CHURN_LABELS),
+    "top_session_paths": (q_top_session_paths, ORACLE_SESSION_PATHS),
+    "orders_lineitem_join_size": (
+        q_orders_lineitem_join_size,
+        ORACLE_JOIN_SIZE_EST,
+    ),
     "purchase_view_attribution": (
         q_purchase_view_attribution,
         ORACLE_ATTRIBUTION,

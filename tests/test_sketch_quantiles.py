@@ -99,3 +99,26 @@ def test_exact_quantiles_nearest_rank(spark):
     assert out["a"]["n"] == 10
     # singleton group: every quantile is the one value
     assert (out["b"]["p25"], out["b"]["p50"], out["b"]["p90"]) == (5.0, 5.0, 5.0)
+
+
+def test_cms_join_size_estimate_one_sided_and_tight(spark):
+    # A has keys 0..49 once each; B has key k repeated (k % 5) + 1 times
+    a = spark.createDataFrame([(k,) for k in range(50)], "k long")
+    b = spark.createDataFrame(
+        [(k,) for k in range(50) for _ in range(k % 5 + 1)], "k long"
+    )
+    true_size = a.join(b, "k").count()
+    est = sketch.cms_join_size_estimate(a, "k", b, "k", width=64).collect()[0][
+        "est_join_rows"
+    ]
+    # one-sided: never an underestimate
+    assert est >= true_size
+    # with 50 keys in 64 buckets, collisions stay moderate
+    assert est <= true_size * 3
+    # disjoint key spaces: estimate comes only from collisions, and a
+    # wide sketch keeps it near zero relative to a real join
+    c = spark.createDataFrame([(k + 1000,) for k in range(50)], "k long")
+    est0 = sketch.cms_join_size_estimate(a, "k", c, "k", width=256).collect()[
+        0
+    ]["est_join_rows"]
+    assert est0 < true_size
