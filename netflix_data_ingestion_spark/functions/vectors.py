@@ -129,3 +129,27 @@ def l2_normalize(a: Column, dim: int | None = None) -> Column:
     """
     n = norm(a, dim)
     return F.transform(a, lambda x: F.try_divide(x.cast("double"), n))
+
+
+def quantize_int8(vec: Column) -> tuple[Column, Column]:
+    """(scale, codes) — symmetric per-vector int8 scalar quantization:
+    scale = max(|x_d|), code_d = round(x_d * 127 / scale) in [-127,
+    127].  The 4x storage cut (vs float32) that serving stacks and
+    memory-mapped ANN indexes use; dequantize as code * scale / 127.
+
+    Engine-portable: scale is a SELECTED value (max of exact
+    float->double casts — no arithmetic to diverge), each code is one
+    multiply + one divide + one round, the same IEEE op sequence
+    everywhere (the operators/kmeans fixed-point discipline).
+    Zero/empty vectors yield NULL codes (nothing to scale) rather than
+    a divide-by-zero.
+    """
+    s = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    codes = F.when(
+        s > 0,
+        F.transform(
+            vec,
+            lambda x: F.round(x.cast("double") * 127.0 / s).cast("int"),
+        ),
+    )
+    return s, codes

@@ -43,3 +43,35 @@ def trailing_context(
         "context",
         F.concat_ws(sep, F.collect_list(F.col(token_col)).over(w)),
     )
+
+
+def pad_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_len: int = 16,
+    pad: str = "<pad>",
+) -> DataFrame:
+    """(id, tokens, attention_mask, n_tokens) — fixed-length model
+    input assembly: tokenize, TRUNCATE to ``max_len``, right-pad with
+    ``pad``, and emit the 1/0 attention mask — the last hop before a
+    training loader, where ragged documents become rectangular
+    batches.  ``n_tokens`` is the pre-padding (post-truncation) length.
+
+    Pure narrow map (token split + two array concats per row), no
+    shuffle — at 100 TB this runs at scan speed and writes straight to
+    `sources/writers.write_balanced` shards.
+    """
+    from netflix_data_ingestion_spark.operators.dedup import tokens
+
+    tok = F.slice(tokens(F.col(text_col)), 1, max_len)
+    n = F.size(tok)
+    fill = F.lit(max_len) - n
+    return df.select(
+        F.col(id_col),
+        F.concat(tok, F.array_repeat(F.lit(pad), fill)).alias("tokens"),
+        F.concat(
+            F.array_repeat(F.lit(1), n), F.array_repeat(F.lit(0), fill)
+        ).alias("attention_mask"),
+        n.cast("long").alias("n_tokens"),
+    )

@@ -63,3 +63,24 @@ def hash_split(
         else expr.otherwise(F.lit(names[-1]))
     )
     return df.withColumn("split", expr)
+
+
+def kfold_assign(
+    df: DataFrame, id_col: str, k: int = 5, salt: str = "v1"
+) -> DataFrame:
+    """Adds a ``fold`` column in [0, k) — deterministic k-fold
+    cross-validation assignment: ``pmod(int(md5(salt|id)[:8]), k)``.
+    Same stability contract as `hash_split` (re-runs, repartitioning,
+    and corpus growth never move a row between folds; bump the salt to
+    reshuffle), uniform across folds by md5.  Narrow map, no shuffle.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return df.withColumn("fold", F.pmod(h, F.lit(k)).cast("int"))

@@ -2091,6 +2091,105 @@ ORDER BY w1, w2
 """
 
 
+def q_doc_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/split.kfold_assign: stable 5-fold CV assignment —
+    pmod(md5, k), growth- and partitioning-stable like hash_split."""
+    from netflix_data_ingestion_spark.operators.split import kfold_assign
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return kfold_assign(docs, "doc_id", k=5).orderBy("doc_id")
+
+
+ORACLE_KFOLD = """
+SELECT doc_id, source,
+       ((('0x' || substring(md5('v1|' || doc_id::VARCHAR), 1, 8))::BIGINT
+         % 5))::INT AS fold
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def q_doc_padded_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/context.pad_tokens: fixed-length (12) model inputs —
+    truncate, right-pad, attention mask; long-format explode for the
+    cross-engine value hash."""
+    from netflix_data_ingestion_spark.operators.context import pad_tokens
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    padded = pad_tokens(docs, "doc_id", "text", max_len=12)
+    return (
+        padded.select(
+            "doc_id",
+            "n_tokens",
+            F.posexplode(F.arrays_zip("tokens", "attention_mask")).alias(
+                "pos", "z"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("pos").cast("int").alias("pos"),
+            F.col("z.tokens").alias("token"),
+            F.col("z.attention_mask").alias("mask"),
+        )
+        .orderBy("doc_id", "pos")
+    )
+
+
+ORACLE_PADDED_TOKENS = f"""
+WITH {_DUCK_TOKS},
+t AS (
+  SELECT doc_id, tk[1:12] AS tk FROM toks WHERE doc_id < 100
+),
+p AS (
+  SELECT doc_id, len(tk)::BIGINT AS n_tokens,
+         list_concat(tk, list_transform(range(1, 12 - len(tk) + 1),
+                                        x -> '<pad>')) AS tokens,
+         list_concat(list_transform(range(1, len(tk) + 1), x -> 1),
+                     list_transform(range(1, 12 - len(tk) + 1), x -> 0))
+           AS mask
+  FROM t
+)
+SELECT doc_id, n_tokens, (i - 1)::INT AS pos,
+       tokens[i] AS token, mask[i]::INT AS mask
+FROM p, unnest(range(1, 13)) AS r(i)
+ORDER BY doc_id, pos
+"""
+
+
+def q_embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """functions/vectors.quantize_int8: symmetric per-vector int8
+    codes + the exact (selected, arithmetic-free) scale — long format."""
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    s, codes = vectors.quantize_int8(F.col("embedding"))
+    q = emb.select("vec_id", s.alias("scale"), codes.alias("codes"))
+    return (
+        q.select(
+            "vec_id",
+            "scale",
+            F.posexplode("codes").alias("pos", "code"),
+        )
+        .select(
+            "vec_id", "scale", F.col("pos").cast("int").alias("pos"), "code"
+        )
+        .orderBy("vec_id", "pos")
+    )
+
+
+ORACLE_INT8_QUANTIZE = """
+WITH e AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS scale
+  FROM embeddings WHERE vec_id < 200
+)
+SELECT vec_id, scale, (i - 1)::INT AS pos,
+       round(embedding[i]::DOUBLE * 127.0 / scale)::INT AS code
+FROM e, unnest(range(1, len(embedding) + 1)) AS r(i)
+WHERE scale > 0
+ORDER BY vec_id, pos
+"""
+
+
 def q_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-path mining: gaps-and-islands sessionization (30-min
     gap), per-session ordered event-type path, global top-20 paths —
@@ -2646,6 +2745,12 @@ REGISTRY_LLM = {
     "part_triangle_counts": (q_part_triangle_counts, ORACLE_TRIANGLES),
     "user_churn_labels": (q_user_churn_labels, ORACLE_CHURN_LABELS),
     "top_session_paths": (q_top_session_paths, ORACLE_SESSION_PATHS),
+    "doc_kfold": (q_doc_kfold, ORACLE_KFOLD),
+    "doc_padded_tokens": (q_doc_padded_tokens, ORACLE_PADDED_TOKENS),
+    "embedding_int8_quantize": (
+        q_embedding_int8_quantize,
+        ORACLE_INT8_QUANTIZE,
+    ),
     "orders_lineitem_join_size": (
         q_orders_lineitem_join_size,
         ORACLE_JOIN_SIZE_EST,

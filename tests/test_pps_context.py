@@ -94,3 +94,61 @@ def test_trailing_context_plan_is_one_exchange_no_python(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Python" not in plan
+
+
+def test_pad_tokens_truncate_pad_mask(spark):
+    from netflix_data_ingestion_spark.operators.context import pad_tokens
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, ""), (3, " ".join(f"w{i}" for i in range(10)))],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in pad_tokens(
+        df, "doc_id", "text", max_len=4, pad="<p>").collect()}
+    assert got[1]["tokens"] == ["a", "b", "c", "<p>"]
+    assert got[1]["attention_mask"] == [1, 1, 1, 0]
+    assert got[1]["n_tokens"] == 3
+    # empty doc: all padding, zero mask
+    assert got[2]["tokens"] == ["<p>"] * 4 and got[2]["attention_mask"] == [0] * 4
+    # long doc: truncated to max_len, full mask
+    assert got[3]["tokens"] == ["w0", "w1", "w2", "w3"]
+    assert got[3]["attention_mask"] == [1] * 4 and got[3]["n_tokens"] == 4
+
+
+def test_kfold_stable_and_balanced(spark):
+    from netflix_data_ingestion_spark.operators.split import kfold_assign
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    got = {r["doc_id"]: r["fold"] for r in kfold_assign(df, "doc_id", k=5).collect()}
+    assert set(got.values()) == {0, 1, 2, 3, 4}
+    sizes = [sum(1 for f in got.values() if f == i) for i in range(5)]
+    assert all(120 <= s <= 280 for s in sizes)  # md5-uniform, loose band
+    # growth stability: assignments of existing ids never move
+    grown = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    got2 = {r["doc_id"]: r["fold"] for r in kfold_assign(grown, "doc_id", k=5).collect()}
+    assert all(got2[i] == got[i] for i in range(1000))
+
+
+def test_quantize_int8_roundtrip_error_bound(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from netflix_data_ingestion_spark.functions.vectors import quantize_int8
+
+    rng = random.Random(9)
+    rows = [(i, [rng.uniform(-2, 2) for _ in range(16)]) for i in range(50)]
+    rows.append((99, [0.0] * 16))  # zero vector: NULL codes
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    s, codes = quantize_int8(F.col("embedding"))
+    got = df.select("vec_id", s.alias("s"), codes.alias("c"),
+                    "embedding").collect()
+    for r in got:
+        if r["vec_id"] == 99:
+            assert r["c"] is None
+            continue
+        assert all(-127 <= c <= 127 for c in r["c"])
+        # dequantization error bounded by half a quantization step
+        step = r["s"] / 127.0
+        for x, c in zip(r["embedding"], r["c"]):
+            assert abs(c * step - x) <= step / 2 + 1e-9
