@@ -75,3 +75,63 @@ def surrogate_key_ranged(
         .withColumn(key_col, (F.col(_OFFSET) + F.row_number().over(local)).cast("long"))
         .drop(_PID, _OFFSET)
     )
+
+
+def prefix_sum_ranged(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``out_col`` = EXCLUSIVE prefix sum of ``value_col`` over the
+    global ``order_cols`` order, computed DISTRIBUTED: range partition
+    on the order, local running sum per partition, plus per-partition
+    base offsets from a tiny (one row per partition) total-sum
+    aggregate — the additive generalization of
+    ``surrogate_key_ranged``'s numbering (offsets carry SUMS instead
+    of COUNTS).  No single-task global window; the only driver state
+    is O(#partitions).
+
+    The exclusive convention (row's own value not included; first row
+    gets 0) is what offset/layout computations want — e.g. each
+    document's absolute token start in a concatenated corpus stream.
+    Same eager-localCheckpoint pinning as surrogate_key_ranged so the
+    count pass and the main pass see identical boundaries.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn(_PID, F.spark_partition_id())
+    ).localCheckpoint(eager=True)
+
+    sums = {
+        r[_PID]: r["s"]
+        for r in ranged.groupBy(_PID)
+        .agg(F.sum(value_col).alias("s"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for p in range(n):
+        offsets.append((p, acc))
+        acc += int(sums.get(p) or 0)
+    offsets_df = df.sparkSession.createDataFrame(
+        offsets, schema=f"{_PID} int, {_OFFSET} long"
+    )
+    local = (
+        Window.partitionBy(_PID)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ranged.join(F.broadcast(offsets_df), _PID)
+        .withColumn(
+            out_col,
+            (
+                F.col(_OFFSET)
+                + F.coalesce(F.sum(value_col).over(local), F.lit(0))
+            ).cast("long"),
+        )
+        .drop(_PID, _OFFSET)
+    )

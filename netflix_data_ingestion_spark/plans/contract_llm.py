@@ -2091,6 +2091,45 @@ ORDER BY w1, w2
 """
 
 
+def q_doc_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/packing.pack_windows: GPT-style cross-document
+    fixed-16-token window layout — docs straddle windows, zero padding
+    waste; offsets from the distributed exclusive prefix sum
+    (keys.prefix_sum_ranged), spans by integer arithmetic."""
+    from netflix_data_ingestion_spark.operators.packing import pack_windows
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_windows(docs, "doc_id", "text", window=16).orderBy(
+        "window_id", "doc_id"
+    )
+
+
+ORACLE_PACK_WINDOWS = f"""
+WITH {_DUCK_TOKS},
+d AS (
+  SELECT doc_id, len(tk)::BIGINT AS n_tok FROM toks WHERE len(tk) > 0
+),
+o AS (
+  SELECT doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS strt
+  FROM d
+),
+s AS (
+  SELECT doc_id, n_tok, strt, strt + n_tok AS fin,
+         strt // 16 AS w0, (strt + n_tok - 1) // 16 AS w1
+  FROM o
+)
+SELECT u.w AS window_id, doc_id,
+       (greatest(strt, u.w * 16) - strt)::BIGINT AS doc_start_tok,
+       (least(fin, (u.w + 1) * 16) - greatest(strt, u.w * 16))::BIGINT
+         AS n_toks
+FROM s, unnest(range(w0, w1 + 1)) AS u(w)
+ORDER BY window_id, doc_id
+"""
+
+
 def q_doc_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/split.kfold_assign: stable 5-fold CV assignment —
     pmod(md5, k), growth- and partitioning-stable like hash_split."""
@@ -2746,6 +2785,7 @@ REGISTRY_LLM = {
     "user_churn_labels": (q_user_churn_labels, ORACLE_CHURN_LABELS),
     "top_session_paths": (q_top_session_paths, ORACLE_SESSION_PATHS),
     "doc_kfold": (q_doc_kfold, ORACLE_KFOLD),
+    "doc_pack_windows": (q_doc_pack_windows, ORACLE_PACK_WINDOWS),
     "doc_padded_tokens": (q_doc_padded_tokens, ORACLE_PADDED_TOKENS),
     "embedding_int8_quantize": (
         q_embedding_int8_quantize,
