@@ -296,6 +296,11 @@ def triangle_counts(
     orientation is semantically invisible — the oracle counts triangles
     by brute-force enumeration.
     """
+    # the edge list is referenced ~6x downstream (degree union, rank
+    # join, two wedge sides, the closing join); pin it once so an
+    # expensive edge DERIVATION (e.g. a co-occurrence self-join) does
+    # not re-execute per reference — same eager-localCheckpoint
+    # discipline as connected_components
     e = (
         pairs.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -303,6 +308,7 @@ def triangle_counts(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("u").alias("node"))
@@ -320,11 +326,13 @@ def triangle_counts(
             F.struct(F.col("dv").alias("d"), F.col("v").alias("n")).alias("rv"),
         )
     )
+    # oriented feeds both wedge sides and the closing join (3 refs):
+    # pin it so the degree joins run once
     oriented = ranked.select(
         F.when(F.col("ru") < F.col("rv"), F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(F.col("ru") < F.col("rv"), F.col("v")).otherwise(F.col("u")).alias("d"),
         F.when(F.col("ru") < F.col("rv"), F.col("rv")).otherwise(F.col("ru")).alias("rd"),
-    )
+    ).localCheckpoint(eager=True)
     o1 = oriented.select("s", F.col("d").alias("b"), F.col("rd").alias("rb"))
     o2 = oriented.select("s", F.col("d").alias("c"), F.col("rd").alias("rc"))
     wedges = o1.join(o2, "s").where(F.col("rb") < F.col("rc")).select(

@@ -85,6 +85,9 @@ SANCTIONED: dict[str, str] = {
     "customer_part_negatives": "1-row n_items broadcast crossJoin, doc'd",
     "doc_class_balance": "1-row target-size broadcast crossJoin, doc'd",
     "user_churn_labels": "1-row label-horizon broadcast crossJoin, doc'd",
+    "corpus_vocab_growth": "cumsum over the curve-sized bucket frame, doc'd",
+    "orders_lineitem_join_size": "final MIN over a depth-row frame, model-sized",
+    "part_cooccurrence": "1-row n_baskets broadcast crossJoin, doc'd",
     "dedup_cosine_scale": "Arrow verify stage (doc'd); 1-row plan stats",
     "dedup_embedding_cosine": "AUDIT twin: driver block-matrix, doc'd",
     "dedup_semantic": "Arrow verify stage shared with cosine_scale",
