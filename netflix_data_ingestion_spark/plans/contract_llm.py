@@ -2091,6 +2091,32 @@ ORDER BY w1, w2
 """
 
 
+def q_doc_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/inference.score_documents: the batched model-scoring
+    stage (Arrow mapInPandas, per-task model load, bounded batches) —
+    the deterministic stand-in model makes even this stage value-hash
+    checkable (n_batches is task-layout-dependent and excluded)."""
+    from netflix_data_ingestion_spark.operators.inference import (
+        score_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        score_documents(docs, "doc_id", "text")
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_MODEL_SCORES = """
+SELECT doc_id,
+       ROUND((('0x' || substring(md5('m1|' || text), 1, 8))::BIGINT)
+             / 4294967296.0, 6) AS score
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def q_doc_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/packing.pack_windows: GPT-style cross-document
     fixed-16-token window layout — docs straddle windows, zero padding
@@ -2786,6 +2812,7 @@ REGISTRY_LLM = {
     "top_session_paths": (q_top_session_paths, ORACLE_SESSION_PATHS),
     "doc_kfold": (q_doc_kfold, ORACLE_KFOLD),
     "doc_pack_windows": (q_doc_pack_windows, ORACLE_PACK_WINDOWS),
+    "doc_model_scores": (q_doc_model_scores, ORACLE_MODEL_SCORES),
     "doc_padded_tokens": (q_doc_padded_tokens, ORACLE_PADDED_TOKENS),
     "embedding_int8_quantize": (
         q_embedding_int8_quantize,

@@ -88,6 +88,7 @@ SANCTIONED: dict[str, str] = {
     "corpus_vocab_growth": "cumsum over the curve-sized bucket frame, doc'd",
     "orders_lineitem_join_size": "final MIN over a depth-row frame, model-sized",
     "part_cooccurrence": "1-row n_baskets broadcast crossJoin, doc'd",
+    "doc_model_scores": "Arrow-batched model-inference stage, doc'd",
     "dedup_cosine_scale": "Arrow verify stage (doc'd); 1-row plan stats",
     "dedup_embedding_cosine": "AUDIT twin: driver block-matrix, doc'd",
     "dedup_semantic": "Arrow verify stage shared with cosine_scale",
