@@ -171,6 +171,7 @@ def hll_registers(
     df: DataFrame,
     item_col: str,
     buckets: int = 64,
+    key_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(bucket, register) — deterministic HyperLogLog register table
     over the item column (Flajolet et al. 2007), the distinct-count
@@ -195,6 +196,12 @@ def hll_registers(
     regardless of input size.  The cardinality ESTIMATE (harmonic mean
     + bias correction) is ``hll_estimate`` — floats, so it stays out of
     the register contract.
+
+    ``key_cols`` builds one register table PER KEY (output bounded by
+    |keys| x buckets) — the per-domain / per-day distinct-user sketch
+    table a metrics store maintains incrementally: group twins merge
+    by MAX on (keys, bucket), so daily deltas fold into the running
+    table without rescanning history.
     """
     h = F.md5(F.concat(F.lit("hll|"), F.col("__item").cast("string")))
     bucket = F.pmod(
@@ -209,11 +216,11 @@ def hll_registers(
     )
     return (
         ensure_parallelism(df)
-        .select(F.col(item_col).alias("__item"))
+        .select(*key_cols, F.col(item_col).alias("__item"))
         .where(F.col("__item").isNotNull())
-        .select(bucket.alias("bucket"), w.alias("__w"))
+        .select(*key_cols, bucket.alias("bucket"), w.alias("__w"))
         .withColumn("register", rho.cast("int"))
-        .groupBy("bucket")
+        .groupBy(*key_cols, "bucket")
         .agg(F.max("register").alias("register"))
     )
 

@@ -1857,6 +1857,37 @@ FROM rb GROUP BY bucket ORDER BY bucket
 """
 
 
+def q_user_hll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/sketch.hll_registers with key_cols: one register table
+    PER EVENT TYPE (|types| x buckets rows) — the per-domain
+    distinct-user sketch table a metrics store maintains by MAX-merge
+    of daily deltas."""
+    from netflix_data_ingestion_spark.operators.sketch import hll_registers
+
+    events = _t(spark, sf_dir, "events")
+    return hll_registers(
+        events, "user_id", buckets=32, key_cols=("event_type",)
+    ).orderBy("event_type", "bucket")
+
+
+ORACLE_HLL_BY_TYPE = """
+WITH h AS (
+  SELECT event_type, md5('hll|' || user_id::VARCHAR) AS hx
+  FROM events WHERE user_id IS NOT NULL
+),
+rb AS (
+  SELECT event_type,
+         (('0x' || substring(hx, 1, 8))::BIGINT % 32) AS bucket,
+         ('0x' || substring(hx, 9, 8))::BIGINT AS w
+  FROM h
+)
+SELECT event_type, bucket,
+       max(CASE WHEN w = 0 THEN 33 ELSE 33 - length(bin(w)) END)::INT
+         AS register
+FROM rb GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_embedding_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """functions/vectors.l2_normalize in long format (the
     group-centroid contract's comparison discipline): one double
@@ -2830,6 +2861,7 @@ REGISTRY_LLM = {
     "user_context_window": (q_user_context_window, ORACLE_CONTEXT),
     "embedding_l2_normalize": (q_embedding_l2_normalize, ORACLE_L2_NORMALIZE),
     "user_hll_registers": (q_user_hll_registers, ORACLE_HLL),
+    "user_hll_by_type": (q_user_hll_by_type, ORACLE_HLL_BY_TYPE),
     "dedup_semantic": (q_dedup_semantic, ORACLE_SEMANTIC_DEDUP),
     "doc_inverted_index": (q_doc_inverted_index, ORACLE_INVERTED_INDEX),
     "event_props_json": (q_event_props_json, ORACLE_PROPS_JSON),

@@ -663,3 +663,56 @@ def test_throttle_batch_twin_event_time_order(spark, throttle_dir):
     # batch twin admits the FIRST 3 by event time: ids 0,1,2 for user 1
     # hour 0; everything else under cap
     assert ids == [0, 1, 2, 5, 6, 7]
+
+
+def test_throttle_restart_preserves_state(spark, tmp_path_factory):
+    """Kill/restart between micro-batches: the per-(key, bucket) kept
+    count must survive in the checkpoint — 2 events admitted before the
+    restart leave room for exactly 1 more under a cap of 3."""
+    import glob as _g
+    import os as _os
+    import shutil as _sh
+
+    d = tmp_path_factory.mktemp("throttle_restart")
+    flat, ckpt = str(d / "flat"), str(d / "ckpt")
+    _os.makedirs(flat, exist_ok=True)
+
+    def emit(rows, name):
+        stage = str(d / name)
+        spark.createDataFrame(rows, ingest.EVENT_SCHEMA).coalesce(
+            1
+        ).write.mode("overwrite").parquet(stage)
+        for f in _g.glob(f"{stage}/*.parquet"):
+            _sh.copy(f, f"{flat}/{name}_{f.split('/')[-1]}")
+
+    sink = str(d / "sink")
+
+    def run_once():
+        out = ingest.throttle_events(
+            ingest.stream_events(spark, flat),
+            key_col="user_id",
+            bucket="hour",
+            limit=3,
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    emit(_mk_events([0, 1], [1, 1], [1.0, 2.0], start_id=0), "b1")
+    run_once()  # first run ends (the "kill"): 2 of 3 slots used
+    assert sorted(
+        r["event_id"] for r in spark.read.parquet(sink).collect()
+    ) == [0, 1]
+
+    emit(_mk_events([2, 3, 4], [1, 1, 1], [3.0, 4.0, 5.0], start_id=2), "b2")
+    run_once()  # restart on the same checkpoint: state must remember 2
+    got = sorted(r["event_id"] for r in spark.read.parquet(sink).collect())
+    # only ONE slot remained, taken by the earliest (ts, event_id) of
+    # the new batch — a lost state would have admitted all three
+    assert got == [0, 1, 2]
