@@ -83,3 +83,92 @@ def test_global_rank_is_the_sorted_position(spark, vals):
         )
     }
     assert got == want
+
+
+pack_corpus_strategy = st.lists(
+    st.integers(min_value=0, max_value=40),  # token count per doc
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(counts=pack_corpus_strategy, window=st.sampled_from([4, 8, 16]))
+def test_pack_windows_invariants_any_corpus(spark, counts, window):
+    """For ANY corpus: every window except the last is exactly full,
+    every doc is covered by contiguous slices, totals conserve."""
+    from netflix_data_ingestion_spark.operators.packing import pack_windows
+
+    rows = [
+        (i, " ".join(f"t{i}x{j}" for j in range(n)))
+        for i, n in enumerate(counts)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_windows(df, "doc_id", "text", window=window).collect()
+    total = sum(counts)
+    per_window = {}
+    per_doc = {}
+    for r in out:
+        assert r["n_toks"] > 0
+        per_window[r["window_id"]] = (
+            per_window.get(r["window_id"], 0) + r["n_toks"]
+        )
+        per_doc.setdefault(r["doc_id"], []).append(
+            (r["doc_start_tok"], r["n_toks"])
+        )
+    assert sum(per_window.values()) == total
+    if total:
+        last = max(per_window)
+        assert set(per_window) == set(range(last + 1))
+        for w, filled in per_window.items():
+            assert filled == window or w == last
+    for i, n in enumerate(counts):
+        if n == 0:
+            assert i not in per_doc
+            continue
+        pos = 0
+        for start, ln in sorted(per_doc[i]):
+            assert start == pos
+            pos += ln
+        assert pos == n
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sizes=st.lists(
+        st.integers(min_value=1, max_value=30), min_size=1, max_size=5
+    )
+)
+def test_balanced_oversample_exact_targets_any_classes(spark, sizes):
+    """For ANY class-size profile: every class lands exactly on the
+    majority size, and per-row copy counts differ by at most one."""
+    from netflix_data_ingestion_spark.operators.sample import (
+        balanced_oversample,
+    )
+
+    rows = [
+        (cls * 1000 + i, f"c{cls}")
+        for cls, n in enumerate(sizes)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = balanced_oversample(df, "lang", "doc_id").collect()
+    target = max(sizes)
+    per_class = {}
+    per_doc = {}
+    for r in out:
+        per_class[r["lang"]] = per_class.get(r["lang"], 0) + 1
+        per_doc[r["doc_id"]] = max(per_doc.get(r["doc_id"], 0), r["copy_idx"])
+    assert all(n == target for n in per_class.values())
+    for cls, n in enumerate(sizes):
+        copies = [per_doc[cls * 1000 + i] for i in range(n)]
+        assert max(copies) - min(copies) <= 1
+        assert sum(copies) == target
