@@ -778,3 +778,27 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "intersection", "containment")
     )
+
+
+def canonical_text(text: Column) -> Column:
+    """Canonical form for dedup keys: lowercase, punctuation stripped
+    to spaces, whitespace runs collapsed, trimmed — so case/punct/
+    spacing variants of the same content share one md5 digest.  ASCII
+    regex only (Java==RE2==PCRE portable), same class as tokens()."""
+    collapsed = F.regexp_replace(
+        F.regexp_replace(F.lower(text), "[^a-z0-9]+", " "), " +", " "
+    )
+    return F.trim(collapsed)
+
+
+def exact_dedup_canonical(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """`exact_dedup` on the canonicalized text: groups byte-different
+    but content-identical variants ("Hello, World!" == "hello world").
+    Same one-digest-shuffle plan; the normalization is a narrow map.
+    """
+    canon = df.select(
+        F.col(id_col), canonical_text(F.col(text_col)).alias("__canon")
+    )
+    return exact_dedup(canon, id_col, "__canon")

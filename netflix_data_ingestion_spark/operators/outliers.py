@@ -180,3 +180,47 @@ def mad_outliers(
             (F.col("__v") > F.col("__med")).alias("is_high"),
         )
     )
+
+
+def winsorize(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    lo_q: float = 0.01,
+    hi_q: float = 0.99,
+) -> DataFrame:
+    """Input + ``<value>_winsorized`` — per-group percentile clipping:
+    values below the group's ``lo_q`` quantile (or above ``hi_q``) are
+    replaced by that quantile; everything else passes through.  The
+    tail-taming transform for training features where ``zscore_flag``/
+    ``mad_outliers``' drop semantics would lose the row entirely.
+
+    Quantiles are the EXACT nearest-rank picks of
+    ``profile.exact_quantiles`` (real data points, no interpolation —
+    so the clipped values are engine-portable selections, never
+    arithmetic).  Plan: the quantile pass (one keyed window) plus a
+    broadcast join of the per-group bounds; clipping is a narrow
+    least/greatest.  NULL values pass through NULL.
+    """
+    from netflix_data_ingestion_spark.operators.profile import (
+        exact_quantiles,
+    )
+
+    bounds = exact_quantiles(df, key_cols, value_col, qs=(lo_q, hi_q))
+    lo_name = f"p{int(round(lo_q * 100))}"
+    hi_name = f"p{int(round(hi_q * 100))}"
+    bounds = bounds.select(
+        *key_cols,
+        F.col(lo_name).alias("__lo"),
+        F.col(hi_name).alias("__hi"),
+    )
+    return (
+        df.join(F.broadcast(bounds), list(key_cols))
+        .withColumn(
+            f"{value_col}_winsorized",
+            F.least(
+                F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")
+            ),
+        )
+        .drop("__lo", "__hi")
+    )

@@ -1857,6 +1857,78 @@ FROM rb GROUP BY bucket ORDER BY bucket
 """
 
 
+def q_order_price_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/outliers.winsorize: per-status p5/p95 percentile
+    clipping of order totals — the tail-taming feature transform
+    (clipped values are exact nearest-rank SELECTIONS, no
+    interpolation arithmetic)."""
+    from netflix_data_ingestion_spark.operators.outliers import winsorize
+
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        winsorize(
+            orders, ["o_orderstatus"], "o_totalprice", lo_q=0.05, hi_q=0.95
+        )
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_totalprice_winsorized",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+ORACLE_WINSORIZED = """
+WITH r AS (
+  SELECT o_orderstatus, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+  FROM orders
+),
+b AS (
+  SELECT o_orderstatus,
+         MAX(CASE WHEN rn = CEIL(0.05 * n) THEN o_totalprice END) AS lo,
+         MAX(CASE WHEN rn = CEIL(0.95 * n) THEN o_totalprice END) AS hi
+  FROM r GROUP BY 1
+)
+SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice,
+       least(greatest(o.o_totalprice, b.lo), b.hi)
+         AS o_totalprice_winsorized
+FROM orders o JOIN b USING (o_orderstatus)
+ORDER BY o_orderkey
+"""
+
+
+def q_dedup_exact_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/dedup.exact_dedup_canonical: exact dedup on the
+    canonicalized text (case/punct/whitespace-insensitive digests) —
+    groups variants plain exact_dedup keeps apart."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup_canonical(docs, "doc_id", "text").orderBy(
+        "doc_id"
+    )
+
+
+ORACLE_DEDUP_CANONICAL = """
+WITH c AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+           ' +', ' ', 'g')) AS canon
+  FROM documents
+),
+h AS (SELECT doc_id, md5(canon) AS content_hash FROM c),
+g AS (SELECT content_hash, MIN(doc_id) AS canonical_id,
+             COUNT(*) AS group_size
+      FROM h GROUP BY 1)
+SELECT h.doc_id, h.content_hash, g.canonical_id, g.group_size
+FROM h JOIN g USING (content_hash)
+ORDER BY doc_id
+"""
+
+
 def q_user_hll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/sketch.hll_registers with key_cols: one register table
     PER EVENT TYPE (|types| x buckets rows) — the per-domain
@@ -2862,6 +2934,14 @@ REGISTRY_LLM = {
     "embedding_l2_normalize": (q_embedding_l2_normalize, ORACLE_L2_NORMALIZE),
     "user_hll_registers": (q_user_hll_registers, ORACLE_HLL),
     "user_hll_by_type": (q_user_hll_by_type, ORACLE_HLL_BY_TYPE),
+    "order_price_winsorized": (
+        q_order_price_winsorized,
+        ORACLE_WINSORIZED,
+    ),
+    "dedup_exact_canonical": (
+        q_dedup_exact_canonical,
+        ORACLE_DEDUP_CANONICAL,
+    ),
     "dedup_semantic": (q_dedup_semantic, ORACLE_SEMANTIC_DEDUP),
     "doc_inverted_index": (q_doc_inverted_index, ORACLE_INVERTED_INDEX),
     "event_props_json": (q_event_props_json, ORACLE_PROPS_JSON),

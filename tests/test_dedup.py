@@ -325,3 +325,23 @@ def test_containment_blocking_blind_spot_documented(spark):
         df, "doc_id", "text", n=3, threshold=0.9, max_df=6
     ).collect()
     assert len(got6) == 15
+
+
+def test_exact_dedup_canonical_groups_variants(spark):
+    from netflix_data_ingestion_spark.operators.dedup import (
+        exact_dedup_canonical,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello, World!"),
+            (2, "hello   world"),
+            (3, "HELLO WORLD"),
+            (4, "goodbye world"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["canonical_id"], r["group_size"])
+           for r in exact_dedup_canonical(df, "doc_id", "text").collect()}
+    assert got[1] == (1, 3) and got[2] == (1, 3) and got[3] == (1, 3)
+    assert got[4] == (4, 1)

@@ -74,3 +74,17 @@ def test_null_values_stay_out_of_all_moments(spark):
         for r in zscore_outliers(df_null, ["g"], "v", z_num=1, scale=1).collect()
     )
     assert a == b
+
+
+def test_winsorize_clips_tails_only(spark):
+    from netflix_data_ingestion_spark.operators.outliers import winsorize
+
+    rows = [("g", i, float(v)) for i, v in enumerate(
+        [1, 2, 3, 4, 5, 6, 7, 8, 9, 1000])]
+    df = spark.createDataFrame(rows, "grp string, rid long, v double")
+    got = {r["rid"]: r["v_winsorized"] for r in winsorize(
+        df, ["grp"], "v", lo_q=0.1, hi_q=0.9).collect()}
+    # n=10: lo = rank ceil(1)=1 -> 1.0; hi = rank ceil(9)=9 -> 9.0
+    assert got[9] == 9.0          # the 1000 outlier clipped to p90
+    assert got[0] == 1.0          # lower bound is its own value
+    assert all(got[i] == float(i + 1) for i in range(9))
