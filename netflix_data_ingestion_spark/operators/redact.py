@@ -109,3 +109,35 @@ def pseudonymize(
             ),
         )
     return out
+
+
+def k_anonymity_suppress(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """Input + ``group_size`` + ``suppressed`` — k-anonymity enforcement
+    over the quasi-identifier columns (Sweeney 2002): any row whose
+    (quasi_cols) combination is shared by FEWER than ``k`` rows is
+    re-identifiable by linkage and gets its quasi-identifiers nulled
+    (suppressed = 1); rows in groups of >= k pass through.  The release
+    gate after `pseudonymize` has replaced the direct identifiers —
+    pseudonyms stop linkage on the key, k-anonymity stops linkage on
+    the quasi-identifiers.
+
+    Plan: one combinable group-size aggregate joined back on the quasi
+    columns (broadcast when the combination space is small), then a
+    narrow conditional null-out.  Suppression (not generalization) is
+    the deterministic, hierarchy-free variant — generalization needs a
+    domain taxonomy the engine cannot invent.
+    """
+    sizes = df.groupBy(*quasi_cols).agg(
+        F.count("*").cast("long").alias("group_size")
+    )
+    out = df.join(sizes, list(quasi_cols), "left")
+    suppressed = (F.col("group_size") < k).cast("int")
+    for c in quasi_cols:
+        out = out.withColumn(
+            c, F.when(F.col("group_size") >= k, F.col(c))
+        )
+    return out.withColumn("suppressed", suppressed)

@@ -1325,9 +1325,47 @@ ORDER BY p_brand, p_partkey
 """
 
 
+# ---------------------------------------------------------------------------
+# k-anonymity: suppress quasi-identifier combinations shared by < k rows
+# ---------------------------------------------------------------------------
+
+
+def q_customer_k_anonymous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/redact.k_anonymity_suppress on (nation, segment): rare
+    combinations are nulled — the release gate after pseudonymize."""
+    from netflix_data_ingestion_spark.operators.redact import (
+        k_anonymity_suppress,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    return k_anonymity_suppress(
+        cust, ["c_nationkey", "c_mktsegment"], k=10
+    ).orderBy("c_custkey")
+
+
+ORACLE_K_ANONYMOUS = """
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*)::BIGINT AS group_size
+  FROM customer GROUP BY 1, 2
+)
+SELECT c.c_custkey,
+       CASE WHEN g.group_size >= 10 THEN c.c_nationkey END AS c_nationkey,
+       CASE WHEN g.group_size >= 10 THEN c.c_mktsegment END AS c_mktsegment,
+       g.group_size,
+       (g.group_size < 10)::INT AS suppressed
+FROM customer c
+JOIN g ON g.c_nationkey = c.c_nationkey
+      AND g.c_mktsegment = c.c_mktsegment
+ORDER BY c_custkey
+"""
+
+
 REGISTRY_EXTRA = {
     "orders_join_delta": (q_orders_join_delta, ORACLE_JOIN_DELTA),
     "part_skyline_by_brand": (q_part_skyline_by_brand, ORACLE_SKYLINE),
+    "customer_k_anonymous": (q_customer_k_anonymous, ORACLE_K_ANONYMOUS),
     "customer_pseudonymized": (q_customer_pseudonymized, ORACLE_PSEUDONYMIZED),
     "orders_unpivot": (q_orders_unpivot, ORACLE_UNPIVOT),
     "customer_balance_percentile": (

@@ -42,3 +42,26 @@ def test_redact_counts_against_original_text(spark):
     r = redact_pii(df, "doc_id", "text").collect()[0]
     assert r["n_ssns"] == 1 and r["n_phones"] == 0
     assert r["redacted_text"] == "id [SSN] here"
+
+
+def test_k_anonymity_suppression_boundary(spark):
+    from netflix_data_ingestion_spark.operators.redact import (
+        k_anonymity_suppress,
+    )
+
+    rows = (
+        [(i, "US", "A") for i in range(5)]       # group of 5: passes at k=5
+        + [(10 + i, "US", "B") for i in range(4)]  # group of 4: suppressed
+        + [(20, "FR", "A")]                       # singleton: suppressed
+    )
+    df = spark.createDataFrame(rows, "id long, nation string, seg string")
+    got = {r["id"]: r for r in k_anonymity_suppress(
+        df, ["nation", "seg"], k=5).collect()}
+    for i in range(5):
+        r = got[i]
+        assert (r["nation"], r["seg"], r["suppressed"]) == ("US", "A", 0)
+        assert r["group_size"] == 5
+    for i in [10, 11, 12, 13, 20]:
+        r = got[i]
+        assert r["nation"] is None and r["seg"] is None
+        assert r["suppressed"] == 1
