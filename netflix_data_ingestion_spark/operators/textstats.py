@@ -536,3 +536,74 @@ def vocab_growth(
     return per_bucket.withColumn(
         "vocab_size", F.sum("new_terms").over(w).cast("long")
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """(id, score_micro) — BM25 relevance of each document to a bag of
+    query terms (Robertson & Spärck Jones; the retrieval scorer behind
+    RAG candidate selection), in exact micro-units.
+
+    Cross-engine float discipline: each per-term contribution
+    ``idf_t · tf_norm`` is ONE fixed arithmetic tree (identical op
+    order in both engines), quantized to int64 micro-units
+    (``round(x · scale)``) BEFORE the per-doc sum — so the sum is
+    exact integer arithmetic and immune to FP addition-order
+    divergence across partitionings and engines.  The idf is the
+    LOG-FREE portable variant ``(N - df + 0.5) / (df + 0.5)`` (same
+    document ordering as the log form for df < N/2; ``ln`` differs in
+    ulps across engines, so it stays out — the tfidf_top_terms
+    precedent).
+
+    Shape: corpus stats ride a broadcast 1-row aggregate; per-term
+    document frequencies are a |terms|-row broadcast; the only
+    data-sized shuffle is the (doc, term) tf groupBy over rows
+    containing query terms.  Documents matching no term are absent
+    (score 0 — callers left-join if they need the zeros).
+    """
+    terms = [t.lower() for t in query_terms]
+    base = ensure_parallelism(df).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__tk")
+    )
+    stats = base.agg(
+        F.count("*").cast("long").alias("__n_docs"),
+        F.sum(F.size("__tk")).cast("long").alias("__total_tok"),
+    )
+    lengths = base.select(
+        F.col(id_col), F.size("__tk").cast("long").alias("__dl")
+    )
+    hits = (
+        base.select(F.col(id_col), F.explode("__tk").alias("__term"))
+        .where(F.col("__term").isin(*terms))
+        .groupBy(id_col, "__term")
+        .agg(F.count("*").cast("long").alias("__tf"))
+    )
+    dfreq = hits.groupBy("__term").agg(
+        F.count("*").cast("long").alias("__df")
+    )
+    joined = (
+        hits.join(F.broadcast(dfreq), "__term")
+        .join(lengths, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("__total_tok").cast("double") / F.col("__n_docs")
+    idf = (F.col("__n_docs").cast("double") - F.col("__df") + 0.5) / (
+        F.col("__df").cast("double") + 0.5
+    )
+    tf = F.col("__tf").cast("double")
+    tf_norm = (tf * (k1 + 1.0)) / (
+        tf + k1 * (1.0 - b + b * (F.col("__dl").cast("double") / avgdl))
+    )
+    partial = F.round(idf * tf_norm * scale).cast("long")
+    return (
+        joined.withColumn("__p", partial)
+        .groupBy(id_col)
+        .agg(F.sum("__p").cast("long").alias("score_micro"))
+    )

@@ -1857,6 +1857,50 @@ FROM rb GROUP BY bucket ORDER BY bucket
 """
 
 
+def q_doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/textstats.bm25_scores for the query {hash, join,
+    vector}: per-term contributions quantized to int64 micro-units
+    before the per-doc sum (FP-order-immune), log-free portable idf."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.bm25_scores(
+        docs, "doc_id", "text", ["hash", "join", "vector"]
+    ).orderBy("doc_id")
+
+
+ORACLE_BM25 = f"""
+WITH {_DUCK_TOKS},
+stats AS (
+  SELECT COUNT(*)::BIGINT AS n_docs, SUM(len(tk))::BIGINT AS total_tok
+  FROM toks
+),
+lengths AS (SELECT doc_id, len(tk)::BIGINT AS dl FROM toks),
+hits AS (
+  SELECT doc_id, u.t AS term, COUNT(*)::BIGINT AS tf
+  FROM toks, unnest(tk) AS u(t)
+  WHERE u.t IN ('hash', 'join', 'vector')
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, COUNT(*)::BIGINT AS dfn FROM hits GROUP BY 1),
+scored AS (
+  SELECT h.doc_id,
+         round(
+           ((s.n_docs::DOUBLE - d.dfn + 0.5) / (d.dfn::DOUBLE + 0.5))
+           * ((h.tf::DOUBLE * (1.2 + 1.0))
+              / (h.tf::DOUBLE
+                 + 1.2 * (1.0 - 0.75
+                          + 0.75 * (l.dl::DOUBLE
+                                    / (s.total_tok::DOUBLE / s.n_docs)))))
+           * 1000000
+         )::BIGINT AS p
+  FROM hits h
+  JOIN dfreq d USING (term)
+  JOIN lengths l USING (doc_id), stats s
+)
+SELECT doc_id, SUM(p)::BIGINT AS score_micro
+FROM scored GROUP BY 1 ORDER BY doc_id
+"""
+
+
 def q_order_price_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/outliers.winsorize: per-status p5/p95 percentile
     clipping of order totals — the tail-taming feature transform
@@ -2938,6 +2982,7 @@ REGISTRY_LLM = {
         q_order_price_winsorized,
         ORACLE_WINSORIZED,
     ),
+    "doc_bm25_search": (q_doc_bm25_search, ORACLE_BM25),
     "dedup_exact_canonical": (
         q_dedup_exact_canonical,
         ORACLE_DEDUP_CANONICAL,

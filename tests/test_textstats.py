@@ -232,3 +232,27 @@ def test_vocab_growth_first_seen_accounting(spark):
         for r in vocab_growth(df, "doc_id", "text", bucket_size=10).collect()
     }
     assert got == {0: (4, 4), 10: (1, 5)}
+
+
+def test_bm25_ranks_relevant_docs_first(spark):
+    from netflix_data_ingestion_spark.operators.textstats import bm25_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark shuffle"),     # high tf for 'spark'
+            (2, "spark shuffle " + "filler " * 50),  # long doc: tf dampened
+            (3, "completely unrelated words here"),
+            (4, "spark"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["score_micro"] for r in bm25_scores(
+        df, "doc_id", "text", ["spark"]).collect()}
+    # non-matching doc absent; repeated-term doc beats the long diluted
+    # one; short exact match beats the diluted long doc too
+    assert 3 not in got
+    assert got[1] > got[2] and got[4] > got[2]
+    # partition invariance of the exact integer micro-unit sum
+    again = {r["doc_id"]: r["score_micro"] for r in bm25_scores(
+        df.repartition(7), "doc_id", "text", ["spark"]).collect()}
+    assert again == got
