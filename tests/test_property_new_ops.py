@@ -172,3 +172,62 @@ def test_balanced_oversample_exact_targets_any_classes(spark, sizes):
         copies = [per_doc[cls * 1000 + i] for i in range(n)]
         assert max(copies) - min(copies) <= 1
         assert sum(copies) == target
+
+
+corpus_strategy = st.lists(
+    st.lists(
+        st.sampled_from([f"w{i}" for i in range(12)]),
+        min_size=0,
+        max_size=15,
+    ),
+    min_size=2,
+    max_size=10,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=corpus_strategy)
+def test_containment_sound_and_complete_at_full_df(spark, docs):
+    """For ANY corpus: containment_pairs is SOUND (every reported pair
+    really satisfies the containment definition on distinct shingles)
+    and, with max_df >= n_docs (blocking disabled), COMPLETE vs the
+    brute-force definition."""
+    from netflix_data_ingestion_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    n = 2
+    got = {
+        (r["id_a"], r["id_b"]): (r["intersection"], r["containment"])
+        for r in containment_pairs(
+            df, "doc_id", "text", n=n, threshold=0.8, max_df=len(docs)
+        ).collect()
+    }
+
+    def sh(toks):
+        return {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+
+    shingles = {i: sh(toks) for i, toks in enumerate(docs)}
+    expect = {}
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            sa, sb = shingles[a], shingles[b]
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            if inter == 0:
+                continue
+            c = inter / min(len(sa), len(sb))
+            if c >= 0.8:
+                expect[(a, b)] = (inter, c)
+    assert set(got) == set(expect)
+    for k, (inter, c) in expect.items():
+        assert got[k][0] == inter and abs(got[k][1] - c) < 1e-12
