@@ -84,3 +84,37 @@ def kfold_assign(
         10,
     ).cast("long")
     return df.withColumn("fold", F.pmod(h, F.lit(k)).cast("int"))
+
+
+def time_split(
+    df: DataFrame,
+    ts_col: str,
+    cutoffs: dict[str, str],
+) -> DataFrame:
+    """Adds a ``split`` column by TIME: each row goes to the first named
+    band whose cutoff its timestamp is strictly below; rows at/after
+    the last cutoff get the final band.  The leakage-safe split for
+    forecasting / churn / next-event models, where `hash_split`'s
+    uniform routing would leak future observations of an entity into
+    training.  ``cutoffs`` maps band name -> upper bound timestamp
+    string, in increasing order; the LAST entry's bound is ignored
+    (it is the catch-all), e.g. ``{"train": "2024-03-01", "val":
+    "2024-04-01", "test": "9999-01-01"}``.
+
+    Narrow map, no shuffle, trivially portable (one CASE expression).
+    NULL timestamps get NULL split — route or drop them explicitly.
+    """
+    names = list(cutoffs)
+    expr: Column | None = None
+    for name in names[:-1]:
+        cond = F.col(ts_col) < F.lit(cutoffs[name]).cast("timestamp")
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    last = F.lit(names[-1])
+    full = last if expr is None else expr.otherwise(last)
+    return df.withColumn(
+        "split", F.when(F.col(ts_col).isNotNull(), full)
+    )

@@ -1857,6 +1857,47 @@ FROM rb GROUP BY bucket ORDER BY bucket
 """
 
 
+def q_events_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/split.time_split: leakage-safe temporal routing —
+    train < Jan 20, val < Jan 26, test = the rest; per-band counts
+    (hash_split's uniform routing would leak future events of a user
+    into training)."""
+    from netflix_data_ingestion_spark.operators.split import time_split
+
+    events = _t(spark, sf_dir, "events")
+    return (
+        time_split(
+            events,
+            "ts",
+            {
+                "train": "2024-01-20",
+                "val": "2024-01-26",
+                "test": "9999-01-01",
+            },
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .orderBy("split")
+    )
+
+
+ORACLE_TIME_SPLIT = """
+SELECT CASE WHEN ts < TIMESTAMP '2024-01-20' THEN 'train'
+            WHEN ts < TIMESTAMP '2024-01-26' THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*)::BIGINT AS n_events,
+       MIN(ts) AS first_ts,
+       MAX(ts) AS last_ts
+FROM events
+WHERE ts IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/textstats.bm25_scores for the query {hash, join,
     vector}: per-term contributions quantized to int64 micro-units
@@ -2983,6 +3024,7 @@ REGISTRY_LLM = {
         ORACLE_WINSORIZED,
     ),
     "doc_bm25_search": (q_doc_bm25_search, ORACLE_BM25),
+    "events_time_split": (q_events_time_split, ORACLE_TIME_SPLIT),
     "dedup_exact_canonical": (
         q_dedup_exact_canonical,
         ORACLE_DEDUP_CANONICAL,
