@@ -346,3 +346,58 @@ def triangle_counts(
     return corners.groupBy("node").agg(
         F.count("*").cast("long").alias("triangles")
     )
+
+
+def kcore(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    k: int = 2,
+    rounds: int = 4,
+) -> DataFrame:
+    """(node, degree) — the subgraph surviving ``rounds`` of k-core
+    peeling (Seidman 1983): each round drops every node whose degree in
+    the CURRENT subgraph is below ``k``, then the edges touching it.
+    The k-core itself is the fixpoint; peeling is confluent, so the
+    FIXED round count makes an iterative graph algorithm bit-exact
+    against an unrolled SQL oracle (the operators/kmeans discipline —
+    determinism first, with convergence asserted separately by tests:
+    on a converged input another round changes nothing).  Cores
+    separate load-bearing community structure from tendrils — the
+    dedup-cluster / spam-ring density screen one level above
+    ``triangle_counts``.
+
+    Per round: one combinable degree aggregate + two node-keyed
+    semi-joins of the edge list, eager-checkpointed (bounded lineage,
+    shrinking edge set).  At 100 TB each round shuffles the SURVIVING
+    edges only — cost decays with the peeling.
+    """
+    e = (
+        pairs.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .union(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("__deg"))
+        )
+        keep = deg.where(F.col("__deg") >= k).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )

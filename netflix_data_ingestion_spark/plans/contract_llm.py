@@ -2652,6 +2652,66 @@ FROM corners GROUP BY 1 ORDER BY 1
 """
 
 
+def q_part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/graph.kcore: 3 fixed rounds of 3-core peeling over the
+    part co-occurrence graph — surviving nodes with their current
+    degree.  Fixed rounds make the iterative peel bit-exact against
+    the unrolled oracle (kmeans discipline); convergence is asserted
+    separately in tests."""
+    from netflix_data_ingestion_spark.operators.cooccur import (
+        cooccurrence_pairs,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = cooccurrence_pairs(
+        li, "l_orderkey", "l_partkey", min_support=2
+    ).select("item_a", "item_b")
+    return graph.kcore(edges, "item_a", "item_b", k=3, rounds=3).orderBy(
+        "node"
+    )
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 3) -> str:
+    parts = [
+        """
+WITH bi AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+),
+e0 AS (
+  SELECT a.i AS u, b.i AS v
+  FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+d{r} AS (
+  SELECT node, COUNT(*) AS c FROM (
+    SELECT u AS node FROM e{r - 1}
+    UNION ALL SELECT v FROM e{r - 1}
+  ) GROUP BY 1
+),
+n{r} AS (SELECT node FROM d{r} WHERE c >= {k}),
+e{r} AS (
+  SELECT e.u, e.v FROM e{r - 1} e
+  JOIN n{r} a ON a.node = e.u
+  JOIN n{r} b ON b.node = e.v
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node, COUNT(*)::BIGINT AS degree FROM (
+  SELECT u AS node FROM e{rounds}
+  UNION ALL SELECT v FROM e{rounds}
+) GROUP BY 1 ORDER BY 1"""
+    )
+    return "".join(parts)
+
+
+ORACLE_KCORE = _kcore_oracle()
+
+
 def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/similarity.random_projection: JL reduction 64 -> 6 dims
     via the md5 hyperplane family (literal components, one JVM fold per
@@ -2996,6 +3056,7 @@ REGISTRY_LLM = {
         ORACLE_RANDOM_PROJECTION,
     ),
     "part_triangle_counts": (q_part_triangle_counts, ORACLE_TRIANGLES),
+    "part_kcore": (q_part_kcore, ORACLE_KCORE),
     "user_churn_labels": (q_user_churn_labels, ORACLE_CHURN_LABELS),
     "top_session_paths": (q_top_session_paths, ORACLE_SESSION_PATHS),
     "doc_kfold": (q_doc_kfold, ORACLE_KFOLD),

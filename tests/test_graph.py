@@ -126,3 +126,27 @@ def test_triangle_counts_known_graph_and_hub_orientation(spark):
     assert got == {1: 3, 2: 3, 3: 3, 4: 3, 10: 1, 11: 1, 12: 1}
     # pendant node 5 is in no triangle -> absent
     assert 5 not in got
+
+
+def test_kcore_peels_to_fixpoint(spark):
+    from netflix_data_ingestion_spark.operators.graph import kcore
+
+    # K4 {1..4} plus a chain 4-5-6 and a pendant triangle {6,7,8}:
+    # the 3-core is exactly K4 (chain and triangle peel away — triangle
+    # nodes have degree 2)
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = k4 + [(4, 5), (5, 6), (6, 7), (6, 8), (7, 8)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["degree"] for r in kcore(df, k=3, rounds=3).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # fixpoint: an extra round changes nothing (the peel converged)
+    again = {r["node"]: r["degree"] for r in kcore(df, k=3, rounds=4).collect()}
+    assert again == got
+    # k=2: every node has degree >= 2 (the chain's middle node included),
+    # so the whole graph is its own 2-core
+    got2 = {r["node"]: r["degree"] for r in kcore(df, k=2, rounds=4).collect()}
+    assert set(got2) == {1, 2, 3, 4, 5, 6, 7, 8}
+    # but clip one chain edge and the dangling tail peels recursively
+    clipped = df.where("NOT (id_a = 5 AND id_b = 6)")
+    got3 = {r["node"] for r in kcore(clipped, k=2, rounds=4).collect()}
+    assert got3 == {1, 2, 3, 4, 6, 7, 8}
