@@ -674,3 +674,42 @@ def throttle_events_batch(
         .filter(F.col("__rn") <= limit)
         .select("event_id", "ts", "user_id", "event_type", "value")
     )
+
+
+def ohlc_stream(
+    events: DataFrame,
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming OHLC bars: the watermarked twin of
+    operators/resample.ohlc_resample — same combinable min_by/max_by
+    aggregation, but bucketed with ``F.window`` so Structured Streaming
+    can evict completed bars once the watermark passes (a date_trunc
+    bucket has no event-time column the engine can reason about, so
+    the batch form's bucket cannot expire state).  Emits one final bar
+    per (key, window) in append mode; state is one partial bar per
+    open window per key.
+    """
+    ord_struct = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        events.withWatermark("ts", watermark)
+        .where(F.col("ts").isNotNull())
+        .groupBy(F.window("ts", window).alias("w"), F.col(key_col))
+        .agg(
+            F.min_by(F.col("value"), ord_struct).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by(F.col("value"), ord_struct).alias("close"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("bucket"),
+            key_col,
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )

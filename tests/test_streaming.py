@@ -716,3 +716,39 @@ def test_throttle_restart_preserves_state(spark, tmp_path_factory):
     # only ONE slot remained, taken by the earliest (ts, event_id) of
     # the new batch — a lost state would have admitted all three
     assert got == [0, 1, 2]
+
+
+def test_ohlc_stream_matches_batch_resample(spark, source_dir):
+    from netflix_data_ingestion_spark.operators.resample import ohlc_resample
+
+    stream = ingest.stream_events(spark, source_dir)
+    q = (
+        ingest.ohlc_stream(stream, key_col="user_id")
+        .writeStream.format("memory")
+        .queryName("t_ohlc")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["bucket"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n_events"])
+        for r in spark.table("t_ohlc").collect()
+    }
+    batch = spark.read.parquet(source_dir)
+    expect = {
+        (r["user_id"], r["bucket"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n_events"])
+        for r in ohlc_resample(
+            batch, ["user_id"], "ts", "event_id", "value"
+        ).collect()
+    }
+    # append mode emits only bars whose window CLOSED under the
+    # watermark (the last ~2h of windows stay open) — every emitted bar
+    # must equal its batch twin exactly, and the early bars must have
+    # been emitted
+    assert len(got) > 0
+    assert all(expect[k] == v for k, v in got.items())
+    assert (1, datetime.datetime(2024, 1, 1, 0, 0)) in got
+    assert (2, datetime.datetime(2024, 1, 1, 0, 0)) in got
