@@ -1362,10 +1362,72 @@ ORDER BY c_custkey
 """
 
 
+# ---------------------------------------------------------------------------
+# RFM segmentation: recency / frequency / monetary quartiles per customer
+# ---------------------------------------------------------------------------
+
+
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic RFM scoring: per ordering customer, quartile of last
+    order date (recency — 4 = most recent), order count (frequency),
+    and rounded total spend (monetary); segment = 100*r + 10*f + m.
+    Quartiles are global ntile windows over the CUSTOMER aggregate
+    (dimension-sized — the customer_balance_quartiles license), ties
+    broken by custkey for cross-engine determinism."""
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(
+        F.col("o_custkey").alias("c_custkey")
+    ).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").cast("long").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+    )
+    def q(col_order):
+        return F.ntile(4).over(Window.orderBy(*col_order))
+
+    scored = per_cust.select(
+        "c_custkey",
+        "last_order",
+        "n_orders",
+        "total_spend",
+        q([F.col("last_order").asc(), F.col("c_custkey").asc()]).alias("r"),
+        q([F.col("n_orders").asc(), F.col("c_custkey").asc()]).alias("f"),
+        q([F.col("total_spend").asc(), F.col("c_custkey").asc()]).alias("m"),
+    )
+    return scored.select(
+        "c_custkey",
+        "last_order",
+        "n_orders",
+        "total_spend",
+        (F.col("r") * 100 + F.col("f") * 10 + F.col("m"))
+        .cast("int")
+        .alias("rfm_segment"),
+    ).orderBy("c_custkey")
+
+
+ORACLE_RFM = """
+WITH per_cust AS (
+  SELECT o_custkey AS c_custkey,
+         MAX(o_orderdate) AS last_order,
+         COUNT(*)::BIGINT AS n_orders,
+         ROUND(SUM(o_totalprice), 2) AS total_spend
+  FROM orders GROUP BY 1
+)
+SELECT c_custkey, last_order, n_orders, total_spend,
+       (NTILE(4) OVER (ORDER BY last_order ASC, c_custkey ASC) * 100
+        + NTILE(4) OVER (ORDER BY n_orders ASC, c_custkey ASC) * 10
+        + NTILE(4) OVER (ORDER BY total_spend ASC, c_custkey ASC))::INT
+         AS rfm_segment
+FROM per_cust
+ORDER BY c_custkey
+"""
+
+
 REGISTRY_EXTRA = {
     "orders_join_delta": (q_orders_join_delta, ORACLE_JOIN_DELTA),
     "part_skyline_by_brand": (q_part_skyline_by_brand, ORACLE_SKYLINE),
     "customer_k_anonymous": (q_customer_k_anonymous, ORACLE_K_ANONYMOUS),
+    "customer_rfm_segments": (q_customer_rfm_segments, ORACLE_RFM),
     "customer_pseudonymized": (q_customer_pseudonymized, ORACLE_PSEUDONYMIZED),
     "orders_unpivot": (q_orders_unpivot, ORACLE_UNPIVOT),
     "customer_balance_percentile": (

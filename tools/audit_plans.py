@@ -82,6 +82,7 @@ SANCTIONED: dict[str, str] = {
     "calendar_dim": "1-task date-spine generator, 2.4k rows by design",
     "curate_corpus": "1-row gate-stats frames (quota totals), bounded",
     "customer_balance_quartiles": "global ntile = one ordered window, doc'd",
+    "customer_rfm_segments": "global ntiles over the customer aggregate, doc'd",
     "customer_part_negatives": "1-row n_items broadcast crossJoin, doc'd",
     "doc_class_balance": "1-row target-size broadcast crossJoin, doc'd",
     "user_churn_labels": "1-row label-horizon broadcast crossJoin, doc'd",
