@@ -75,3 +75,57 @@ def pad_tokens(
         ).alias("attention_mask"),
         n.cast("long").alias("n_tokens"),
     )
+
+
+def build_vocab(
+    df: DataFrame, text_col: str, vocab_size: int = 1024
+) -> DataFrame:
+    """(token, token_id) — the top-``vocab_size - 1`` corpus tokens by
+    frequency (ties broken alphabetically), ids 1..V-1; id 0 is
+    reserved for OOV/padding.  One combinable count shuffle + a
+    vocab-sized window rank (model-sized frame)."""
+    from pyspark.sql import Window as W
+
+    from netflix_data_ingestion_spark.operators.dedup import tokens
+
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("__cnt"))
+    )
+    w = W.orderBy(F.col("__cnt").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("token_id", F.row_number().over(w).cast("int"))
+        .where(F.col("token_id") <= vocab_size - 1)
+        .select("token", "token_id")
+    )
+
+
+def tokens_to_ids(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab: DataFrame,
+    max_len: int = 16,
+) -> DataFrame:
+    """(id, pos, token_id) — the final text-to-tensor hop: tokenize,
+    truncate to ``max_len``, map through the BROADCAST vocabulary
+    (out-of-vocabulary -> 0, matching `build_vocab`'s reserved id),
+    long format for loaders and oracles alike.  Composes the whole
+    assembly line: build_vocab -> tokens_to_ids -> (pad_tokens /
+    pack_windows) — documents leave as integer tensors.
+    """
+    from netflix_data_ingestion_spark.operators.dedup import tokens
+
+    tok = F.slice(tokens(F.col(text_col)), 1, max_len)
+    long = df.select(
+        F.col(id_col), F.posexplode(tok).alias("pos", "token")
+    )
+    return (
+        long.join(F.broadcast(vocab), "token", "left")
+        .select(
+            id_col,
+            F.col("pos").cast("int").alias("pos"),
+            F.coalesce("token_id", F.lit(0)).cast("int").alias("token_id"),
+        )
+    )

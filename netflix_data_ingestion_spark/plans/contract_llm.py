@@ -2344,6 +2344,47 @@ ORDER BY window_id, doc_id
 """
 
 
+def q_doc_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/context.build_vocab + tokens_to_ids: the text-to-tensor
+    hop — top-15 vocabulary (ids 1..15, 0 = OOV), docs < 100 truncated
+    to 12 tokens, mapped through the broadcast vocab in long format."""
+    from netflix_data_ingestion_spark.operators.context import (
+        build_vocab,
+        tokens_to_ids,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, "text", vocab_size=16)
+    return tokens_to_ids(
+        docs.where(F.col("doc_id") < 100), "doc_id", "text", vocab,
+        max_len=12,
+    ).orderBy("doc_id", "pos")
+
+
+ORACLE_TOKEN_IDS = f"""
+WITH {_DUCK_TOKS},
+counts AS (
+  SELECT u.t AS token, COUNT(*) AS cnt
+  FROM toks, unnest(tk) AS u(t)
+  GROUP BY 1
+),
+vocab AS (
+  SELECT token,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC)::INT AS token_id
+  FROM counts
+  QUALIFY token_id <= 15
+),
+long AS (
+  SELECT doc_id, (i - 1)::INT AS pos, tk[i] AS token
+  FROM toks, unnest(range(1, least(len(tk), 12) + 1)) AS r(i)
+  WHERE doc_id < 100
+)
+SELECT l.doc_id, l.pos, COALESCE(v.token_id, 0)::INT AS token_id
+FROM long l LEFT JOIN vocab v USING (token)
+ORDER BY doc_id, pos
+"""
+
+
 def q_doc_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/split.kfold_assign: stable 5-fold CV assignment —
     pmod(md5, k), growth- and partitioning-stable like hash_split."""
@@ -3060,6 +3101,7 @@ REGISTRY_LLM = {
     "user_churn_labels": (q_user_churn_labels, ORACLE_CHURN_LABELS),
     "top_session_paths": (q_top_session_paths, ORACLE_SESSION_PATHS),
     "doc_kfold": (q_doc_kfold, ORACLE_KFOLD),
+    "doc_token_ids": (q_doc_token_ids, ORACLE_TOKEN_IDS),
     "doc_pack_windows": (q_doc_pack_windows, ORACLE_PACK_WINDOWS),
     "doc_model_scores": (q_doc_model_scores, ORACLE_MODEL_SCORES),
     "doc_padded_tokens": (q_doc_padded_tokens, ORACLE_PADDED_TOKENS),

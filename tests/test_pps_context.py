@@ -152,3 +152,26 @@ def test_quantize_int8_roundtrip_error_bound(spark):
         step = r["s"] / 127.0
         for x, c in zip(r["embedding"], r["c"]):
             assert abs(c * step - x) <= step / 2 + 1e-9
+
+
+def test_tokens_to_ids_vocab_and_oov(spark):
+    from netflix_data_ingestion_spark.operators.context import (
+        build_vocab,
+        tokens_to_ids,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "b rare a")],
+        "doc_id long, text string",
+    )
+    vocab = {r["token"]: r["token_id"] for r in build_vocab(
+        df, "text", vocab_size=3).collect()}
+    # top-2 tokens only (ids 1..2): a (4x) then b (3x); c/rare are OOV
+    assert vocab == {"a": 1, "b": 2}
+    ids = {(r["doc_id"], r["pos"]): r["token_id"] for r in tokens_to_ids(
+        df, "doc_id", "text",
+        build_vocab(df, "text", vocab_size=3), max_len=4).collect()}
+    # doc 1 truncated to 4 tokens: a a a b
+    assert [ids[(1, p)] for p in range(4)] == [1, 1, 1, 2]
+    # doc 2: b rare a -> 2, OOV 0, 1
+    assert [ids[(2, p)] for p in range(3)] == [2, 0, 1]
