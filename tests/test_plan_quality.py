@@ -335,3 +335,67 @@ def test_full_registry_plan_audit_has_no_unreviewed_smells(spark):
             flagged[name] = smells
     unreviewed = sorted(set(flagged) - set(audit.SANCTIONED))
     assert unreviewed == [], f"unreviewed plan smells: {unreviewed}"
+
+
+def test_random_projection_plan_is_narrow(spark):
+    """JL projection must be a pure narrow map: no key shuffle, no
+    Generate, no Python — one fold per output dim inside codegen."""
+    from netflix_data_ingestion_spark.operators.similarity import (
+        random_projection,
+    )
+
+    emb = read_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    plan = _plan(random_projection(emb, out_dim=8, dim=64))
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert "Generate" not in plan
+    assert "Python" not in plan
+
+
+def test_pad_tokens_plan_is_narrow(spark):
+    """Fixed-length input assembly runs at scan speed: no exchange of
+    any kind beyond ensure_parallelism's fan-out, no Python."""
+    from netflix_data_ingestion_spark.operators.context import pad_tokens
+
+    docs = read_table(spark, SF_DIR, "documents")
+    plan = _plan(pad_tokens(docs, "doc_id", "text", max_len=16))
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert "Python" not in plan
+
+
+def test_heavy_hitters_screen_is_filter_not_join(spark):
+    """The CMS screen must appear as a narrow Filter over the scan —
+    no join against a sketch table on the exact-count side, and the
+    only keyed exchange is the survivors' groupBy."""
+    from netflix_data_ingestion_spark.operators.sketch import heavy_hitters
+
+    events = read_table(spark, SF_DIR, "events")
+    plan = _plan(heavy_hitters(events, "user_id", threshold=5))
+    # exactly one keyed exchange: the exact count of screened survivors
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_negative_sample_single_anti_join(spark):
+    """The candidate draw is narrow (no catalog cross join on the data
+    path); exactly one anti-join removes accidental positives."""
+    from netflix_data_ingestion_spark.operators.sample import negative_sample
+
+    orders = read_table(spark, SF_DIR, "orders")
+    li = read_table(spark, SF_DIR, "lineitem")
+    part = read_table(spark, SF_DIR, "part")
+    positives = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .selectExpr("o_custkey AS user_id", "CAST(l_partkey AS LONG) AS item")
+        .distinct()
+    )
+    plan = _plan(
+        negative_sample(
+            positives, part.selectExpr("p_partkey AS item"), "user_id",
+            "item", k=4,
+        )
+    )
+    assert plan.count("LeftAnti") == 1
+    # the only nested-loop artifact is the 1-row n_items broadcast
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
