@@ -75,6 +75,56 @@ def _build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _run_query(argv: list[str], spark=None) -> int:
+    """``query`` subcommand: list or run any registered contract query.
+
+    ::
+
+        python -m netflix_data_ingestion_spark query list
+        python -m netflix_data_ingestion_spark query pricing_summary \
+            [--sf-dir DIR] [--limit N]
+
+    Exit 0 on success, 1 for an unknown query name.  This is the ad-hoc
+    surface over the full operator registry (plans/contract.REGISTRY) —
+    the reference's psql-against-views workflow, minus the database.
+    """
+    from netflix_data_ingestion_spark.plans.contract import REGISTRY
+
+    p = argparse.ArgumentParser(
+        prog="netflix_data_ingestion_spark query",
+        description="Run a registered contract query and print rows.",
+    )
+    p.add_argument("name", help="query name, or 'list' to enumerate")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p.add_argument("--limit", type=int, default=20)
+    args = p.parse_args(argv)
+
+    if args.name == "list":
+        for name in REGISTRY:
+            print(name)
+        return 0
+    if args.name not in REGISTRY:
+        logger.error(
+            "unknown query %r (use 'query list'; %d registered)",
+            args.name,
+            len(REGISTRY),
+        )
+        return 1
+    owns_session = spark is None
+    try:
+        if owns_session:
+            from netflix_data_ingestion_spark.session import build_session
+
+            spark = build_session(app_name=f"query-{args.name}")
+        fn, _oracle = REGISTRY[args.name]
+        df = fn(spark, args.sf_dir)
+        df.show(args.limit, truncate=False)
+        return 0
+    finally:
+        if owns_session and spark is not None:
+            spark.stop()
+
+
 def main(argv: list[str] | None = None, spark=None) -> int:
     """Run the star pipeline; returns a process exit code (see module doc).
 
@@ -82,6 +132,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     on exit; a session this function creates is).
     """
     from netflix_data_ingestion_spark.pipeline import StarPipeline
+
+    if argv and argv[0] == "query":
+        return _run_query(argv[1:], spark)
 
     args = _build_parser().parse_args(argv)
     logging.basicConfig(

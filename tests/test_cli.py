@@ -69,3 +69,22 @@ def test_interrupt_exits_130(spark, fixture_inputs, monkeypatch):
 
     monkeypatch.setattr(StarPipeline, "run", boom)
     assert main(_argv(fixture_inputs), spark=spark) == 130
+
+
+def test_cli_query_list_and_run(spark, capsys):
+    from netflix_data_ingestion_spark.__main__ import main
+
+    assert main(["query", "list"], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "pricing_summary" in out and "dedup_exact" in out
+    # run one against the small SF
+    assert (
+        main(
+            ["query", "table_counts", "--sf-dir", "/root/testdata/sf0.001"],
+            spark=spark,
+        )
+        == 0
+    )
+    assert "lineitem" in capsys.readouterr().out
+    # unknown name: exit 1, session untouched
+    assert main(["query", "no_such_query"], spark=spark) == 1
