@@ -231,3 +231,46 @@ def test_containment_sound_and_complete_at_full_df(spark, docs):
     assert set(got) == set(expect)
     for k, (inter, c) in expect.items():
         assert got[k][0] == inter and abs(got[k][1] - c) < 1e-12
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_triangle_counts_match_bruteforce_any_graph(spark, edges):
+    """For ANY multigraph (self-loops and duplicate/reversed edges
+    included): degree-ordered wedge counting equals brute-force
+    triangle enumeration."""
+    from netflix_data_ingestion_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(
+        edges or [(0, 0)], "id_a long, id_b long"
+    )
+    got = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
+    simple = {
+        (min(u, v), max(u, v)) for u, v in edges if u != v
+    }
+    nodes = {n for e in simple for n in e}
+    expect = {}
+    for a in sorted(nodes):
+        for b in sorted(n for n in nodes if n > a):
+            for c in sorted(n for n in nodes if n > b):
+                if (
+                    (a, b) in simple
+                    and (b, c) in simple
+                    and (a, c) in simple
+                ):
+                    for n in (a, b, c):
+                        expect[n] = expect.get(n, 0) + 1
+    assert got == expect
