@@ -242,3 +242,73 @@ def equidepth_histogram(
             F.max(value_col).alias("max_v"),
         )
     )
+
+
+def feature_correlations(
+    df: DataFrame, cols: list[str], scale: int = 100
+) -> DataFrame:
+    """(col_a, col_b, n, corr) — the pairwise Pearson correlation
+    matrix of the numeric feature columns, in ONE aggregation pass,
+    with EXACT integer moments (the feature-redundancy screen before
+    training; `F.corr` is float-summation-order-dependent and neither
+    partition-invariant nor oracle-checkable).
+
+    Discipline (the outliers.moments_build pattern): values quantize to
+    1/``scale`` fixed-point longs; per pair, count / sums / sums of
+    squares / cross products accumulate in DECIMAL(38,0) — exact, and
+    identical on any partitioning.  The only floats are the final
+    ``(n·Σxy − Σx·Σy) / sqrt((n·Σx² − (Σx)²) · (n·Σy² − (Σy)²))``
+    with the two variance terms cast to double BEFORE their product
+    (the exact decimals can exceed 38 digits multiplied), rounded to
+    6 — one fixed op sequence both engines replay.  Pairwise-complete
+    semantics: a row enters a pair's moments only when BOTH values are
+    non-NULL.  Zero-variance pairs yield non-finite corr (IEEE /0) —
+    screen first with profile_columns if that matters.
+    """
+    dec = "decimal(38,0)"
+    names = list(cols)
+    base = df.select(
+        *[
+            F.round(F.col(c) * F.lit(scale)).cast("long").alias(f"__v{i}")
+            for i, c in enumerate(names)
+        ]
+    )
+    pairs = [
+        (i, j) for i in range(len(names)) for j in range(i + 1, len(names))
+    ]
+    aggs = []
+    for i, j in pairs:
+        vi = F.col(f"__v{i}").cast("decimal(18,0)")
+        vj = F.col(f"__v{j}").cast("decimal(18,0)")
+        both = F.col(f"__v{i}").isNotNull() & F.col(f"__v{j}").isNotNull()
+        tag = f"{i}_{j}"
+        aggs += [
+            F.count(F.when(both, F.lit(1))).cast(dec).alias(f"n_{tag}"),
+            F.sum(F.when(both, vi)).cast(dec).alias(f"sa_{tag}"),
+            F.sum(F.when(both, vj)).cast(dec).alias(f"sb_{tag}"),
+            F.sum(F.when(both, vi * vi)).cast(dec).alias(f"qa_{tag}"),
+            F.sum(F.when(both, vj * vj)).cast(dec).alias(f"qb_{tag}"),
+            F.sum(F.when(both, vi * vj)).cast(dec).alias(f"p_{tag}"),
+        ]
+    m = base.agg(*aggs)
+    out_structs = []
+    for i, j in pairs:
+        tag = f"{i}_{j}"
+        n = F.col(f"n_{tag}")
+        sa, sb = F.col(f"sa_{tag}"), F.col(f"sb_{tag}")
+        qa, qb = F.col(f"qa_{tag}"), F.col(f"qb_{tag}")
+        p = F.col(f"p_{tag}")
+        num = (n * p - sa * sb).cast("double")
+        da = (n * qa - sa * sa).cast("double")
+        db = (n * qb - sb * sb).cast("double")
+        out_structs.append(
+            F.struct(
+                F.lit(names[i]).alias("col_a"),
+                F.lit(names[j]).alias("col_b"),
+                n.cast("long").alias("n"),
+                F.round(num / F.sqrt(da * db), 6).alias("corr"),
+            )
+        )
+    return m.select(F.explode(F.array(*out_structs)).alias("r")).select(
+        "r.*"
+    )

@@ -1423,11 +1423,82 @@ ORDER BY c_custkey
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact Pearson correlation matrix over lineitem numeric features
+# ---------------------------------------------------------------------------
+
+
+def q_lineitem_feature_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/profile.feature_correlations: pairwise Pearson over
+    (quantity, extendedprice, discount) with DECIMAL(38,0) exact
+    moments in ONE pass; only the final ratio is float (fixed op
+    order, round 6)."""
+    from netflix_data_ingestion_spark.operators.profile import (
+        feature_correlations,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return feature_correlations(
+        li, ["l_quantity", "l_extendedprice", "l_discount"], scale=100
+    ).orderBy("col_a", "col_b")
+
+
+ORACLE_FEATURE_CORR = """
+WITH q AS (
+  SELECT round(l_quantity * 100)::BIGINT AS v0,
+         round(l_extendedprice * 100)::BIGINT AS v1,
+         round(l_discount * 100)::BIGINT AS v2
+  FROM lineitem
+),
+m AS (
+  SELECT
+    COUNT(CASE WHEN v0 IS NOT NULL AND v1 IS NOT NULL THEN 1 END)::HUGEINT AS n01,
+    SUM(CASE WHEN v0 IS NOT NULL AND v1 IS NOT NULL THEN v0 END)::HUGEINT AS sa01,
+    SUM(CASE WHEN v0 IS NOT NULL AND v1 IS NOT NULL THEN v1 END)::HUGEINT AS sb01,
+    SUM(CASE WHEN v0 IS NOT NULL AND v1 IS NOT NULL THEN v0::HUGEINT * v0 END) AS qa01,
+    SUM(CASE WHEN v0 IS NOT NULL AND v1 IS NOT NULL THEN v1::HUGEINT * v1 END) AS qb01,
+    SUM(CASE WHEN v0 IS NOT NULL AND v1 IS NOT NULL THEN v0::HUGEINT * v1 END) AS p01,
+    COUNT(CASE WHEN v0 IS NOT NULL AND v2 IS NOT NULL THEN 1 END)::HUGEINT AS n02,
+    SUM(CASE WHEN v0 IS NOT NULL AND v2 IS NOT NULL THEN v0 END)::HUGEINT AS sa02,
+    SUM(CASE WHEN v0 IS NOT NULL AND v2 IS NOT NULL THEN v2 END)::HUGEINT AS sb02,
+    SUM(CASE WHEN v0 IS NOT NULL AND v2 IS NOT NULL THEN v0::HUGEINT * v0 END) AS qa02,
+    SUM(CASE WHEN v0 IS NOT NULL AND v2 IS NOT NULL THEN v2::HUGEINT * v2 END) AS qb02,
+    SUM(CASE WHEN v0 IS NOT NULL AND v2 IS NOT NULL THEN v0::HUGEINT * v2 END) AS p02,
+    COUNT(CASE WHEN v1 IS NOT NULL AND v2 IS NOT NULL THEN 1 END)::HUGEINT AS n12,
+    SUM(CASE WHEN v1 IS NOT NULL AND v2 IS NOT NULL THEN v1 END)::HUGEINT AS sa12,
+    SUM(CASE WHEN v1 IS NOT NULL AND v2 IS NOT NULL THEN v2 END)::HUGEINT AS sb12,
+    SUM(CASE WHEN v1 IS NOT NULL AND v2 IS NOT NULL THEN v1::HUGEINT * v1 END) AS qa12,
+    SUM(CASE WHEN v1 IS NOT NULL AND v2 IS NOT NULL THEN v2::HUGEINT * v2 END) AS qb12,
+    SUM(CASE WHEN v1 IS NOT NULL AND v2 IS NOT NULL THEN v1::HUGEINT * v2 END) AS p12
+  FROM q
+)
+SELECT 'l_extendedprice' AS col_a, 'l_discount' AS col_b, n12::BIGINT AS n,
+       ROUND((n12 * p12 - sa12 * sb12)::DOUBLE
+             / sqrt((n12 * qa12 - sa12 * sa12)::DOUBLE
+                    * (n12 * qb12 - sb12 * sb12)::DOUBLE), 6) AS corr
+FROM m
+UNION ALL
+SELECT 'l_quantity', 'l_discount', n02::BIGINT,
+       ROUND((n02 * p02 - sa02 * sb02)::DOUBLE
+             / sqrt((n02 * qa02 - sa02 * sa02)::DOUBLE
+                    * (n02 * qb02 - sb02 * sb02)::DOUBLE), 6)
+FROM m
+UNION ALL
+SELECT 'l_quantity', 'l_extendedprice', n01::BIGINT,
+       ROUND((n01 * p01 - sa01 * sb01)::DOUBLE
+             / sqrt((n01 * qa01 - sa01 * sa01)::DOUBLE
+                    * (n01 * qb01 - sb01 * sb01)::DOUBLE), 6)
+FROM m
+ORDER BY col_a, col_b
+"""
+
+
 REGISTRY_EXTRA = {
     "orders_join_delta": (q_orders_join_delta, ORACLE_JOIN_DELTA),
     "part_skyline_by_brand": (q_part_skyline_by_brand, ORACLE_SKYLINE),
     "customer_k_anonymous": (q_customer_k_anonymous, ORACLE_K_ANONYMOUS),
     "customer_rfm_segments": (q_customer_rfm_segments, ORACLE_RFM),
+    "lineitem_feature_corr": (q_lineitem_feature_corr, ORACLE_FEATURE_CORR),
     "customer_pseudonymized": (q_customer_pseudonymized, ORACLE_PSEUDONYMIZED),
     "orders_unpivot": (q_orders_unpivot, ORACLE_UNPIVOT),
     "customer_balance_percentile": (

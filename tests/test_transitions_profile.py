@@ -105,3 +105,49 @@ def test_skew_report_is_lazy_single_plan(spark):
     assert [(r["k"], r["n"], r["rank"]) for r in rows] == [("a", 6, 1)]
     assert abs(rows[0]["share"] - 0.6) < 1e-12
     assert acc.value == 10  # one scan of the 10 input rows, not two
+
+
+def test_feature_correlations_exact_and_pairwise_null(spark):
+    import math
+
+    from netflix_data_ingestion_spark.operators.profile import (
+        feature_correlations,
+    )
+
+    rows = [
+        (1.0, 2.0, 5.0),
+        (2.0, 4.0, 4.0),
+        (3.0, 6.0, 3.0),
+        (4.0, 8.0, None),   # enters (a,b) moments, not the c pairs
+        (5.0, 10.0, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    got = {
+        (r["col_a"], r["col_b"]): (r["n"], r["corr"])
+        for r in feature_correlations(df, ["a", "b", "c"]).collect()
+    }
+    # b = 2a exactly: corr 1; a vs c on the 4 complete rows: perfectly
+    # anti-monotonic linear -> -1
+    assert got[("a", "b")] == (5, 1.0)
+    assert got[("a", "c")][0] == 4 and abs(got[("a", "c")][1] + 1.0) < 1e-9
+
+    def ref_corr(xs, ys):
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        syy = sum(y * y for y in ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        return (n * sxy - sx * sy) / math.sqrt(
+            (n * sxx - sx * sx) * (n * syy - sy * sy)
+        )
+
+    bc = ref_corr([200, 400, 600, 1000], [500, 400, 300, 100])
+    assert abs(got[("b", "c")][1] - round(bc, 6)) < 1e-9
+    # partition invariance: exact integer moments cannot drift
+    again = {
+        (r["col_a"], r["col_b"]): (r["n"], r["corr"])
+        for r in feature_correlations(
+            df.repartition(5), ["a", "b", "c"]
+        ).collect()
+    }
+    assert again == got
