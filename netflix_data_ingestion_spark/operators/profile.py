@@ -312,3 +312,58 @@ def feature_correlations(
     return m.select(F.explode(F.array(*out_structs)).alias("r")).select(
         "r.*"
     )
+
+
+def ols_fit(
+    df: DataFrame, x_col: str, y_col: str, scale: int = 100
+) -> DataFrame:
+    """1 row (n, slope, intercept) — closed-form simple linear
+    regression y = slope·x + intercept, least squares, from the same
+    exact DECIMAL(38,0) moment table as `feature_correlations`:
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+        intercept = (Σy − slope·Σx) / n
+
+    Trend lines, drift estimates, and detrending at 100 TB in ONE
+    combinable aggregation pass — no iterative solver, no MLlib vector
+    assembly, partition-invariant by integer exactness.  The two
+    divisions are the only floats (slope first, then intercept REUSES
+    the rounded slope so both engines replay the same sequence);
+    intercept/slope come back in the ORIGINAL units (the fixed-point
+    scale cancels in slope and divides out of the intercept).
+    Complete-case semantics: rows where either side is NULL stay out.
+    """
+    dec = "decimal(38,0)"
+    vx = F.round(F.col(x_col) * F.lit(scale)).cast("long")
+    vy = F.round(F.col(y_col) * F.lit(scale)).cast("long")
+    both = vx.isNotNull() & vy.isNotNull()
+    dx = F.when(both, vx.cast("decimal(18,0)"))
+    dy = F.when(both, vy.cast("decimal(18,0)"))
+    m = df.agg(
+        F.count(F.when(both, F.lit(1))).cast(dec).alias("__n"),
+        F.sum(dx).cast(dec).alias("__sx"),
+        F.sum(dy).cast(dec).alias("__sy"),
+        F.sum(dx * dx).cast(dec).alias("__qx"),
+        F.sum(dx * dy).cast(dec).alias("__p"),
+    )
+    n = F.col("__n")
+    slope = F.round(
+        (n * F.col("__p") - F.col("__sx") * F.col("__sy")).cast("double")
+        / (n * F.col("__qx") - F.col("__sx") * F.col("__sx")).cast(
+            "double"
+        ),
+        6,
+    )
+    return m.select(
+        n.cast("long").alias("n"),
+        slope.alias("slope"),
+        F.round(
+            (
+                F.col("__sy").cast("double")
+                - slope * F.col("__sx").cast("double")
+            )
+            / n.cast("double")
+            / scale,
+            6,
+        ).alias("intercept"),
+    )

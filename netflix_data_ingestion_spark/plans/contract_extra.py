@@ -1493,12 +1493,56 @@ ORDER BY col_a, col_b
 """
 
 
+# ---------------------------------------------------------------------------
+# Closed-form OLS: extendedprice regressed on quantity, exact moments
+# ---------------------------------------------------------------------------
+
+
+def q_price_quantity_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/profile.ols_fit: least-squares line through
+    (l_quantity, l_extendedprice) — one combinable moment pass, two
+    float divisions (the intercept reuses the ROUNDED slope so both
+    engines replay the identical sequence)."""
+    from netflix_data_ingestion_spark.operators.profile import ols_fit
+
+    li = _t(spark, sf_dir, "lineitem")
+    return ols_fit(li, "l_quantity", "l_extendedprice", scale=100)
+
+
+ORACLE_OLS = """
+WITH q AS (
+  SELECT round(l_quantity * 100)::BIGINT AS vx,
+         round(l_extendedprice * 100)::BIGINT AS vy
+  FROM lineitem
+),
+m AS (
+  SELECT COUNT(CASE WHEN vx IS NOT NULL AND vy IS NOT NULL THEN 1 END)::HUGEINT AS n,
+         SUM(CASE WHEN vx IS NOT NULL AND vy IS NOT NULL THEN vx END)::HUGEINT AS sx,
+         SUM(CASE WHEN vx IS NOT NULL AND vy IS NOT NULL THEN vy END)::HUGEINT AS sy,
+         SUM(CASE WHEN vx IS NOT NULL AND vy IS NOT NULL THEN vx::HUGEINT * vx END) AS qx,
+         SUM(CASE WHEN vx IS NOT NULL AND vy IS NOT NULL THEN vx::HUGEINT * vy END) AS p
+  FROM q
+),
+s AS (
+  SELECT n, sx, sy,
+         ROUND((n * p - sx * sy)::DOUBLE
+               / (n * qx - sx * sx)::DOUBLE, 6) AS slope
+  FROM m
+)
+SELECT n::BIGINT AS n, slope,
+       ROUND((sy::DOUBLE - slope * sx::DOUBLE) / n::DOUBLE / 100, 6)
+         AS intercept
+FROM s
+"""
+
+
 REGISTRY_EXTRA = {
     "orders_join_delta": (q_orders_join_delta, ORACLE_JOIN_DELTA),
     "part_skyline_by_brand": (q_part_skyline_by_brand, ORACLE_SKYLINE),
     "customer_k_anonymous": (q_customer_k_anonymous, ORACLE_K_ANONYMOUS),
     "customer_rfm_segments": (q_customer_rfm_segments, ORACLE_RFM),
     "lineitem_feature_corr": (q_lineitem_feature_corr, ORACLE_FEATURE_CORR),
+    "price_quantity_ols": (q_price_quantity_ols, ORACLE_OLS),
     "customer_pseudonymized": (q_customer_pseudonymized, ORACLE_PSEUDONYMIZED),
     "orders_unpivot": (q_orders_unpivot, ORACLE_UNPIVOT),
     "customer_balance_percentile": (

@@ -151,3 +151,18 @@ def test_feature_correlations_exact_and_pairwise_null(spark):
         ).collect()
     }
     assert again == got
+
+
+def test_ols_fit_recovers_known_line(spark):
+    from netflix_data_ingestion_spark.operators.profile import ols_fit
+
+    # y = 3x + 7 exactly, plus a NULL row that must be excluded
+    rows = [(float(x), 3.0 * x + 7.0) for x in range(1, 21)]
+    rows.append((99.0, None))
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = ols_fit(df, "x", "y").collect()[0]
+    assert got["n"] == 20
+    assert got["slope"] == 3.0 and got["intercept"] == 7.0
+    # partition invariance (exact moments)
+    again = ols_fit(df.repartition(7), "x", "y").collect()[0]
+    assert (again["slope"], again["intercept"]) == (3.0, 7.0)

@@ -102,6 +102,7 @@ SANCTIONED: dict[str, str] = {
     "join_drop_accounting": "global 1-row audit aggregate",
     "lineitem_skew_report": "1-row total broadcast + top-k cut",
     "lineitem_feature_corr": "single 1-row moment aggregate, constant output",
+    "price_quantity_ols": "single 1-row moment aggregate, constant output",
     "multimodal_frame_sample": "Arrow 1-to-many frame stub, doc'd",
     "order_price_equidepth": "distinct-value cumsum + 1-row total, doc'd",
     "orders_expectations": "1-row report aggregates (constant output)",
