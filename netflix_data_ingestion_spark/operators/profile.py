@@ -315,7 +315,11 @@ def feature_correlations(
 
 
 def ols_fit(
-    df: DataFrame, x_col: str, y_col: str, scale: int = 100
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    scale: int = 100,
+    key_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """1 row (n, slope, intercept) — closed-form simple linear
     regression y = slope·x + intercept, least squares, from the same
@@ -326,7 +330,9 @@ def ols_fit(
 
     Trend lines, drift estimates, and detrending at 100 TB in ONE
     combinable aggregation pass — no iterative solver, no MLlib vector
-    assembly, partition-invariant by integer exactness.  The two
+    assembly, partition-invariant by integer exactness.  ``key_cols``
+    fits one line PER GROUP (per-entity drift) on the same single
+    pass; output is |groups| rows.  The two
     divisions are the only floats (slope first, then intercept REUSES
     the rounded slope so both engines replay the same sequence);
     intercept/slope come back in the ORIGINAL units (the fixed-point
@@ -339,13 +345,14 @@ def ols_fit(
     both = vx.isNotNull() & vy.isNotNull()
     dx = F.when(both, vx.cast("decimal(18,0)"))
     dy = F.when(both, vy.cast("decimal(18,0)"))
-    m = df.agg(
+    aggs = [
         F.count(F.when(both, F.lit(1))).cast(dec).alias("__n"),
         F.sum(dx).cast(dec).alias("__sx"),
         F.sum(dy).cast(dec).alias("__sy"),
         F.sum(dx * dx).cast(dec).alias("__qx"),
         F.sum(dx * dy).cast(dec).alias("__p"),
-    )
+    ]
+    m = df.groupBy(*key_cols).agg(*aggs) if key_cols else df.agg(*aggs)
     n = F.col("__n")
     slope = F.round(
         (n * F.col("__p") - F.col("__sx") * F.col("__sy")).cast("double")
@@ -355,6 +362,7 @@ def ols_fit(
         6,
     )
     return m.select(
+        *key_cols,
         n.cast("long").alias("n"),
         slope.alias("slope"),
         F.round(

@@ -166,3 +166,15 @@ def test_ols_fit_recovers_known_line(spark):
     # partition invariance (exact moments)
     again = ols_fit(df.repartition(7), "x", "y").collect()[0]
     assert (again["slope"], again["intercept"]) == (3.0, 7.0)
+
+
+def test_ols_fit_per_group_lines(spark):
+    from netflix_data_ingestion_spark.operators.profile import ols_fit
+
+    rows = [("a", float(x), 2.0 * x + 1.0) for x in range(1, 11)] + [
+        ("b", float(x), -1.0 * x + 5.0) for x in range(1, 11)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r["g"]: (r["slope"], r["intercept"]) for r in ols_fit(
+        df, "x", "y", key_cols=("g",)).collect()}
+    assert got == {"a": (2.0, 1.0), "b": (-1.0, 5.0)}
