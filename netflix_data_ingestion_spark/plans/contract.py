@@ -590,3 +590,58 @@ REGISTRY = {
     **{name: REGISTRY[name] for name in _VERIFY_FIRST},
     **{name: spec for name, spec in REGISTRY.items() if name not in _VERIFY_FIRST},
 }
+
+# ---------------------------------------------------------------------------
+# ROUND-5 ROTATION PLAN (apply at the START of round 5: replace
+# _VERIFY_FIRST with this list).  These are the queries with no driver
+# CORRECTNESS row yet — the r4-mid additions (doc_bpe_token_stats,
+# doc_pps_sample, user_context_window, events_pit_state,
+# doc_chunk_text-era entries already sampled in r4 stay out) and all 39
+# r4-late additions.  Locally every one is oracle-green at sf0.01 and
+# sf0.1; the rotation only hands them to the external harness.
+# ---------------------------------------------------------------------------
+_VERIFY_ROUND5: list[str] = [
+    "doc_bpe_token_stats",
+    "doc_pps_sample",
+    "user_context_window",
+    "events_pit_state",
+    "user_heavy_hitters",
+    "events_throttled_daily",
+    "customer_part_negatives",
+    "doc_class_balance",
+    "dedup_containment",
+    "ann_pq_topk",
+    "events_ohlc_hourly",
+    "brand_top_price_levels",
+    "orders_join_delta",
+    "corpus_bigram_lm",
+    "doc_quality_source_cut",
+    "corpus_vocab_growth",
+    "part_cooccurrence",
+    "purchase_view_attribution",
+    "embedding_random_projection",
+    "part_triangle_counts",
+    "part_kcore",
+    "user_churn_labels",
+    "part_skyline_by_brand",
+    "top_session_paths",
+    "orders_lineitem_join_size",
+    "doc_kfold",
+    "doc_token_ids",
+    "doc_padded_tokens",
+    "embedding_int8_quantize",
+    "doc_pack_windows",
+    "doc_model_scores",
+    "customer_pseudonymized",
+    "orders_unpivot",
+    "customer_balance_percentile",
+    "user_hll_by_type",
+    "order_price_winsorized",
+    "dedup_exact_canonical",
+    "customer_k_anonymous",
+    "doc_bm25_search",
+    "events_time_split",
+    "customer_rfm_segments",
+    "lineitem_feature_corr",
+    "price_quantity_ols",
+]
