@@ -245,13 +245,18 @@ def equidepth_histogram(
 
 
 def feature_correlations(
-    df: DataFrame, cols: list[str], scale: int = 100
+    df: DataFrame,
+    cols: list[str],
+    scale: int = 100,
+    key_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(col_a, col_b, n, corr) — the pairwise Pearson correlation
     matrix of the numeric feature columns, in ONE aggregation pass,
     with EXACT integer moments (the feature-redundancy screen before
     training; `F.corr` is float-summation-order-dependent and neither
-    partition-invariant nor oracle-checkable).
+    partition-invariant nor oracle-checkable).  ``key_cols`` computes
+    the matrix PER GROUP (feature-drift-by-segment) on the same single
+    pass; output is |groups| x |pairs| rows.
 
     Discipline (the outliers.moments_build pattern): values quantize to
     1/``scale`` fixed-point longs; per pair, count / sums / sums of
@@ -268,10 +273,11 @@ def feature_correlations(
     dec = "decimal(38,0)"
     names = list(cols)
     base = df.select(
+        *key_cols,
         *[
             F.round(F.col(c) * F.lit(scale)).cast("long").alias(f"__v{i}")
             for i, c in enumerate(names)
-        ]
+        ],
     )
     pairs = [
         (i, j) for i in range(len(names)) for j in range(i + 1, len(names))
@@ -290,7 +296,7 @@ def feature_correlations(
             F.sum(F.when(both, vj * vj)).cast(dec).alias(f"qb_{tag}"),
             F.sum(F.when(both, vi * vj)).cast(dec).alias(f"p_{tag}"),
         ]
-    m = base.agg(*aggs)
+    m = base.groupBy(*key_cols).agg(*aggs) if key_cols else base.agg(*aggs)
     out_structs = []
     for i, j in pairs:
         tag = f"{i}_{j}"
@@ -309,9 +315,9 @@ def feature_correlations(
                 F.round(num / F.sqrt(da * db), 6).alias("corr"),
             )
         )
-    return m.select(F.explode(F.array(*out_structs)).alias("r")).select(
-        "r.*"
-    )
+    return m.select(
+        *key_cols, F.explode(F.array(*out_structs)).alias("r")
+    ).select(*key_cols, "r.*")
 
 
 def ols_fit(

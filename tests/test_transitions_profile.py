@@ -178,3 +178,17 @@ def test_ols_fit_per_group_lines(spark):
     got = {r["g"]: (r["slope"], r["intercept"]) for r in ols_fit(
         df, "x", "y", key_cols=("g",)).collect()}
     assert got == {"a": (2.0, 1.0), "b": (-1.0, 5.0)}
+
+
+def test_feature_correlations_per_group(spark):
+    rows = [("g1", float(x), 2.0 * x) for x in range(1, 8)] + [
+        ("g2", float(x), -3.0 * x + 10) for x in range(1, 8)
+    ]
+    df = spark.createDataFrame(rows, "g string, a double, b double")
+    from netflix_data_ingestion_spark.operators.profile import (
+        feature_correlations,
+    )
+
+    got = {r["g"]: r["corr"] for r in feature_correlations(
+        df, ["a", "b"], key_cols=("g",)).collect()}
+    assert got == {"g1": 1.0, "g2": -1.0}
