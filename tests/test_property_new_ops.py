@@ -274,3 +274,44 @@ def test_triangle_counts_match_bruteforce_any_graph(spark, edges):
                     for n in (a, b, c):
                         expect[n] = expect.get(n, 0) + 1
     assert got == expect
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-1000, max_value=1000),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_winsorize_bounds_and_interior_identity(spark, vals):
+    """For ANY value set: winsorized outputs lie inside [p_lo, p_hi],
+    interior values pass through unchanged, and the bounds are real
+    data points (nearest-rank selections)."""
+    import math
+
+    from netflix_data_ingestion_spark.operators.outliers import winsorize
+
+    rows = [("g", i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "grp string, rid long, v double")
+    got = {
+        r["rid"]: r["v_winsorized"]
+        for r in winsorize(df, ["grp"], "v", lo_q=0.1, hi_q=0.9).collect()
+    }
+    n = len(vals)
+    ordered = sorted(float(v) for v in vals)
+    lo = ordered[math.ceil(0.1 * n) - 1]
+    hi = ordered[math.ceil(0.9 * n) - 1]
+    for i, v in enumerate(vals):
+        w = got[i]
+        assert lo <= w <= hi
+        if lo <= v <= hi:
+            assert w == float(v)        # interior identity
+        elif v < lo:
+            assert w == lo              # clipped to a real data point
+        else:
+            assert w == hi
