@@ -685,3 +685,83 @@ def random_projection(
         .select(F.col(id_col), F.when(guard, arr).alias("proj"))
         .filter(F.col("proj").isNotNull())
     )
+
+
+def _flip_bit(bucket: F.Column, i: int, planes: int) -> F.Column:
+    """The bucket bit-string with bit ``i`` (1-based) flipped."""
+    flipped = F.when(
+        F.substring(bucket, i, 1) == "1", F.lit("0")
+    ).otherwise(F.lit("1"))
+    return F.concat(
+        F.substring(bucket, 1, i - 1),
+        flipped,
+        F.substring(bucket, i + 1, planes - i),
+    )
+
+
+def lsh_multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    planes: int = 8,
+    dim: int | None = None,
+) -> DataFrame:
+    """Multi-probe LSH top-k (Lv et al., VLDB'07): each query probes its
+    own bucket AND every Hamming-distance-1 neighbor bucket (planes+1
+    probes), then ranks exactly within the union.  Near-miss vectors —
+    the dominant LSH failure, one hyperplane's sign away — are
+    recovered at a cost that scales ONLY with the query side (the
+    corpus is still bucketed once, narrowly; no extra tables, no extra
+    corpus passes — contrast OR-amplified multi-table LSH, which
+    re-buckets the corpus per table).  Expected candidates ~
+    (planes+1)/2^planes of the corpus per query.
+
+    Single-bit flips are distinct buckets, so no candidate pair is
+    generated twice — no dedup stage.  Same NULL-gate and tie
+    discipline as `lsh_topk`; strictly better recall at the same k
+    (the probed set is a superset)."""
+    qb = bucket_expr(F.col(vec_col), planes, dim)
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            qb.alias("__b0"),
+        )
+        .filter(F.col("__b0").isNotNull())
+        .select(
+            "query_id",
+            "q_vec",
+            F.explode(
+                F.array(
+                    F.col("__b0"),
+                    *[
+                        _flip_bit(F.col("__b0"), i, planes)
+                        for i in range(1, planes + 1)
+                    ],
+                )
+            ).alias("q_bucket"),
+        )
+    )
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        bucket_expr(F.col(vec_col), planes, dim).alias("c_bucket"),
+    )
+    scored = (
+        q.join(c, F.col("q_bucket") == F.col("c_bucket"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine_sim",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim")
+    )

@@ -2921,6 +2921,72 @@ ORDER BY event_id
 """
 
 
+def q_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/similarity.lsh_multiprobe_topk: each query probes its
+    bucket plus all 8 Hamming-1 neighbors — near-miss recovery at
+    query-side-only cost (the corpus buckets once)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.lsh_multiprobe_topk(
+        emb, queries, k=10, planes=8, dim=64
+    ).orderBy("query_id", "neighbor_id")
+
+
+ORACLE_ANN_MULTIPROBE = f"""
+WITH pos AS (
+  SELECT vec_id, i::VARCHAR AS dim, embedding[i]::DOUBLE AS x,
+         p::VARCHAR AS plane, p AS plane0
+  FROM embeddings,
+       unnest(range(1, len(embedding) + 1)) AS r(i),
+       unnest(range(1, 9)) AS pr(p)
+),
+proj AS (
+  SELECT vec_id, plane0,
+         SUM(x * (strpos('0123456789abcdef',
+                         substr(md5(plane || ':' || dim), 1, 1)) - 1 - 7.5))
+           AS s
+  FROM pos GROUP BY 1, 2
+),
+buckets AS (
+  SELECT vec_id,
+         string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, ''
+                    ORDER BY plane0) AS bucket
+  FROM proj GROUP BY 1
+),
+probes AS (
+  SELECT b.vec_id,
+         CASE WHEN u.v = 0 THEN b.bucket
+              ELSE substr(b.bucket, 1, u.v - 1)
+                   || (CASE WHEN substr(b.bucket, u.v, 1) = '1'
+                            THEN '0' ELSE '1' END)
+                   || substr(b.bucket, u.v + 1)
+         END AS qb
+  FROM buckets b, unnest(range(0, 9)) AS u(v)
+  WHERE b.vec_id < 5
+),
+q AS (SELECT p.vec_id, e.embedding, p.qb
+      FROM probes p JOIN embeddings e USING (vec_id)),
+c AS (SELECT e.vec_id, e.embedding, b.bucket
+      FROM embeddings e JOIN buckets b USING (vec_id)),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND({_DUCK_DOT.format(a='q', b='c')} /
+               (sqrt({_DUCK_DOT.format(a='q', b='q')}) *
+                sqrt({_DUCK_DOT.format(a='c', b='c')})), 6) AS cosine_sim
+  FROM q JOIN c ON q.qb = c.bucket AND q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+  FROM pairs
+)
+SELECT query_id, neighbor_id, cosine_sim
+FROM ranked WHERE rn <= 10
+ORDER BY query_id, neighbor_id
+"""
+
+
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/dedup.containment_pairs: asymmetric short-in-long
     near-dup via rare-shingle blocking (df in [2,5]) + exact
@@ -3151,6 +3217,7 @@ REGISTRY_LLM = {
     "ann_lsh_topk": (q_ann_lsh_topk, ORACLE_ANN_LSH),
     "ann_ivf_topk": (q_ann_ivf_topk, ORACLE_ANN_IVF),
     "ann_pq_topk": (q_ann_pq_topk, ORACLE_ANN_PQ),
+    "ann_multiprobe_topk": (q_ann_multiprobe_topk, ORACLE_ANN_MULTIPROBE),
     "doc_token_stats": (q_doc_token_stats, ORACLE_TOKEN_STATS),
     "doc_quality_score": (q_doc_quality_score, ORACLE_QUALITY),
     "doc_lang_id": (q_doc_lang_id, ORACLE_LANG_ID),

@@ -249,3 +249,37 @@ def test_random_projection_signs_match_lsh_buckets(spark):
     for vid, comps in proj.items():
         signs = "".join("1" if c > 0 else "0" for c in comps)
         assert signs == buckets[vid]
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    import random
+
+    from netflix_data_ingestion_spark.operators.similarity import (
+        lsh_multiprobe_topk,
+        lsh_topk,
+    )
+
+    rng = random.Random(21)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from pyspark.sql import functions as F
+
+    queries = df.filter(F.col("vec_id") < 6)
+    single = {}
+    for r in lsh_topk(df, queries, k=5, planes=8, dim=16).collect():
+        single.setdefault(r["query_id"], []).append(r["cosine_sim"])
+    multi = {}
+    for r in lsh_multiprobe_topk(
+        df, queries, k=5, planes=8, dim=16
+    ).collect():
+        multi.setdefault(r["query_id"], []).append(r["cosine_sim"])
+    # the probed candidate set is a strict superset, so per query the
+    # multiprobe result has at least as many hits and its best cosine
+    # is at least as good
+    for qid, sims in single.items():
+        assert len(multi.get(qid, [])) >= len(sims)
+        assert max(multi[qid]) >= max(sims)
+    # and multiprobe answers at least as many queries
+    assert set(single) <= set(multi)
