@@ -802,3 +802,81 @@ def exact_dedup_canonical(
         F.col(id_col), canonical_text(F.col(text_col)).alias("__canon")
     )
     return exact_dedup(canon, id_col, "__canon")
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, hamming) — document pairs whose 64-bit SimHash
+    fingerprints differ in at most ``max_hamming`` bits, found with the
+    BLOCK-PERMUTATION trick (Manku, Jain & Sarma, WWW'07): the hex
+    fingerprint splits into 4 x 16-bit blocks; by pigeonhole, any pair
+    within Hamming distance 3 agrees EXACTLY on at least one block, so
+    candidates come from 4 equi-joins on (block_idx, block_value) —
+    never an all-pairs scan — and max_hamming <= 3 keeps that guarantee
+    (4 blocks tolerate up to 3 differing bits).  Verification is the
+    exact Hamming distance: per hex digit, bit_count of the XOR of the
+    two digit values, summed — pure integer ops both engines replay.
+
+    Completes the SimHash pipeline (fingerprint -> near-dup JOIN); the
+    complementary MinHash path catches n-gram-set overlap while SimHash
+    catches weighted-token-profile proximity.  At 100 TB: fingerprints
+    checkpoint once (referenced by both join sides), the block join
+    fans out per 16-bit-block collision group, and the verify touches
+    candidates only.
+    """
+    if max_hamming > 3:
+        raise ValueError(
+            "4-block pigeonhole guarantees recall only for max_hamming <= 3"
+        )
+    sh = simhash(df, id_col, text_col).localCheckpoint(eager=True)
+    blocks = sh.select(
+        F.col(id_col),
+        F.col("simhash64"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("bidx"),
+                        F.substring("simhash64", b * 4 + 1, 4).alias("bval"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bl"),
+    ).select(
+        id_col, "simhash64", F.col("bl.bidx").alias("bidx"), F.col("bl.bval").alias("bval")
+    )
+    a = blocks.select(
+        F.col(id_col).alias("id_a"),
+        F.col("simhash64").alias("sh_a"),
+        "bidx",
+        "bval",
+    )
+    b = blocks.select(
+        F.col(id_col).alias("id_b"),
+        F.col("simhash64").alias("sh_b"),
+        "bidx",
+        "bval",
+    )
+    cand = (
+        a.join(b, ["bidx", "bval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "sh_a", "id_b", "sh_b")
+        .distinct()
+    )
+    hamming = None
+    for i in range(1, 17):
+        term = F.expr(
+            f"bit_count((instr('{HEX}', substring(sh_a, {i}, 1)) - 1)"
+            f" ^ (instr('{HEX}', substring(sh_b, {i}, 1)) - 1))"
+        )
+        hamming = term if hamming is None else hamming + term
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -2921,6 +2921,72 @@ ORDER BY event_id
 """
 
 
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/dedup.simhash_near_dup_pairs: pairs within Hamming
+    distance 3 of each other's 64-bit SimHash via the 4-block
+    pigeonhole join — the fingerprint-to-JOIN completion of the
+    simhash query."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_dup_pairs(
+        docs, "doc_id", "text", max_hamming=3
+    ).orderBy("id_a", "id_b")
+
+
+ORACLE_SIMHASH_PAIRS = f"""
+WITH {_DUCK_TOKS},
+tok AS (SELECT doc_id, unnest(tk) AS token FROM toks),
+counted AS (SELECT doc_id, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+hashed AS (SELECT doc_id, cnt, substr(md5(token), 1, 16) AS h FROM counted),
+pos AS (
+  SELECT doc_id, cnt, i,
+         strpos('0123456789abcdef', substr(h, i, 1)) - 1 AS d
+  FROM hashed, unnest(range(1, 17)) AS u(i)
+),
+sums AS (
+  SELECT doc_id, i,
+         SUM(cnt * (2 * ((d // 1) % 2) - 1)) AS s0,
+         SUM(cnt * (2 * ((d // 2) % 2) - 1)) AS s1,
+         SUM(cnt * (2 * ((d // 4) % 2) - 1)) AS s2,
+         SUM(cnt * (2 * ((d // 8) % 2) - 1)) AS s3
+  FROM pos GROUP BY 1, 2
+),
+digits AS (
+  SELECT doc_id, i,
+         (s3 > 0)::INT * 8 + (s2 > 0)::INT * 4 +
+         (s1 > 0)::INT * 2 + (s0 > 0)::INT AS v
+  FROM sums
+),
+sh64 AS (
+  SELECT doc_id,
+         string_agg(substr('0123456789abcdef', v + 1, 1), '' ORDER BY i)
+           AS simhash64
+  FROM digits GROUP BY doc_id
+),
+blocks AS (
+  SELECT doc_id, simhash64, b.bidx,
+         substr(simhash64, b.bidx * 4 + 1, 4) AS bval
+  FROM sh64, unnest(range(0, 4)) AS b(bidx)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, a.simhash64 AS sh_a,
+                  b.doc_id AS id_b, b.simhash64 AS sh_b
+  FROM blocks a JOIN blocks b
+    ON a.bidx = b.bidx AND a.bval = b.bval AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT id_a, id_b,
+         (SELECT SUM(bit_count(
+            xor(strpos('0123456789abcdef', substr(sh_a, j, 1)) - 1,
+                strpos('0123456789abcdef', substr(sh_b, j, 1)) - 1)))
+          FROM unnest(range(1, 17)) AS r(j))::INT AS hamming
+  FROM cand
+)
+SELECT id_a, id_b, hamming FROM verified
+WHERE hamming <= 3
+ORDER BY id_a, id_b
+"""
+
+
 def q_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/similarity.lsh_multiprobe_topk: each query probes its
     bucket plus all 8 Hamming-1 neighbors — near-miss recovery at
@@ -3211,6 +3277,7 @@ REGISTRY_LLM = {
     "dedup_near_dup_scale": (q_dedup_near_dup_scale, ORACLE_DEDUP_NEAR_DUP_SCALE),
     "dedup_containment": (q_dedup_containment, ORACLE_CONTAINMENT),
     "dedup_simhash": (q_dedup_simhash, ORACLE_DEDUP_SIMHASH),
+    "dedup_simhash_pairs": (q_dedup_simhash_pairs, ORACLE_SIMHASH_PAIRS),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, ORACLE_DEDUP_COSINE),
     "dedup_cosine_scale": (q_dedup_cosine_scale, ORACLE_DEDUP_COSINE_SCALE),
     "embedding_cosine_topk": (q_embedding_cosine_topk, ORACLE_COSINE_TOPK),

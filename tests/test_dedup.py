@@ -345,3 +345,49 @@ def test_exact_dedup_canonical_groups_variants(spark):
            for r in exact_dedup_canonical(df, "doc_id", "text").collect()}
     assert got[1] == (1, 3) and got[2] == (1, 3) and got[3] == (1, 3)
     assert got[4] == (4, 1)
+
+
+def test_simhash_near_dup_pairs_matches_bruteforce(spark):
+    import random
+
+    from netflix_data_ingestion_spark.operators.dedup import (
+        simhash,
+        simhash_near_dup_pairs,
+    )
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(20):
+        rows.append((i, " ".join(rng.choices(vocab, k=25))))
+    # planted exact duplicate (Hamming 0) and a light edit
+    rows.append((100, rows[0][1]))
+    rows.append((101, rows[0][1] + " extraword"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    prints = {r["doc_id"]: r["simhash64"] for r in simhash(
+        df, "doc_id", "text").collect()}
+
+    def ham(a, b):
+        return sum(
+            bin(int(x, 16) ^ int(y, 16)).count("1") for x, y in zip(a, b)
+        )
+
+    expect = {
+        (a, b): ham(prints[a], prints[b])
+        for a in prints
+        for b in prints
+        if a < b and ham(prints[a], prints[b]) <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(df, "doc_id", "text").collect()
+    }
+    # block-pigeonhole recall is TOTAL at max_hamming <= 3: exact match
+    assert got == expect
+    assert got[(0, 100)] == 0          # exact dup found at distance 0
+    # guard: the pigeonhole guarantee refuses larger radii
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        simhash_near_dup_pairs(df, "doc_id", "text", max_hamming=4)
