@@ -644,4 +644,6 @@ _VERIFY_ROUND5: list[str] = [
     "customer_rfm_segments",
     "lineitem_feature_corr",
     "price_quantity_ols",
+    "ann_multiprobe_topk",
+    "dedup_simhash_pairs",
 ]
