@@ -646,4 +646,6 @@ _VERIFY_ROUND5: list[str] = [
     "price_quantity_ols",
     "ann_multiprobe_topk",
     "dedup_simhash_pairs",
+    "dedup_lsh_recall",
+    "time_to_purchase_labels",
 ]

@@ -2605,6 +2605,61 @@ SELECT MIN(s)::BIGINT AS est_join_rows FROM per_row
 """
 
 
+def q_time_to_purchase_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival/time-to-event label assembly: for every event, the time
+    until the SAME user's next purchase (censored = 1 when none
+    follows) — the supervised target for conversion-latency models.
+    One keyed window with a strictly-FOLLOWING frame (min over later
+    purchase timestamps); the latency is the exact MICROSECOND integer
+    difference (whole-second truncation orders differ across engines;
+    micros are the lossless unit both agree on)."""
+    events = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    nxt = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    return (
+        events.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "event_type",
+            nxt.alias("__next"),
+        )
+        .withColumn(
+            "micros_to_purchase",
+            F.expr("timestampdiff(MICROSECOND, ts, __next)").cast("long"),
+        )
+        .withColumn("censored", F.col("__next").isNull().cast("int"))
+        .drop("__next")
+        .orderBy("event_id")
+    )
+
+
+ORACLE_TIME_TO_PURCHASE = """
+WITH lab AS (
+  SELECT event_id, user_id, ts, event_type,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS next_purchase_ts
+  FROM events
+)
+SELECT event_id, user_id, ts, event_type,
+       date_diff('microsecond', ts, next_purchase_ts)::BIGINT
+         AS micros_to_purchase,
+       (next_purchase_ts IS NULL)::INT AS censored
+FROM lab
+ORDER BY event_id
+"""
+
+
 def q_user_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supervised-training label assembly: per-user activity features +
     a churn label (no event in the corpus's final 7 days).  One
@@ -3320,6 +3375,10 @@ REGISTRY_LLM = {
     "part_triangle_counts": (q_part_triangle_counts, ORACLE_TRIANGLES),
     "part_kcore": (q_part_kcore, ORACLE_KCORE),
     "user_churn_labels": (q_user_churn_labels, ORACLE_CHURN_LABELS),
+    "time_to_purchase_labels": (
+        q_time_to_purchase_labels,
+        ORACLE_TIME_TO_PURCHASE,
+    ),
     "top_session_paths": (q_top_session_paths, ORACLE_SESSION_PATHS),
     "doc_kfold": (q_doc_kfold, ORACLE_KFOLD),
     "doc_token_ids": (q_doc_token_ids, ORACLE_TOKEN_IDS),
