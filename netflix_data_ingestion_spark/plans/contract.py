@@ -648,4 +648,5 @@ _VERIFY_ROUND5: list[str] = [
     "dedup_simhash_pairs",
     "dedup_lsh_recall",
     "time_to_purchase_labels",
+    "user_decile_lift",
 ]

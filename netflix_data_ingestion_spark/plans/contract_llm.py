@@ -2605,6 +2605,61 @@ SELECT MIN(s)::BIGINT AS est_join_rows FROM per_row
 """
 
 
+def q_user_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-evaluation lift table: users ranked into activity deciles
+    (the "score"), purchase rate per decile — the calibration/lift
+    shape every ranking-model eval produces.  Deciles are a global
+    ntile over the USER aggregate (dimension-sized, the
+    balance-quartiles license); the rate is one int/int division."""
+    events = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    per_user = events.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("purchased"),
+    )
+    scored = per_user.withColumn(
+        "decile",
+        F.ntile(10).over(
+            W.orderBy(
+                F.col("n_events").desc(), F.col("user_id").asc()
+            )
+        ),
+    )
+    return (
+        scored.groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("purchased").cast("long").alias("n_purchasers"),
+            F.round(
+                F.sum("purchased")
+                / F.count("*").cast("double"),
+                6,
+            ).alias("purchase_rate"),
+        )
+        .orderBy("decile")
+    )
+
+
+ORACLE_DECILE_LIFT = """
+WITH per_user AS (
+  SELECT user_id, COUNT(*)::BIGINT AS n_events,
+         MAX((event_type = 'purchase')::INT) AS purchased
+  FROM events GROUP BY 1
+),
+scored AS (
+  SELECT *, NTILE(10) OVER (ORDER BY n_events DESC, user_id ASC) AS decile
+  FROM per_user
+)
+SELECT decile, COUNT(*)::BIGINT AS n_users,
+       SUM(purchased)::BIGINT AS n_purchasers,
+       ROUND(SUM(purchased) / COUNT(*)::DOUBLE, 6) AS purchase_rate
+FROM scored GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_time_to_purchase_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survival/time-to-event label assembly: for every event, the time
     until the SAME user's next purchase (censored = 1 when none
@@ -3379,6 +3434,7 @@ REGISTRY_LLM = {
         q_time_to_purchase_labels,
         ORACLE_TIME_TO_PURCHASE,
     ),
+    "user_decile_lift": (q_user_decile_lift, ORACLE_DECILE_LIFT),
     "top_session_paths": (q_top_session_paths, ORACLE_SESSION_PATHS),
     "doc_kfold": (q_doc_kfold, ORACLE_KFOLD),
     "doc_token_ids": (q_doc_token_ids, ORACLE_TOKEN_IDS),

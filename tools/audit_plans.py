@@ -93,6 +93,7 @@ SANCTIONED: dict[str, str] = {
     "doc_bm25_search": "1-row corpus-stats broadcast crossJoin, doc'd",
     "doc_token_ids": "vocab-sized rank window (model frame), doc'd",
     "dedup_lsh_recall": "1-row metric counts crossJoined; audit slice bounded at 200 docs",
+    "user_decile_lift": "global ntile over the user aggregate, doc'd",
     "dedup_cosine_scale": "Arrow verify stage (doc'd); 1-row plan stats",
     "dedup_embedding_cosine": "AUDIT twin: driver block-matrix, doc'd",
     "dedup_semantic": "Arrow verify stage shared with cosine_scale",
