@@ -65,3 +65,29 @@ def test_k_anonymity_suppression_boundary(spark):
         r = got[i]
         assert r["nation"] is None and r["seg"] is None
         assert r["suppressed"] == 1
+
+
+def test_pseudonymize_nulls_and_join_preservation(spark):
+    from netflix_data_ingestion_spark.operators.redact import pseudonymize
+
+    a = spark.createDataFrame(
+        [(1, "alice"), (2, "bob"), (3, None)], "id long, name string"
+    )
+    b = spark.createDataFrame(
+        [(10, "alice"), (11, "carol"), (12, None)], "id long, name string"
+    )
+    pa = pseudonymize(a, ["name"])
+    pb = pseudonymize(b, ["name"])
+    # NULLs stay NULL (no phantom surrogate)
+    assert {r["id"]: r["name"] for r in pa.collect()}[3] is None
+    # joins on the pseudonymized column behave like the original:
+    # only 'alice' matches (NULL never joins, same as raw)
+    raw = a.join(b.withColumnRenamed("id", "bid"), "name").count()
+    pse = pa.join(pb.withColumnRenamed("id", "bid"), "name").count()
+    assert raw == pse == 1
+    # surrogates are salted: a different salt unlinks them
+    other = pseudonymize(a, ["name"], salt="v2")
+    assert (
+        {r["id"]: r["name"] for r in other.collect()}[1]
+        != {r["id"]: r["name"] for r in pa.collect()}[1]
+    )
