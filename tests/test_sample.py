@@ -161,3 +161,29 @@ def test_balanced_oversample_exact_target_per_class(spark):
     # copy indexes are dense 1..n per doc
     idx = sorted(r["copy_idx"] for r in out if r["doc_id"] == 101)
     assert idx in ([1, 2], [1, 2, 3])
+
+
+def test_time_split_boundaries_and_null_ts(spark):
+    import datetime
+
+    from netflix_data_ingestion_spark.operators.split import time_split
+
+    t = datetime.datetime
+    df = spark.createDataFrame(
+        [
+            (1, t(2024, 1, 1)),
+            (2, t(2024, 2, 1)),          # exactly the train cutoff: val
+            (3, t(2024, 2, 15)),
+            (4, t(2024, 3, 1)),          # exactly the val cutoff: test
+            (5, t(2030, 1, 1)),
+            (6, None),                   # NULL ts -> NULL split
+        ],
+        "id long, ts timestamp",
+    )
+    got = {r["id"]: r["split"] for r in time_split(
+        df, "ts",
+        {"train": "2024-02-01", "val": "2024-03-01", "test": "9999-01-01"},
+    ).collect()}
+    assert got == {
+        1: "train", 2: "val", 3: "val", 4: "test", 5: "test", 6: None
+    }
