@@ -880,3 +880,132 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    t_num: int = 4,
+    t_den: int = 5,
+) -> DataFrame:
+    """(id_a, id_b, intersection, jaccard) — EXACT set-similarity join
+    via prefix filtering (the PPJoin family: Chaudhuri et al. ICDE'06,
+    Xiao et al. WWW'08).  Same result set as the quadratic
+    ``ngram_jaccard_pairs`` audit — provably, not probabilistically —
+    at near-LSH cost: the third point in the dedup design space
+    (all-pairs = exact+quadratic, MinHash-LSH = cheap+probabilistic,
+    prefix filter = exact+cheap).
+
+    The filter: order every document's shingle set by one global total
+    order (document frequency ascending, shingle ascending — rarest
+    first, which minimizes candidate fan-out) and keep only the first
+    ``|x| - ceil(tau * |x|) + 1`` shingles as its *prefix*.  If
+    J(A,B) >= tau, then |A∩B| >= ceil(tau * max(|A|,|B|)), and two sets
+    whose overlap is that large cannot avoid colliding inside both
+    prefixes under ANY shared total order — so joining on prefix
+    shingles alone loses no qualifying pair.  A length filter
+    (t_num * max(|A|,|B|) <= t_den * min(|A|,|B|), a necessary
+    condition for J >= tau) prunes candidates before verification.
+
+    The threshold rides as the exact fraction ``t_num/t_den`` and every
+    size comparison is integer arithmetic (``ceil(tau*s)`` is
+    ``floor((t_num*s + t_den - 1) / t_den)``), so the boundary
+    J == tau is decided identically to the all-pairs oracle — no
+    float-epsilon recall hole at the threshold.
+
+    Shape at 100 TB: df-count is one combinable shuffle; the rank join
+    and per-doc regroup are one more; the candidate join runs per
+    prefix-shingle group, and rarest-first ordering means prefix
+    shingles are by construction the LOW-frequency ones — the stopword
+    quadratic hazard that kills naive token blocking never joins here.
+    Verification reuses the long-format single-projection pattern
+    (shingle arrays ride the regroup once, candidates only).
+    """
+    if not (0 < t_num < t_den):
+        raise ValueError("threshold t_num/t_den must be in (0, 1)")
+    sh = shingle_table(df, id_col, text_col, n)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+    ordered = (
+        sh.join(dfreq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__df"), F.col("shingle")))
+            ).alias("__ord")
+        )
+        .select(
+            F.col(id_col),
+            F.col("__ord.shingle").alias("__sorted"),
+        )
+    )
+    sz = F.size("__sorted").cast("long")
+    # ceil(tau * s) in exact integer arithmetic
+    ceil_tau = F.floor((F.lit(t_num) * sz + F.lit(t_den - 1)) / F.lit(t_den))
+    prefix = ordered.select(
+        F.col(id_col),
+        sz.alias("__sz"),
+        F.explode(
+            F.slice(F.col("__sorted"), F.lit(1), (sz - ceil_tau + 1).cast("int"))
+        ).alias("__ptok"),
+    )
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), F.col("__sz").alias("__sa"), "__ptok"
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), F.col("__sz").alias("__sb"), "__ptok"
+    )
+    cand = (
+        a.join(b, "__ptok")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.lit(t_num) * F.greatest("__sa", "__sb")
+                <= F.lit(t_den) * F.least("__sa", "__sb")
+            )
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    long = cand.select(
+        "id_a",
+        "id_b",
+        F.explode(
+            F.array(
+                F.struct(F.lit("a").alias("side"), F.col("id_a").alias("jid")),
+                F.struct(F.lit("b").alias("side"), F.col("id_b").alias("jid")),
+            )
+        ).alias("s"),
+    ).select(
+        "id_a", "id_b", F.col("s.side").alias("side"), F.col("s.jid").alias("jid")
+    )
+    arrs = ordered.select(
+        F.col(id_col).alias("jid"), F.col("__sorted").alias("sh_arr")
+    )
+    paired = (
+        long.join(arrs, "jid")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.min_by("sh_arr", "side").alias("arr_a"),
+            F.max_by("sh_arr", "side").alias("arr_b"),
+        )
+    )
+    inter = F.size(F.array_intersect("arr_a", "arr_b")).cast("long")
+    union = (
+        F.size("arr_a").cast("long") + F.size("arr_b").cast("long")
+    )
+    return (
+        paired.withColumn("intersection", inter)
+        .withColumn("__union", union - F.col("intersection"))
+        .filter(
+            F.lit(t_den) * F.col("intersection")
+            >= F.lit(t_num) * F.col("__union")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "intersection",
+            (F.col("intersection") / F.col("__union")).alias("jaccard"),
+        )
+    )

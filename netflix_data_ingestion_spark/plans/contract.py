@@ -601,6 +601,7 @@ REGISTRY = {
 # sf0.1; the rotation only hands them to the external harness.
 # ---------------------------------------------------------------------------
 _VERIFY_ROUND5: list[str] = [
+    "dedup_prefix_jaccard",
     "doc_bpe_token_stats",
     "doc_pps_sample",
     "user_context_window",

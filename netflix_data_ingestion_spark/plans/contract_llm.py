@@ -3409,8 +3409,40 @@ ORDER BY doc_id, copy_idx
 """
 
 
+def q_dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/dedup.prefix_jaccard_pairs: EXACT Jaccard >= 4/5 join
+    via rarest-first prefix filtering (PPJoin family) — provably the
+    same pair set as the quadratic all-pairs audit, at near-LSH cost.
+    The oracle is the plain all-pairs join: equality IS the proof that
+    the prefix filter is lossless on this corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.prefix_jaccard_pairs(
+        docs, "doc_id", "text", n=3, t_num=4, t_den=5
+    ).orderBy("id_a", "id_b")
+
+
+ORACLE_PREFIX_JACCARD = f"""
+WITH {_DUCK_SHINGLES},
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS intersection
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, intersection::BIGINT AS intersection,
+       intersection::DOUBLE /
+       (sa.n_shingles + sb.n_shingles - intersection)::DOUBLE AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE 5 * intersection >= 4 * (sa.n_shingles + sb.n_shingles - intersection)
+ORDER BY id_a, id_b
+"""
+
+
 REGISTRY_LLM = {
     "user_heavy_hitters": (q_user_heavy_hitters, ORACLE_HEAVY_HITTERS),
+    "dedup_prefix_jaccard": (q_dedup_prefix_jaccard, ORACLE_PREFIX_JACCARD),
     "events_throttled_daily": (q_events_throttled_daily, ORACLE_THROTTLED),
     "customer_part_negatives": (q_customer_part_negatives, ORACLE_NEGATIVES),
     "doc_class_balance": (q_doc_class_balance, ORACLE_CLASS_BALANCE),

@@ -391,3 +391,48 @@ def test_simhash_near_dup_pairs_matches_bruteforce(spark):
 
     with _pytest.raises(ValueError):
         simhash_near_dup_pairs(df, "doc_id", "text", max_hamming=4)
+
+
+def test_prefix_jaccard_equals_all_pairs(docs):
+    """Prefix filtering is exact: identical pair set to the quadratic
+    all-pairs join on the same corpus, thresholds aligned (0.8 = 4/5)."""
+    ap = sorted(
+        (r["id_a"], r["id_b"], r["intersection"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.8
+        ).collect()
+    )
+    pf = sorted(
+        (r["id_a"], r["id_b"], r["intersection"], r["jaccard"])
+        for r in dedup.prefix_jaccard_pairs(
+            docs, "doc_id", "text", n=3, t_num=4, t_den=5
+        ).collect()
+    )
+    assert ap == pf
+
+
+def test_prefix_jaccard_threshold_boundary(spark):
+    """J == tau exactly is INCLUDED (integer boundary arithmetic);
+    just-below is excluded; empty/short docs produce no pairs."""
+    rows = [
+        (1, "a b c d e f"),        # 4 shingles
+        (2, "a b c d e f g"),      # 5 shingles, superset -> J = 4/5
+        (3, "a b c d e f g h"),    # 6 shingles, superset of 1 -> J = 4/6
+        (4, ""),                   # zero tokens
+        (5, "x y"),                # < n tokens -> zero shingles
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.prefix_jaccard_pairs(
+            df, "doc_id", "text", n=3, t_num=4, t_den=5
+        ).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] == 0.8
+    assert (1, 3) not in got
+    assert all(4 not in p and 5 not in p for p in got)
+
+
+def test_prefix_jaccard_rejects_bad_threshold(docs):
+    with pytest.raises(ValueError):
+        dedup.prefix_jaccard_pairs(docs, "doc_id", "text", t_num=5, t_den=5)
