@@ -401,3 +401,67 @@ def kcore(
         .groupBy("node")
         .agg(F.count("*").cast("long").alias("degree"))
     )
+
+
+def label_propagation(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    rounds: int = 3,
+) -> DataFrame:
+    """(node, community) — synchronous label propagation (Raghavan et
+    al. 2007) for ``rounds`` fixed iterations: every node starts in its
+    own community, and each round simultaneously adopts the label most
+    frequent among its neighbors, ties broken by smallest label.  The
+    cheap community detector one level above ``connected_components``
+    (which merges everything reachable): LPA splits a component into
+    dense regions, the spam-ring / topic-cluster signal over
+    similarity, co-purchase, and interaction graphs.
+
+    Deterministic by construction — synchronous updates (no
+    update-order dependence) plus total-order tie-breaks — so the FIXED
+    round count is bit-exact against an unrolled SQL oracle, the
+    operators/kmeans discipline; convergence is a test concern, not a
+    semantics one.
+
+    Per round: two node-keyed joins of the edge list against the label
+    frame, one (node, label) count (combinable partial agg), one
+    per-node argmax via ``min_by`` on a (-count, label) struct.  Labels
+    are eager-checkpointed per round (bounded lineage).  At 100 TB
+    every shuffle keys on node ids and state is one row per node —
+    pagerank's exact cost shape.
+    """
+    e = (
+        pairs.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        lu = labels.select(F.col("node").alias("u"), "lbl")
+        lv = labels.select(F.col("node").alias("v"), "lbl")
+        nbr = e.join(lv, "v").select(F.col("u").alias("node"), "lbl").unionAll(
+            e.join(lu, "u").select(F.col("v").alias("node"), "lbl")
+        )
+        cnt = nbr.groupBy("node", "lbl").agg(F.count("*").alias("__c"))
+        labels = (
+            cnt.groupBy("node")
+            .agg(
+                F.min_by(
+                    "lbl",
+                    F.struct((-F.col("__c")).alias("nc"), F.col("lbl")),
+                ).alias("lbl")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("lbl").alias("community"))

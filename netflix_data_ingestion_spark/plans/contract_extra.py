@@ -924,6 +924,61 @@ pr{i} AS (
 ORACLE_PAGERANK = _pagerank_oracle()
 
 
+def q_customer_supplier_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/graph.label_propagation: 3 synchronous LPA rounds over
+    the bipartite customer->supplier order graph — most-frequent
+    neighbor label, smallest-label tie-break; fixed rounds make the
+    iterative algorithm bit-exact against the unrolled SQL oracle."""
+    from netflix_data_ingestion_spark.operators.graph import label_propagation
+
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    edges = orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey
+    ).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    return label_propagation(edges, "src", "dst", rounds=3).orderBy("node")
+
+
+def _lpa_oracle(rounds: int = 3) -> str:
+    parts = [
+        """
+WITH e AS (
+  SELECT DISTINCT 'c' || o.o_custkey AS s, 's' || l.l_suppkey AS d
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+l0 AS (SELECT node, node AS lbl FROM nodes)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+n{i} AS (
+  SELECT e.s AS node, l.lbl FROM e JOIN l{i - 1} l ON l.node = e.d
+  UNION ALL
+  SELECT e.d AS node, l.lbl FROM e JOIN l{i - 1} l ON l.node = e.s
+),
+c{i} AS (SELECT node, lbl, COUNT(*) AS c FROM n{i} GROUP BY 1, 2),
+l{i} AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY c DESC, lbl ASC) AS rn
+    FROM c{i}
+  ) WHERE rn = 1
+)"""
+        )
+    parts.append(
+        f"\nSELECT node, lbl AS community FROM l{rounds} ORDER BY node"
+    )
+    return "".join(parts)
+
+
+ORACLE_LPA = _lpa_oracle()
+
+
 def q_orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/expectations.run_expectations: six declarative checks
     (nullability, uniqueness, range, set, regex, referential) compiled
@@ -1559,6 +1614,10 @@ REGISTRY_EXTRA = {
     ),
     "customer_busy_periods": (q_customer_busy_periods, ORACLE_BUSY_PERIODS),
     "part_name_fuzzy_pairs": (q_part_name_fuzzy_pairs, ORACLE_FUZZY_PAIRS),
+    "customer_supplier_communities": (
+        q_customer_supplier_communities,
+        ORACLE_LPA,
+    ),
     "customer_supplier_pagerank": (
         q_customer_supplier_pagerank,
         ORACLE_PAGERANK,

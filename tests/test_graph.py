@@ -150,3 +150,51 @@ def test_kcore_peels_to_fixpoint(spark):
     clipped = df.where("NOT (id_a = 5 AND id_b = 6)")
     got3 = {r["node"] for r in kcore(clipped, k=2, rounds=4).collect()}
     assert got3 == {1, 2, 3, 4, 6, 7, 8}
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    """Two 4-cliques joined by one bridge edge: LPA assigns each clique
+    its own community (min member id) — the split CC cannot make."""
+    from netflix_data_ingestion_spark.operators.graph import (
+        label_propagation,
+    )
+
+    clique_a = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    clique_b = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    pairs = spark.createDataFrame(
+        clique_a + clique_b + [(4, 10)], "id_a long, id_b long"
+    )
+    out = {
+        r["node"]: r["community"]
+        for r in label_propagation(pairs, rounds=4).collect()
+    }
+    assert all(out[n] == 1 for n in range(1, 5))
+    assert all(out[n] == 10 for n in range(10, 14))
+
+
+def test_lpa_partition_invariant_and_converged(spark):
+    """Synchronous updates + total-order tie-breaks: identical result on
+    a reshuffled input, and one extra round changes nothing once the
+    two-clique graph has converged."""
+    from netflix_data_ingestion_spark.operators.graph import (
+        label_propagation,
+    )
+
+    clique_a = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    clique_b = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    pairs = spark.createDataFrame(
+        clique_a + clique_b + [(4, 10)], "id_a long, id_b long"
+    )
+    base = sorted(
+        (r["node"], r["community"])
+        for r in label_propagation(pairs, rounds=4).collect()
+    )
+    shuffled = sorted(
+        (r["node"], r["community"])
+        for r in label_propagation(pairs.repartition(7), rounds=4).collect()
+    )
+    extra = sorted(
+        (r["node"], r["community"])
+        for r in label_propagation(pairs, rounds=5).collect()
+    )
+    assert base == shuffled == extra
