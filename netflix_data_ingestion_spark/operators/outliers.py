@@ -224,3 +224,53 @@ def winsorize(
         )
         .drop("__lo", "__hi")
     )
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    ts_col: str = "ts",
+    k_num: int = 3,
+    k_den: int = 1,
+) -> DataFrame:
+    """(bucket_ts, dow, hod, cnt, season_median, season_mad, is_high) —
+    hours whose event volume deviates from the SEASONAL baseline: each
+    hourly count is compared against the median/MAD of all hours
+    sharing its (day-of-week, hour-of-day) slot, so "quiet Sunday 3am"
+    and "busy Monday 9am" each get their own normal band — the traffic
+    anomaly detector a global threshold can't be (a normal Monday peak
+    would drown a Sunday-night incident).
+
+    Composition of proven parts: one hourly count aggregate (the
+    resample shape), the monday0 day-of-week contract from
+    functions/datetime, then ``mad_outliers`` over (dow, hod) groups —
+    exact nearest-rank medians, strict integer decision, engine- and
+    partition-exact.
+
+    Shape at 100 TB: the raw-event pass is one combinable count to
+    ~#hours rows; everything after runs on the tiny hourly frame.  The
+    168 seasonal groups are static — no skew hazard.
+    """
+    from netflix_data_ingestion_spark.functions.datetime import (
+        day_of_week_monday0,
+    )
+
+    hourly = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(F.date_trunc("hour", F.col(ts_col)).alias("bucket_ts"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .withColumn(
+            "dow", day_of_week_monday0(F.col("bucket_ts")).cast("int")
+        )
+        .withColumn("hod", F.hour("bucket_ts").cast("int"))
+    )
+    return mad_outliers(
+        hourly, ["dow", "hod"], "cnt", k_num=k_num, k_den=k_den, scale=1
+    ).select(
+        "bucket_ts",
+        "dow",
+        "hod",
+        "cnt",
+        F.col("group_median").alias("season_median"),
+        F.col("group_mad").alias("season_mad"),
+        "is_high",
+    )

@@ -793,6 +793,63 @@ ORDER BY o_orderkey
 """
 
 
+def q_events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/outliers.seasonal_anomalies: hourly volumes vs their
+    (day-of-week, hour-of-day) seasonal median/MAD band at k=2 — exact
+    nearest-rank medians, strict integer decision, monday0 dow
+    contract."""
+    from netflix_data_ingestion_spark.operators.outliers import (
+        seasonal_anomalies,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    return seasonal_anomalies(events, "ts", k_num=2, k_den=1).orderBy(
+        "bucket_ts"
+    )
+
+
+ORACLE_SEASONAL_ANOMALY = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket_ts, COUNT(*)::BIGINT AS cnt
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+keyed AS (
+  SELECT bucket_ts, CAST(isodow(bucket_ts) - 1 AS INT) AS dow,
+         CAST(hour(bucket_ts) AS INT) AS hod, cnt
+  FROM hourly
+),
+r1 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY dow, hod ORDER BY cnt ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY dow, hod) AS n
+  FROM keyed
+),
+med AS (
+  SELECT dow, hod, MAX(CASE WHEN rn = CEIL(0.5 * n) THEN cnt END) AS m
+  FROM r1 GROUP BY 1, 2
+),
+d AS (
+  SELECT k.bucket_ts, k.dow, k.hod, k.cnt, m.m,
+         abs(k.cnt - m.m) AS dev
+  FROM keyed k JOIN med m USING (dow, hod)
+),
+r2 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY dow, hod ORDER BY dev ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY dow, hod) AS n
+  FROM d
+),
+mad AS (
+  SELECT dow, hod, MAX(CASE WHEN rn = CEIL(0.5 * n) THEN dev END) AS mad
+  FROM r2 GROUP BY 1, 2
+)
+SELECT d.bucket_ts, d.dow, d.hod, d.cnt,
+       d.m AS season_median, mad.mad AS season_mad,
+       d.cnt > d.m AS is_high
+FROM d JOIN mad USING (dow, hod)
+WHERE d.dev * 1 > 2 * mad.mad
+ORDER BY bucket_ts
+"""
+
+
 def q_customer_busy_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/intervals.merge_intervals: per-customer union of
     order-in-flight intervals [o_orderdate, max l_shipdate] — the
@@ -1607,6 +1664,10 @@ REGISTRY_EXTRA = {
     "brand_top_price_levels": (
         q_brand_top_price_levels,
         ORACLE_TOP_PRICE_LEVELS,
+    ),
+    "events_seasonal_anomaly": (
+        q_events_seasonal_anomaly,
+        ORACLE_SEASONAL_ANOMALY,
     ),
     "order_price_mad_outliers": (
         q_order_price_mad_outliers,

@@ -88,3 +88,38 @@ def test_winsorize_clips_tails_only(spark):
     assert got[9] == 9.0          # the 1000 outlier clipped to p90
     assert got[0] == 1.0          # lower bound is its own value
     assert all(got[i] == float(i + 1) for i in range(9))
+
+
+def test_seasonal_anomaly_flags_spike_in_its_slot_only(spark):
+    """4 Mondays at 9am with counts (10, 10, 10, 50): the spike hour is
+    flagged high against ITS seasonal slot; a busier-but-normal slot
+    (Tuesdays at 9am, steady 40/hour) stays quiet even though every
+    Monday count is below it."""
+    import datetime as dt
+
+    from netflix_data_ingestion_spark.operators.outliers import (
+        seasonal_anomalies,
+    )
+
+    rows = []
+    eid = 0
+    # Mondays 2024-01-01/08/15/22 at 09:xx
+    for week, n in zip((0, 1, 2, 3), (10, 10, 10, 50)):
+        base = dt.datetime(2024, 1, 1, 9, 0) + dt.timedelta(weeks=week)
+        for i in range(n):
+            rows.append((eid, base + dt.timedelta(minutes=i % 60))); eid += 1
+    # Tuesdays at 09:xx, steady 40
+    for week in range(4):
+        base = dt.datetime(2024, 1, 2, 9, 0) + dt.timedelta(weeks=week)
+        for i in range(40):
+            rows.append((eid, base + dt.timedelta(minutes=i % 60))); eid += 1
+    rows.append((eid, None))  # NULL ts ignored
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    out = seasonal_anomalies(df, "ts", k_num=2, k_den=1).collect()
+    flagged = {(r["bucket_ts"], r["dow"], r["hod"], r["is_high"]) for r in out}
+    assert flagged == {
+        (dt.datetime(2024, 1, 22, 9, 0), 0, 9, True)
+    }
+    # and the flagged row carries its slot's baseline, not the global one
+    row = out[0]
+    assert row["season_median"] == 10 and row["cnt"] == 50
