@@ -604,6 +604,7 @@ _VERIFY_ROUND5: list[str] = [
     "dedup_prefix_jaccard",
     "customer_supplier_communities",
     "events_seasonal_anomaly",
+    "user_forget_audit",
     "doc_bpe_token_stats",
     "doc_pps_sample",
     "user_context_window",

@@ -850,6 +850,67 @@ ORDER BY bucket_ts
 """
 
 
+def q_user_forget_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/forget: right-to-be-forgotten cascade audit — the
+    AUTOMOBILE-segment customers as the forget-set, broadcast anti-join
+    deletes on customer/orders/events, lineitem cascaded through the
+    order keys actually removed; exact single-pass accounting."""
+    from netflix_data_ingestion_spark.operators.forget import (
+        forget_audit,
+        forget_keys,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    events = _t(spark, sf_dir, "events")
+    keys = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        "c_custkey"
+    )
+    _, removed_orderkeys = forget_keys(
+        orders, "o_custkey", keys, "c_custkey", emit_col="o_orderkey"
+    )
+    return forget_audit(
+        [
+            ("customer", cust, "c_custkey", keys, "c_custkey"),
+            ("orders", orders, "o_custkey", keys, "c_custkey"),
+            ("lineitem", lineitem, "l_orderkey", removed_orderkeys, "o_orderkey"),
+            ("events", events, "user_id", keys, "c_custkey"),
+        ]
+    ).orderBy("table_name")
+
+
+ORACLE_FORGET_AUDIT = """
+WITH fs AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'),
+ro AS (SELECT DISTINCT o_orderkey FROM orders
+       WHERE o_custkey IN (SELECT c_custkey FROM fs)),
+a AS (
+  SELECT 'customer' AS table_name,
+         (SELECT COUNT(*) FROM customer)::BIGINT AS rows_before,
+         (SELECT COUNT(*) FROM customer
+          WHERE c_custkey IN (SELECT c_custkey FROM fs))::BIGINT AS rows_removed
+  UNION ALL
+  SELECT 'orders',
+         (SELECT COUNT(*) FROM orders)::BIGINT,
+         (SELECT COUNT(*) FROM orders
+          WHERE o_custkey IN (SELECT c_custkey FROM fs))::BIGINT
+  UNION ALL
+  SELECT 'lineitem',
+         (SELECT COUNT(*) FROM lineitem)::BIGINT,
+         (SELECT COUNT(*) FROM lineitem
+          WHERE l_orderkey IN (SELECT o_orderkey FROM ro))::BIGINT
+  UNION ALL
+  SELECT 'events',
+         (SELECT COUNT(*) FROM events)::BIGINT,
+         (SELECT COUNT(*) FROM events
+          WHERE user_id IN (SELECT c_custkey FROM fs))::BIGINT
+)
+SELECT table_name, rows_before, rows_removed,
+       (rows_before - rows_removed)::BIGINT AS rows_after
+FROM a ORDER BY table_name
+"""
+
+
 def q_customer_busy_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/intervals.merge_intervals: per-customer union of
     order-in-flight intervals [o_orderdate, max l_shipdate] — the
@@ -1664,6 +1725,10 @@ REGISTRY_EXTRA = {
     "brand_top_price_levels": (
         q_brand_top_price_levels,
         ORACLE_TOP_PRICE_LEVELS,
+    ),
+    "user_forget_audit": (
+        q_user_forget_audit,
+        ORACLE_FORGET_AUDIT,
     ),
     "events_seasonal_anomaly": (
         q_events_seasonal_anomaly,
