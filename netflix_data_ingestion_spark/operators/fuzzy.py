@@ -72,3 +72,53 @@ def fuzzy_name_pairs(
         .where(F.col("dist").between(1, max_dist))
         .select("name_a", "name_b", F.col("dist").cast("bigint").alias("dist"))
     )
+
+
+def resolve_entities(
+    df: DataFrame, text_col: str, max_dist: int = 2
+) -> DataFrame:
+    """(name, entity_id, entity_size, is_canonical) — entity resolution
+    over the DISTINCT values of ``text_col``: typo/variant spellings
+    collapse into one entity.  The classic record-linkage ladder as one
+    lazy plan: lossless length-band blocking + thresholded Levenshtein
+    verify (``fuzzy_name_pairs``), connected components over the match
+    graph (transitive closure: a~b, b~c => one entity even when a~c
+    exceeds the edit budget — the deliberate ER semantics), then the
+    minimum name as the golden-record id.  Every name gets a row;
+    unmatched names are singleton entities of themselves.
+
+    Shape at 100 TB: blocking caps the verify fan-out per length band,
+    CC runs on the MATCH PAIRS only (tiny next to the corpus), and the
+    label join back to all names broadcasts unless most of the corpus
+    is variants.  Downstream, join ``entity_id`` back to the fact on
+    ``name`` to re-key it — the same move as ``dedup_clusters``.
+    """
+    from netflix_data_ingestion_spark.operators.graph import (
+        connected_components,
+    )
+
+    names = (
+        ensure_parallelism(df)
+        .select(F.col(text_col).cast("string").alias("name"))
+        .where(F.col("name").isNotNull())
+        .distinct()
+    )
+    pairs = fuzzy_name_pairs(df, text_col, max_dist)
+    comp = connected_components(pairs, "name_a", "name_b")
+    labeled = names.join(
+        comp.select(F.col("node").alias("name"), "component"),
+        "name",
+        "left",
+    ).select(
+        "name",
+        F.coalesce(F.col("component"), F.col("name")).alias("entity_id"),
+    )
+    sizes = labeled.groupBy("entity_id").agg(
+        F.count("*").cast("long").alias("entity_size")
+    )
+    return labeled.join(sizes, "entity_id").select(
+        "name",
+        "entity_id",
+        "entity_size",
+        (F.col("name") == F.col("entity_id")).alias("is_canonical"),
+    )

@@ -605,6 +605,7 @@ _VERIFY_ROUND5: list[str] = [
     "customer_supplier_communities",
     "events_seasonal_anomaly",
     "user_forget_audit",
+    "part_name_entities",
     "doc_bpe_token_stats",
     "doc_pps_sample",
     "user_context_window",

@@ -975,6 +975,44 @@ def q_part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_part_name_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/fuzzy.resolve_entities: the entity-resolution ladder —
+    length-band blocking + Levenshtein<=2 verify, connected components
+    over the match graph (transitive closure is the ER semantics), min
+    name as the golden-record id; singletons are their own entity."""
+    from netflix_data_ingestion_spark.operators.fuzzy import (
+        resolve_entities,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    return resolve_entities(part, "p_name", max_dist=2).orderBy("name")
+
+
+ORACLE_PART_ENTITIES = """
+WITH RECURSIVE
+names AS (SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL),
+pairs AS (
+  SELECT a.name AS na, b.name AS nb
+  FROM names a JOIN names b ON a.name < b.name
+  WHERE levenshtein(a.name, b.name) BETWEEN 1 AND 2
+),
+edges AS (SELECT na AS u, nb AS v FROM pairs
+          UNION ALL SELECT nb, na FROM pairs),
+reach(node, lbl) AS (
+  SELECT name, name FROM names
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.node = e.v
+),
+comp AS (SELECT node AS name, MIN(lbl) AS entity_id FROM reach GROUP BY 1),
+sizes AS (SELECT entity_id, COUNT(*)::BIGINT AS entity_size
+          FROM comp GROUP BY 1)
+SELECT c.name, c.entity_id, s.entity_size,
+       c.name = c.entity_id AS is_canonical
+FROM comp c JOIN sizes s USING (entity_id)
+ORDER BY name
+"""
+
+
 ORACLE_FUZZY_PAIRS = """
 WITH names AS (SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL)
 SELECT a.name AS name_a, b.name AS name_b,
@@ -1740,6 +1778,7 @@ REGISTRY_EXTRA = {
     ),
     "customer_busy_periods": (q_customer_busy_periods, ORACLE_BUSY_PERIODS),
     "part_name_fuzzy_pairs": (q_part_name_fuzzy_pairs, ORACLE_FUZZY_PAIRS),
+    "part_name_entities": (q_part_name_entities, ORACLE_PART_ENTITIES),
     "customer_supplier_communities": (
         q_customer_supplier_communities,
         ORACLE_LPA,

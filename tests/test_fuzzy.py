@@ -57,3 +57,27 @@ def test_length_band_excludes_far_lengths_but_keeps_boundary(spark):
     df = spark.createDataFrame([("ab",), ("abxy",)], ["name"])
     rows = fuzzy_name_pairs(df, "name", max_dist=2).collect()
     assert [(r["name_a"], r["name_b"]) for r in rows] == [("ab", "abxy")]
+
+
+def test_resolve_entities_transitive_chain(spark):
+    """a~b and b~c link (dist 1 each) but a~c is dist 2 via different
+    edits — the chain still forms ONE entity (transitive closure), with
+    the min name canonical; unrelated names stay singletons."""
+    from netflix_data_ingestion_spark.operators.fuzzy import (
+        resolve_entities,
+    )
+
+    df = spark.createDataFrame(
+        [("acme corp",), ("acme corpx",), ("acme corpxy",),
+         ("zebra ltd",), (None,)],
+        "name string",
+    )
+    out = {
+        r["name"]: (r["entity_id"], r["entity_size"], r["is_canonical"])
+        for r in resolve_entities(df, "name", max_dist=2).collect()
+    }
+    assert out["acme corp"] == ("acme corp", 3, True)
+    assert out["acme corpx"] == ("acme corp", 3, False)
+    assert out["acme corpxy"] == ("acme corp", 3, False)
+    assert out["zebra ltd"] == ("zebra ltd", 1, True)
+    assert None not in out and len(out) == 4
