@@ -606,6 +606,7 @@ _VERIFY_ROUND5: list[str] = [
     "events_seasonal_anomaly",
     "user_forget_audit",
     "part_name_entities",
+    "dedup_incremental",
     "doc_bpe_token_stats",
     "doc_pps_sample",
     "user_context_window",

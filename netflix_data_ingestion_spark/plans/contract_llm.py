@@ -139,6 +139,48 @@ ORDER BY id_a, id_b
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/dedup.incremental_near_dup_candidates: the daily-ingest
+    dedup — every 10th document plays the NEW batch, the rest the
+    persisted band snapshot; only the batch is shingled/banded, then
+    probed against the snapshot.  md5 minhash determinism means the
+    result must equal the FULL-corpus LSH pair set restricted to pairs
+    touching the batch — which is exactly what the oracle computes, so
+    the O(batch) path is held to the O(corpus) path's answer."""
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    snapshot = dedup.minhash_band_table(
+        old, "doc_id", "text", n=3, num_hashes=16, bands=4
+    )
+    pairs, _ = dedup.incremental_near_dup_candidates(
+        new, snapshot, "doc_id", "text", n=3, num_hashes=16, bands=4
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
+ORACLE_DEDUP_INCREMENTAL = f"""
+WITH {_DUCK_SHINGLES},
+hashed AS (
+  SELECT doc_id, seed,
+         md5(seed::VARCHAR || '|' || shingle) AS h
+  FROM sh, unnest(range(0, 4)) AS s(seed)
+),
+bandt AS (
+  SELECT doc_id, seed AS band,
+         md5(concat_ws('|', MIN(substr(h, 1, 8)), MIN(substr(h, 9, 8)),
+                       MIN(substr(h, 17, 8)), MIN(substr(h, 25, 8))))
+           AS band_key
+  FROM hashed GROUP BY 1, 2
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bandt a JOIN bandt b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0
+ORDER BY id_a, id_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # Dedup: composed scale path — LSH candidates -> exact Jaccard verify
 # ---------------------------------------------------------------------------
@@ -3509,6 +3551,7 @@ REGISTRY_LLM = {
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, ORACLE_DEDUP_MINHASH),
+    "dedup_incremental": (q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "dedup_near_dup_scale": (q_dedup_near_dup_scale, ORACLE_DEDUP_NEAR_DUP_SCALE),
     "dedup_lsh_recall": (q_dedup_lsh_recall, ORACLE_LSH_RECALL),
