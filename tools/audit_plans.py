@@ -113,6 +113,7 @@ SANCTIONED: dict[str, str] = {
     "orphan_lineitems": "global 1-row audit aggregate",
     "running_event_total": "global running total: inherently one ordered pass",
     "table_counts": "8 x 1-row count aggregates unioned",
+    "user_forget_audit": "4 x 1-row audit aggregates unioned (table_counts shape)",
     "weekly_active_users": "date-spine min/max 1-row frame",
 }
 
