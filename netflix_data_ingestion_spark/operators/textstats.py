@@ -607,3 +607,67 @@ def bm25_scores(
         .groupBy(id_col)
         .agg(F.sum("__p").cast("long").alias("score_micro"))
     )
+
+
+def dup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """(doc_id, span_start, span_end, span_tokens) — maximal runs of
+    tokens (0-based inclusive positions) that appear verbatim in at
+    least ``min_docs`` DISTINCT documents — the exact-substring
+    training-data dedup signal (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): boilerplate headers,
+    license blocks, and quoted passages surface as spans to cut, where
+    whole-document Jaccard sees only mildly-similar docs.
+
+    Mechanics: every n-gram is keyed by its md5 digest (the shuffle
+    carries 32-byte digests, not 10-token strings), grams occurring in
+    >= min_docs distinct docs mark their start positions, and each
+    doc's marked positions fold into maximal spans via the
+    gaps-and-islands interval union (``intervals.merge_intervals`` on
+    half-open [pos, pos+n) ranges, so overlapping AND abutting runs
+    merge).  A phrase repeated only WITHIN one document does not
+    qualify (that is ``repetition_ratio``'s job) — the distinct-doc
+    count is the cross-document contract.
+
+    Shape at 100 TB: one combinable distinct-doc count per digest, one
+    digest-keyed join back, one doc-keyed window — the same three
+    shuffles as tf-idf, all on narrow keys.  Stopword-ish common grams
+    are exactly the signal here, so there is no fan-out hazard: the
+    join is doc-side, never gram-pair-side.
+    """
+    toked = ensure_parallelism(df).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__tok")
+    )
+    grams = toked.select(
+        F.col(id_col),
+        F.posexplode(word_ngrams(F.col("__tok"), n)).alias("pos", "__g"),
+    ).select(F.col(id_col), "pos", F.md5("__g").alias("__d"))
+    dup = (
+        grams.groupBy("__d")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__d")
+    )
+    hits = grams.join(dup, "__d").select(
+        F.col(id_col), F.col("pos").cast("long").alias("pos")
+    )
+    from netflix_data_ingestion_spark.operators.intervals import (
+        merge_intervals,
+    )
+
+    spans = merge_intervals(
+        hits.withColumn("__e", F.col("pos") + F.lit(n)), [id_col], "pos", "__e"
+    )
+    return spans.select(
+        F.col(id_col),
+        F.col("period_start").cast("long").alias("span_start"),
+        (F.col("period_end") - 1).cast("long").alias("span_end"),
+        (F.col("period_end") - F.col("period_start"))
+        .cast("long")
+        .alias("span_tokens"),
+    )

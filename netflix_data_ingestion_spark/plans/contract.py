@@ -607,6 +607,7 @@ _VERIFY_ROUND5: list[str] = [
     "user_forget_audit",
     "part_name_entities",
     "dedup_incremental",
+    "doc_dup_spans",
     "doc_bpe_token_stats",
     "doc_pps_sample",
     "user_context_window",

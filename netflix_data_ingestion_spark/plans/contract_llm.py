@@ -139,6 +139,50 @@ ORDER BY id_a, id_b
 """
 
 
+def q_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/textstats.dup_spans: maximal token runs (5-grams,
+    md5-keyed) appearing verbatim in >= 2 distinct documents — the
+    exact-substring dedup signal; overlapping/abutting runs fold into
+    spans via the gaps-and-islands interval union."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.dup_spans(
+        docs, "doc_id", "text", n=5, min_docs=2
+    ).orderBy("doc_id", "span_start")
+
+
+ORACLE_DUP_SPANS = f"""
+WITH {_DUCK_TOKS},
+grams AS (
+  SELECT doc_id, (i - 1)::BIGINT AS pos,
+         md5(array_to_string(tk[i:i+4], ' ')) AS g
+  FROM toks, unnest(range(1, len(tk) - 3)) AS u(i)
+),
+dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+hits AS (SELECT doc_id, pos, pos + 5 AS e FROM grams JOIN dup USING (g)),
+flagged AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN MAX(e) OVER (PARTITION BY doc_id ORDER BY pos, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) IS NULL
+                   OR pos > MAX(e) OVER (PARTITION BY doc_id ORDER BY pos, e
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS brk
+  FROM hits
+),
+isl AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos, e
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+)
+SELECT doc_id, MIN(pos)::BIGINT AS span_start,
+       (MAX(e) - 1)::BIGINT AS span_end,
+       (MAX(e) - MIN(pos))::BIGINT AS span_tokens
+FROM isl GROUP BY doc_id, island
+ORDER BY doc_id, span_start
+"""
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/dedup.incremental_near_dup_candidates: the daily-ingest
     dedup — every 10th document plays the NEW batch, the rest the
@@ -3552,6 +3596,7 @@ REGISTRY_LLM = {
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, ORACLE_DEDUP_NGRAM),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, ORACLE_DEDUP_MINHASH),
     "dedup_incremental": (q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
+    "doc_dup_spans": (q_doc_dup_spans, ORACLE_DUP_SPANS),
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "dedup_near_dup_scale": (q_dedup_near_dup_scale, ORACLE_DEDUP_NEAR_DUP_SCALE),
     "dedup_lsh_recall": (q_dedup_lsh_recall, ORACLE_LSH_RECALL),

@@ -256,3 +256,29 @@ def test_bm25_ranks_relevant_docs_first(spark):
     again = {r["doc_id"]: r["score_micro"] for r in bm25_scores(
         df.repartition(7), "doc_id", "text", ["spark"]).collect()}
     assert again == got
+
+
+def test_dup_spans_cross_doc_only_and_merging(spark):
+    """A shared 6-token phrase yields one merged span per doc (two
+    overlapping 5-gram starts fold together); a phrase repeated only
+    WITHIN one doc does not qualify; clean docs produce no rows."""
+    from netflix_data_ingestion_spark.operators.textstats import dup_spans
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"one two {shared} three"),
+        (2, f"{shared} nine ten"),
+        (3, "self self self self self self self self self self unique"),
+        (4, "totally unrelated content with no shared phrases at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_tokens"])
+        for r in dup_spans(df, "doc_id", "text", n=5, min_docs=2).collect()
+    }
+    # doc 1: shared phrase occupies tokens 2..7 -> starts {2,3} merge
+    assert out[1] == (2, 7, 6)
+    # doc 2: tokens 0..5
+    assert out[2] == (0, 5, 6)
+    # intra-doc repetition (doc 3) and clean doc 4: no spans
+    assert 3 not in out and 4 not in out
