@@ -671,3 +671,62 @@ def dup_spans(
         .cast("long")
         .alias("span_tokens"),
     )
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """(doc_id, clean_text, n_tokens_removed) — the curation ACTION for
+    ``dup_spans``: every cross-document duplicated run is cut and the
+    survivors rejoined, per Lee et al. 2022's span-cut (not whole-doc
+    drop) policy — a doc quoting one boilerplate license keeps its
+    original prose.  ``clean_text`` is the TOKENIZED reconstruction
+    (lowercased, punctuation folded to single spaces — the same
+    canonical form every dedup operator here keys on), not the raw
+    input with holes.
+
+    Plan: span ranges explode to exact covered positions (total rows
+    bounded by corpus tokens), one equi ANTI join kills covered
+    tokens — no inequality join, no nested loop — then a per-doc
+    ordered rejoin.  Docs with nothing removed pass through; docs cut
+    to nothing yield an empty string (and their token count as
+    ``n_tokens_removed``).
+    """
+    spans = dup_spans(df, id_col, text_col, n=n, min_docs=min_docs)
+    toked = ensure_parallelism(df).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__tok")
+    )
+    base = toked.select(
+        F.col(id_col), F.size("__tok").cast("long").alias("__orig_n")
+    )
+    tpos = toked.select(
+        F.col(id_col), F.posexplode("__tok").alias("pos", "__t")
+    ).select(F.col(id_col), F.col("pos").cast("long").alias("pos"), "__t")
+    cover = spans.select(
+        F.col(id_col),
+        F.explode(F.sequence("span_start", "span_end")).alias("pos"),
+    )
+    kept = tpos.join(cover, [id_col, "pos"], "left_anti")
+    clean = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("__t")))
+                ),
+                lambda s: s["__t"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").cast("long").alias("__kept_n"),
+    )
+    return base.join(clean, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        (F.col("__orig_n") - F.coalesce(F.col("__kept_n"), F.lit(0)))
+        .cast("long")
+        .alias("n_tokens_removed"),
+    )

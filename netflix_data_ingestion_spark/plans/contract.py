@@ -608,6 +608,7 @@ _VERIFY_ROUND5: list[str] = [
     "part_name_entities",
     "dedup_incremental",
     "doc_dup_spans",
+    "doc_span_cut",
     "doc_bpe_token_stats",
     "doc_pps_sample",
     "user_context_window",

@@ -183,6 +183,72 @@ ORDER BY doc_id, span_start
 """
 
 
+def q_doc_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/textstats.remove_dup_spans: the span-CUT curation
+    action — cross-doc duplicated 5-gram runs removed, survivors
+    rejoined in the canonical token form; docs cut to nothing emit ''
+    with their full token count removed."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.remove_dup_spans(
+        docs, "doc_id", "text", n=5, min_docs=2
+    ).orderBy("doc_id")
+
+
+ORACLE_SPAN_CUT = f"""
+WITH {_DUCK_TOKS},
+grams AS (
+  SELECT doc_id, (i - 1)::BIGINT AS pos,
+         md5(array_to_string(tk[i:i+4], ' ')) AS g
+  FROM toks, unnest(range(1, len(tk) - 3)) AS u(i)
+),
+dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+hits AS (SELECT doc_id, pos, pos + 5 AS e FROM grams JOIN dup USING (g)),
+flagged AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN MAX(e) OVER (PARTITION BY doc_id ORDER BY pos, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) IS NULL
+                   OR pos > MAX(e) OVER (PARTITION BY doc_id ORDER BY pos, e
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS brk
+  FROM hits
+),
+isl AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos, e
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(e) - 1 AS e2
+  FROM isl GROUP BY doc_id, island
+),
+cover AS (
+  SELECT DISTINCT doc_id, u.p AS pos
+  FROM spans, unnest(range(s, e2 + 1)) AS u(p)
+),
+tpos AS (
+  SELECT doc_id, (i - 1)::BIGINT AS pos, tk[i] AS tok
+  FROM toks, unnest(range(1, len(tk) + 1)) AS u(i)
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok FROM tpos t
+  WHERE NOT EXISTS (SELECT 1 FROM cover c
+                    WHERE c.doc_id = t.doc_id AND c.pos = t.pos)
+),
+clean AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         COUNT(*) AS kept_n
+  FROM kept GROUP BY doc_id
+),
+base AS (SELECT doc_id, len(tk)::BIGINT AS orig_n FROM toks)
+SELECT b.doc_id, coalesce(c.clean_text, '') AS clean_text,
+       (b.orig_n - coalesce(c.kept_n, 0))::BIGINT AS n_tokens_removed
+FROM base b LEFT JOIN clean c USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/dedup.incremental_near_dup_candidates: the daily-ingest
     dedup — every 10th document plays the NEW batch, the rest the
@@ -3597,6 +3663,7 @@ REGISTRY_LLM = {
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, ORACLE_DEDUP_MINHASH),
     "dedup_incremental": (q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
     "doc_dup_spans": (q_doc_dup_spans, ORACLE_DUP_SPANS),
+    "doc_span_cut": (q_doc_span_cut, ORACLE_SPAN_CUT),
     "dedup_clusters": (q_dedup_clusters, ORACLE_DEDUP_CLUSTERS),
     "dedup_near_dup_scale": (q_dedup_near_dup_scale, ORACLE_DEDUP_NEAR_DUP_SCALE),
     "dedup_lsh_recall": (q_dedup_lsh_recall, ORACLE_LSH_RECALL),

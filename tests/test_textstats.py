@@ -282,3 +282,27 @@ def test_dup_spans_cross_doc_only_and_merging(spark):
     assert out[2] == (0, 5, 6)
     # intra-doc repetition (doc 3) and clean doc 4: no spans
     assert 3 not in out and 4 not in out
+
+
+def test_remove_dup_spans_cuts_and_passes_through(spark):
+    from netflix_data_ingestion_spark.operators.textstats import (
+        remove_dup_spans,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"one two {shared} three"),
+        (2, f"{shared} nine ten"),
+        (3, shared),                       # the WHOLE doc is the span
+        (4, "clean document nothing shared here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens_removed"])
+        for r in remove_dup_spans(df, "doc_id", "text", n=5, min_docs=2)
+        .collect()
+    }
+    assert out[1] == ("one two three", 6)
+    assert out[2] == ("nine ten", 6)
+    assert out[3] == ("", 6)               # cut to nothing, still a row
+    assert out[4] == ("clean document nothing shared here at all", 0)
