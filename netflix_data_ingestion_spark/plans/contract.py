@@ -609,6 +609,7 @@ _VERIFY_ROUND5: list[str] = [
     "dedup_incremental",
     "doc_dup_spans",
     "doc_span_cut",
+    "orders_price_drift",
     "doc_bpe_token_stats",
     "doc_pps_sample",
     "user_context_window",

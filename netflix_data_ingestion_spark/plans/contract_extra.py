@@ -975,6 +975,65 @@ def q_part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/drift.drift_report: order totals before vs from 1999
+    over reference-derived equi-depth deciles — per-bin counts and
+    exact ppm shares (integer division), the PSI monitoring shape
+    upstream of the log."""
+    from netflix_data_ingestion_spark.operators.drift import drift_report
+
+    orders = _t(spark, sf_dir, "orders")
+    ref = orders.filter(F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    cur = orders.filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+    return drift_report(ref, cur, "o_totalprice", bins=10, scale=100).orderBy(
+        "bin"
+    )
+
+
+ORACLE_PRICE_DRIFT = """
+WITH refv AS (
+  SELECT round(o_totalprice * 100)::BIGINT AS v FROM orders
+  WHERE o_orderdate < TIMESTAMP '1999-01-01' AND o_totalprice IS NOT NULL
+),
+curv AS (
+  SELECT round(o_totalprice * 100)::BIGINT AS v FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1999-01-01' AND o_totalprice IS NOT NULL
+),
+r1 AS (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY v ASC) AS rn,
+         COUNT(*) OVER () AS n
+  FROM refv
+),
+qrow AS (
+  SELECT q, MAX(CASE WHEN rn = CEIL(q * n) THEN v END) AS vv
+  FROM r1, (SELECT unnest([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS q)
+  GROUP BY q
+),
+cuts AS (SELECT list(vv ORDER BY q) AS cs FROM qrow),
+rb AS (
+  SELECT 1 + len(list_filter(cs, c -> v > c)) AS bin, COUNT(*)::BIGINT AS ref_n
+  FROM refv, cuts GROUP BY 1
+),
+cb AS (
+  SELECT 1 + len(list_filter(cs, c -> v > c)) AS bin, COUNT(*)::BIGINT AS cur_n
+  FROM curv, cuts GROUP BY 1
+),
+b AS (
+  SELECT bin, coalesce(ref_n, 0) AS ref_n, coalesce(cur_n, 0) AS cur_n
+  FROM rb FULL JOIN cb USING (bin)
+),
+t AS (SELECT SUM(ref_n) AS rt, SUM(cur_n) AS ct FROM b)
+SELECT bin,
+       CASE WHEN bin > 1 THEN cs[bin - 1] END AS lo_units,
+       ref_n, cur_n,
+       (ref_n * 1000000) // rt AS ref_ppm,
+       (cur_n * 1000000) // ct AS cur_ppm,
+       abs((ref_n * 1000000) // rt - (cur_n * 1000000) // ct) AS delta_ppm
+FROM b, t, cuts
+ORDER BY bin
+"""
+
+
 def q_part_name_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/fuzzy.resolve_entities: the entity-resolution ladder —
     length-band blocking + Levenshtein<=2 verify, connected components
@@ -1779,6 +1838,7 @@ REGISTRY_EXTRA = {
     "customer_busy_periods": (q_customer_busy_periods, ORACLE_BUSY_PERIODS),
     "part_name_fuzzy_pairs": (q_part_name_fuzzy_pairs, ORACLE_FUZZY_PAIRS),
     "part_name_entities": (q_part_name_entities, ORACLE_PART_ENTITIES),
+    "orders_price_drift": (q_orders_price_drift, ORACLE_PRICE_DRIFT),
     "customer_supplier_communities": (
         q_customer_supplier_communities,
         ORACLE_LPA,
