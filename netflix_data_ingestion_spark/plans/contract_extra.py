@@ -975,6 +975,59 @@ def q_part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_burst_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/bursts.collapse_bursts: per (user, event_type), runs of
+    events chained within 10 minutes collapse to their first event +
+    burst_size — microsecond gap arithmetic, (ts, event_id) total
+    order."""
+    from netflix_data_ingestion_spark.operators.bursts import (
+        collapse_bursts,
+    )
+
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    return collapse_bursts(
+        events, ["user_id", "event_type"], "ts", "event_id",
+        gap_seconds=600,
+    ).orderBy("event_id")
+
+
+ORACLE_BURST_COLLAPSE = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, ts FROM events WHERE ts IS NOT NULL
+),
+flagged AS (
+  SELECT *,
+         CASE WHEN LAG(epoch_us(ts)) OVER
+                     (PARTITION BY user_id, event_type
+                      ORDER BY ts, event_id) IS NULL
+                   OR epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                     (PARTITION BY user_id, event_type
+                      ORDER BY ts, event_id) >= 600000000
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+isl AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type, island
+                            ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id, event_type, island)::BIGINT
+           AS burst_size
+  FROM isl
+)
+SELECT event_id, user_id, event_type, ts, burst_size
+FROM ranked WHERE rn = 1
+ORDER BY event_id
+"""
+
+
 def q_orders_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/drift.drift_report: order totals before vs from 1999
     over reference-derived equi-depth deciles — per-bin counts and
@@ -1839,6 +1892,7 @@ REGISTRY_EXTRA = {
     "part_name_fuzzy_pairs": (q_part_name_fuzzy_pairs, ORACLE_FUZZY_PAIRS),
     "part_name_entities": (q_part_name_entities, ORACLE_PART_ENTITIES),
     "orders_price_drift": (q_orders_price_drift, ORACLE_PRICE_DRIFT),
+    "events_burst_collapse": (q_events_burst_collapse, ORACLE_BURST_COLLAPSE),
     "customer_supplier_communities": (
         q_customer_supplier_communities,
         ORACLE_LPA,

@@ -1,0 +1,50 @@
+"""Burst collapse (operators/bursts.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from netflix_data_ingestion_spark.operators.bursts import collapse_bursts
+
+
+def _t(s):
+    return dt.datetime(2024, 1, 1, 12, 0, 0) + dt.timedelta(seconds=s)
+
+
+def test_burst_chain_collapses_to_first(spark):
+    """Events at 0s, 200s, 400s chain (each gap < 300) into ONE burst
+    even though first-to-last exceeds the gap; exactly-300s starts a
+    new burst (half-open rule)."""
+    rows = [
+        (1, 7, "click", _t(0)),
+        (2, 7, "click", _t(200)),
+        (3, 7, "click", _t(400)),
+        (4, 7, "click", _t(700)),   # 300s after #3 -> NEW burst
+        (5, 7, "view", _t(0)),      # different type: own burst
+        (6, 8, "click", _t(0)),     # different user: own burst
+        (7, 7, "click", None),      # NULL ts dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    out = {
+        r["event_id"]: r["burst_size"]
+        for r in collapse_bursts(
+            df, ["user_id", "event_type"], "ts", "event_id", gap_seconds=300
+        ).collect()
+    }
+    assert out == {1: 3, 4: 1, 5: 1, 6: 1}
+
+
+def test_burst_equal_timestamps_total_order(spark):
+    """Same-instant duplicates collapse deterministically to the lowest
+    tiebreak id."""
+    rows = [(i, 1, "click", _t(0)) for i in (5, 3, 9)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    out = collapse_bursts(
+        df, ["user_id", "event_type"], "ts", "event_id", gap_seconds=60
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["event_id"] == 3 and out[0]["burst_size"] == 3

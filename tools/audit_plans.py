@@ -114,6 +114,7 @@ SANCTIONED: dict[str, str] = {
     "running_event_total": "global running total: inherently one ordered pass",
     "table_counts": "8 x 1-row count aggregates unioned",
     "user_forget_audit": "4 x 1-row audit aggregates unioned (table_counts shape)",
+    "orders_price_drift": "1-row cut/total frames broadcast-crossJoined 3x (bm25 shape); global ref-quantile window, doc'd",
     "weekly_active_users": "date-spine min/max 1-row frame",
 }
 
