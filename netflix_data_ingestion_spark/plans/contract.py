@@ -611,6 +611,7 @@ _VERIFY_ROUND5: list[str] = [
     "doc_span_cut",
     "orders_price_drift",
     "events_burst_collapse",
+    "orders_priority_encoding",
     "doc_bpe_token_stats",
     "doc_pps_sample",
     "user_context_window",

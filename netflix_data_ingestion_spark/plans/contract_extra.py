@@ -975,6 +975,41 @@ def q_part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_priority_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/encode.target_encode_loo: leak-free leave-one-out mean
+    of the order total (cents) per priority class — one int/int
+    division, category stats broadcast, fact never shuffled."""
+    from netflix_data_ingestion_spark.operators.encode import (
+        target_encode_loo,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return target_encode_loo(
+        orders, "o_orderpriority", "o_totalprice", scale=100
+    ).orderBy("o_orderkey")
+
+
+ORACLE_PRIORITY_ENCODING = """
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority,
+         round(o_totalprice * 100)::BIGINT AS y, o_totalprice
+  FROM orders
+),
+stats AS (
+  SELECT o_orderpriority AS cat, COUNT(*)::BIGINT AS n, SUM(y)::BIGINT AS s
+  FROM base WHERE y IS NOT NULL GROUP BY 1
+)
+SELECT b.o_orderkey, b.o_orderpriority, b.o_totalprice,
+       CASE WHEN b.y IS NOT NULL AND st.n > 1
+            THEN (st.s - b.y)::DOUBLE / (st.n - 1)::DOUBLE END AS loo_mean
+FROM base b LEFT JOIN stats st
+  ON b.o_orderpriority IS NOT DISTINCT FROM st.cat
+ORDER BY o_orderkey
+"""
+
+
 def q_events_burst_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/bursts.collapse_bursts: per (user, event_type), runs of
     events chained within 10 minutes collapse to their first event +
@@ -1893,6 +1928,7 @@ REGISTRY_EXTRA = {
     "part_name_entities": (q_part_name_entities, ORACLE_PART_ENTITIES),
     "orders_price_drift": (q_orders_price_drift, ORACLE_PRICE_DRIFT),
     "events_burst_collapse": (q_events_burst_collapse, ORACLE_BURST_COLLAPSE),
+    "orders_priority_encoding": (q_orders_priority_encoding, ORACLE_PRIORITY_ENCODING),
     "customer_supplier_communities": (
         q_customer_supplier_communities,
         ORACLE_LPA,
