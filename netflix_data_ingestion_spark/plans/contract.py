@@ -598,20 +598,11 @@ REGISTRY = {
 # doc_pps_sample, user_context_window, events_pit_state,
 # doc_chunk_text-era entries already sampled in r4 stay out) and all 39
 # r4-late additions.  Locally every one is oracle-green at sf0.01 and
-# sf0.1; the rotation only hands them to the external harness.
+# sf0.1; the rotation only hands them to the external harness.  The list
+# now exceeds the 50-query window (r4-continuation additions queue at the
+# tail, oldest-unverified-first): entries past 50 roll to the round-6 window.
 # ---------------------------------------------------------------------------
 _VERIFY_ROUND5: list[str] = [
-    "dedup_prefix_jaccard",
-    "customer_supplier_communities",
-    "events_seasonal_anomaly",
-    "user_forget_audit",
-    "part_name_entities",
-    "dedup_incremental",
-    "doc_dup_spans",
-    "doc_span_cut",
-    "orders_price_drift",
-    "events_burst_collapse",
-    "orders_priority_encoding",
     "doc_bpe_token_stats",
     "doc_pps_sample",
     "user_context_window",
@@ -660,4 +651,17 @@ _VERIFY_ROUND5: list[str] = [
     "dedup_lsh_recall",
     "time_to_purchase_labels",
     "user_decile_lift",
+    # r4-continuation additions (oldest-unverified-first: these queue last)
+    "dedup_prefix_jaccard",
+    "customer_supplier_communities",
+    "events_seasonal_anomaly",
+    "user_forget_audit",
+    "part_name_entities",
+    "dedup_incremental",
+    "doc_dup_spans",
+    "doc_span_cut",
+    "orders_price_drift",
+    "events_burst_collapse",
+    "orders_priority_encoding",
+    "nation_revenue_share",
 ]

@@ -297,6 +297,73 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-parent analytic: each nation's revenue as an exact ppm
+    share of its REGION's total (integer cents summed per lineitem,
+    one window sum per region, integer division), plus its rank in the
+    region — the hierarchy-share report shape (child / parent level)
+    that rollup alone doesn't give."""
+    from pyspark.sql import Window as W
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    per_nation = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .agg(F.sum(cents).alias("revenue_cents"))
+    )
+    wr = W.partitionBy("region_name")
+    return per_nation.select(
+        "region_name",
+        "nation_name",
+        "revenue_cents",
+        F.expr(
+            "(revenue_cents * 1000000) div sum(revenue_cents)"
+            " over (partition by region_name)"
+        ).alias("share_ppm"),
+        F.row_number()
+        .over(
+            wr.orderBy(
+                F.col("revenue_cents").desc(), F.col("nation_name").asc()
+            )
+        )
+        .cast("int")
+        .alias("rank_in_region"),
+    ).orderBy("region_name", "rank_in_region")
+
+
+ORACLE_NATION_SHARE = """
+WITH per_nation AS (
+  SELECT r.r_name AS region_name, n.n_name AS nation_name,
+         SUM(round(l.l_extendedprice * 100)::BIGINT)::BIGINT AS revenue_cents
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+)
+SELECT region_name, nation_name, revenue_cents,
+       (revenue_cents * 1000000)
+         // SUM(revenue_cents) OVER (PARTITION BY region_name) AS share_ppm,
+       ROW_NUMBER() OVER (PARTITION BY region_name
+                          ORDER BY revenue_cents DESC, nation_name ASC)::INT
+         AS rank_in_region
+FROM per_nation
+ORDER BY region_name, rank_in_region
+"""
+
+
 ORACLE_REGIONAL_REVENUE = """
 SELECT r.r_name AS region_name, n.n_name AS nation_name,
        year(o.o_orderdate)::INT AS order_year,
@@ -1929,6 +1996,7 @@ REGISTRY_EXTRA = {
     "orders_price_drift": (q_orders_price_drift, ORACLE_PRICE_DRIFT),
     "events_burst_collapse": (q_events_burst_collapse, ORACLE_BURST_COLLAPSE),
     "orders_priority_encoding": (q_orders_priority_encoding, ORACLE_PRIORITY_ENCODING),
+    "nation_revenue_share": (q_nation_revenue_share, ORACLE_NATION_SHARE),
     "customer_supplier_communities": (
         q_customer_supplier_communities,
         ORACLE_LPA,

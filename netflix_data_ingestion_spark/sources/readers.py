@@ -185,3 +185,18 @@ def split_dead_letters(
     clean = df.where(F.col(bad_records_col).isNull()).drop(bad_records_col)
     dead = df.where(F.col(bad_records_col).isNotNull())
     return clean, dead
+
+
+def read_orc(
+    spark: SparkSession, path: str | list[str], schema: str | None = None
+) -> DataFrame:
+    """ORC scan — the columnar-interop sibling of the parquet path for
+    lakes standardized on ORC (Hive-lineage warehouses).  Predicate
+    pushdown and column pruning work exactly as for parquet (asserted
+    in test_formats); pass ``schema`` to pin the read contract, or omit
+    it to take the file footer's (ORC embeds its schema, so unlike CSV
+    there is no inference scan)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import logging
 import time
-from collections.abc import Callable
+from collections.abc import Callable, Sequence
 from typing import TypeVar
 
 from pyspark.sql import DataFrame, SparkSession
@@ -281,3 +281,22 @@ def pruned_read(
         len(files),
         len(rows),
     )
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """ORC sink with the same retry + partitioning discipline as the
+    parquet writers (``with_retry``; directory-partitioned layout for
+    pruning).  ZLIB is ORC's portable default codec — left as-is so
+    files interop with stock Hive/Trino readers."""
+    def _write() -> None:
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.orc(path)
+
+    with_retry(_write)

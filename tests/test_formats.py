@@ -52,3 +52,27 @@ def test_jsonl_schema_evolution_and_dead_letters(spark, tmp_path):
     # unknown fields ignored; missing fields read as NULL
     assert rows == {1: "a", 2: None}
     assert dead.count() == 1
+
+
+def test_orc_round_trip_with_pushdown(spark, tmp_path):
+    """ORC interop: partitioned write + read back row-identical; filter
+    on the partition column prunes (PartitionFilters), and a value
+    predicate reaches the ORC scan (PushedFilters)."""
+    from netflix_data_ingestion_spark.sources.readers import read_orc
+    from netflix_data_ingestion_spark.sources.writers import write_orc
+
+    df = spark.createDataFrame(
+        [(i, i % 3, f"v{i}") for i in range(30)],
+        "id long, part int, val string",
+    )
+    path = str(tmp_path / "orc_tbl")
+    write_orc(df, path, partition_by=["part"])
+    back = read_orc(spark, path)
+    assert sorted((r["id"], r["val"]) for r in back.collect()) == sorted(
+        (r["id"], r["val"]) for r in df.collect()
+    )
+    plan = (
+        back.filter((back["part"] == 1) & (back["id"] > 5))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [" in plan and "isnotnull(id" in plan
