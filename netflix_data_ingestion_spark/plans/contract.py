@@ -664,4 +664,5 @@ _VERIFY_ROUND5: list[str] = [
     "events_burst_collapse",
     "orders_priority_encoding",
     "nation_revenue_share",
+    "lineitem_table_digest",
 ]

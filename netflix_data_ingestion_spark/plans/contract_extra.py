@@ -297,6 +297,42 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lineitem_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/digest.table_digest: order/partition-invariant content
+    digest of lineitem over canonicalized columns (keys as ints, money
+    as cents) — the cross-system parity check; the oracle computing the
+    SAME digest in DuckDB is the point."""
+    from netflix_data_ingestion_spark.operators.digest import table_digest
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("c1"),
+        F.col("l_partkey").cast("string").alias("c2"),
+        F.col("l_suppkey").cast("string").alias("c3"),
+        F.round(F.col("l_quantity") * 100).cast("long").cast("string").alias("c4"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").cast("string").alias("c5"),
+        F.col("l_returnflag").alias("c6"),
+    )
+    return table_digest(li)
+
+
+ORACLE_TABLE_DIGEST = """
+WITH canon AS (
+  SELECT concat_ws('|',
+           coalesce(l_orderkey::VARCHAR, chr(1) || 'NULL'),
+           coalesce(l_partkey::VARCHAR, chr(1) || 'NULL'),
+           coalesce(l_suppkey::VARCHAR, chr(1) || 'NULL'),
+           coalesce(round(l_quantity * 100)::BIGINT::VARCHAR, chr(1) || 'NULL'),
+           coalesce(round(l_extendedprice * 100)::BIGINT::VARCHAR, chr(1) || 'NULL'),
+           coalesce(l_returnflag, chr(1) || 'NULL')
+         ) AS s
+  FROM lineitem
+)
+SELECT COUNT(*)::BIGINT AS n_rows,
+       SUM(('0x' || substr(md5(s), 1, 12))::BIGINT)::VARCHAR AS digest
+FROM canon
+"""
+
+
 def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ratio-to-parent analytic: each nation's revenue as an exact ppm
     share of its REGION's total (integer cents summed per lineitem,
@@ -1997,6 +2033,7 @@ REGISTRY_EXTRA = {
     "events_burst_collapse": (q_events_burst_collapse, ORACLE_BURST_COLLAPSE),
     "orders_priority_encoding": (q_orders_priority_encoding, ORACLE_PRIORITY_ENCODING),
     "nation_revenue_share": (q_nation_revenue_share, ORACLE_NATION_SHARE),
+    "lineitem_table_digest": (q_lineitem_table_digest, ORACLE_TABLE_DIGEST),
     "customer_supplier_communities": (
         q_customer_supplier_communities,
         ORACLE_LPA,
