@@ -16,7 +16,7 @@ left to the consumer.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from netflix_data_ingestion_spark.operators.util import ensure_parallelism
@@ -82,4 +82,60 @@ def cooccurrence_pairs(
             "count_b",
             "n_baskets",
         )
+    )
+
+
+def item_similarity_topk(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    k: int = 5,
+    min_support: int = 2,
+) -> DataFrame:
+    """(item, neighbor, pair_count, cosine_sim) — each item's top-k
+    most-similar items by co-occurrence cosine
+    ``pair_count / sqrt(count_a * count_b)`` — the classic item-item
+    collaborative filter (Sarwar et al. WWW'01): normalizing by both
+    marginals stops bestsellers from being everyone's neighbor, which
+    raw pair counts cannot.
+
+    Determinism: the cosine is ONE correctly-rounded sqrt of an exact
+    integer product and one division, rounded to 6 places BEFORE
+    ranking, with a neighbor-id tie-break — so the top-k cut is
+    engine- and partition-exact.
+
+    Shape: inherits ``cooccurrence_pairs``' pruned-pair economy; the
+    symmetrize is a union of two projections of the SAME pair frame,
+    and the per-item rank is one window over the pruned pairs — at
+    catalog scale, cost follows interesting pairs, not items².
+    """
+    pairs = cooccurrence_pairs(df, basket_col, item_col, min_support)
+    sym = pairs.select(
+        F.col("item_a").alias("item"),
+        F.col("item_b").alias("neighbor"),
+        "pair_count",
+        F.col("count_a").alias("__ci"),
+        F.col("count_b").alias("__cn"),
+    ).unionAll(
+        pairs.select(
+            F.col("item_b").alias("item"),
+            F.col("item_a").alias("neighbor"),
+            "pair_count",
+            F.col("count_b").alias("__ci"),
+            F.col("count_a").alias("__cn"),
+        )
+    )
+    scored = sym.withColumn(
+        "cosine_sim",
+        F.round(
+            F.col("pair_count") / F.sqrt(F.col("__ci") * F.col("__cn")), 6
+        ),
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("item", "neighbor", "pair_count", "cosine_sim")
     )

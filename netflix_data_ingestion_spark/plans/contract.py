@@ -665,4 +665,5 @@ _VERIFY_ROUND5: list[str] = [
     "orders_priority_encoding",
     "nation_revenue_share",
     "lineitem_table_digest",
+    "part_item_neighbors",
 ]

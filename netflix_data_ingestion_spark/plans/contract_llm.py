@@ -3064,6 +3064,56 @@ def q_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("item_a", "item_b")
 
 
+def q_part_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/cooccur.item_similarity_topk: item-item collaborative
+    filter — top-5 co-purchase neighbors per part by marginal-
+    normalized cosine, rounded to 6 places BEFORE the rank so the
+    top-k cut is engine-exact."""
+    from netflix_data_ingestion_spark.operators.cooccur import (
+        item_similarity_topk,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return item_similarity_topk(
+        li, "l_orderkey", "l_partkey", k=5, min_support=2
+    ).orderBy("item", "neighbor")
+
+
+ORACLE_ITEM_NEIGHBORS = """
+WITH bi AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+),
+pairs AS (
+  SELECT a.i AS item_a, b.i AS item_b, COUNT(*)::BIGINT AS pair_count
+  FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+),
+ic AS (SELECT i, COUNT(*)::BIGINT AS c FROM bi GROUP BY 1),
+sym AS (
+  SELECT p.item_a AS item, p.item_b AS neighbor, p.pair_count,
+         ca.c AS ci, cb.c AS cn
+  FROM pairs p JOIN ic ca ON ca.i = p.item_a JOIN ic cb ON cb.i = p.item_b
+  UNION ALL
+  SELECT p.item_b, p.item_a, p.pair_count, cb.c, ca.c
+  FROM pairs p JOIN ic ca ON ca.i = p.item_a JOIN ic cb ON cb.i = p.item_b
+),
+scored AS (
+  SELECT item, neighbor, pair_count,
+         ROUND(pair_count / sqrt((ci * cn)::DOUBLE), 6) AS cosine_sim
+  FROM sym
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY item
+                               ORDER BY cosine_sim DESC, neighbor ASC) AS rn
+  FROM scored
+)
+SELECT item, neighbor, pair_count, cosine_sim
+FROM ranked WHERE rn <= 5
+ORDER BY item, neighbor
+"""
+
+
 ORACLE_COOCCURRENCE = """
 WITH bi AS (
   SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
@@ -3607,6 +3657,7 @@ REGISTRY_LLM = {
     ),
     "corpus_vocab_growth": (q_corpus_vocab_growth, ORACLE_VOCAB_GROWTH),
     "part_cooccurrence": (q_part_cooccurrence, ORACLE_COOCCURRENCE),
+    "part_item_neighbors": (q_part_item_neighbors, ORACLE_ITEM_NEIGHBORS),
     "embedding_random_projection": (
         q_embedding_random_projection,
         ORACLE_RANDOM_PROJECTION,

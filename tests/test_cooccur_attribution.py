@@ -65,3 +65,28 @@ def test_linear_attribution_window_and_weights(spark):
     assert {(r["conversion_id"], r["touch_id"]) for r in got} == {
         (5, 1), (5, 2)}
     assert all(r["weight"] == 0.5 for r in got)
+
+
+def test_item_similarity_normalizes_bestsellers(spark):
+    """A bestseller co-occurring with everything is NOT the nearest
+    neighbor of niche items that perfectly co-occur with each other."""
+    from netflix_data_ingestion_spark.operators.cooccur import (
+        item_similarity_topk,
+    )
+
+    rows = []
+    # bestseller 99 in every basket; niche 1 & 2 always together in 3 baskets
+    for b in range(1, 11):
+        rows.append((b, 99))
+    for b in (1, 2, 3):
+        rows += [(b, 1), (b, 2)]
+    df = spark.createDataFrame(rows, "basket long, item long")
+    out = {
+        r["item"]: (r["neighbor"], r["cosine_sim"])
+        for r in item_similarity_topk(df, "basket", "item", k=1).collect()
+    }
+    # item 1's best neighbor is 2 (cos=1.0), not the bestseller
+    assert out[1] == (2, 1.0) and out[2] == (1, 1.0)
+    import math
+    expected = round(3 / math.sqrt(3 * 10), 6)
+    assert out[99][1] == expected
