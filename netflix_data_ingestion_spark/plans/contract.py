@@ -666,4 +666,5 @@ _VERIFY_ROUND5: list[str] = [
     "nation_revenue_share",
     "lineitem_table_digest",
     "part_item_neighbors",
+    "events_ab_report",
 ]

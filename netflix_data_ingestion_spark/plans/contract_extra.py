@@ -297,6 +297,44 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_ab_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/abtest.ab_report: salted-md5 50/50 user assignment +
+    per-arm exact-moment metric report (mean/sample variance of event
+    value in cents, one pass, one final double division)."""
+    from netflix_data_ingestion_spark.operators.abtest import ab_report
+
+    events = _t(spark, sf_dir, "events")
+    return ab_report(events, "user_id", "value", salt="exp1", scale=100).orderBy(
+        "arm"
+    )
+
+
+ORACLE_AB_REPORT = """
+WITH base AS (
+  SELECT user_id,
+         CASE WHEN (strpos('0123456789abcdef',
+                           substr(md5('exp1|' || user_id::VARCHAR), 1, 1))
+                    - 1) % 2 = 0
+              THEN 'A' ELSE 'B' END AS arm,
+         round(value * 100)::BIGINT AS v
+  FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL
+),
+g AS (
+  SELECT arm, COUNT(DISTINCT user_id)::BIGINT AS n_units,
+         COUNT(*)::HUGEINT AS n, SUM(v::HUGEINT) AS s,
+         SUM(v::HUGEINT * v) AS q
+  FROM base GROUP BY 1
+)
+SELECT arm, n_units, n::BIGINT AS n_events,
+       ROUND(s::DOUBLE / n::DOUBLE, 6) AS mean_value,
+       CASE WHEN n > 1
+            THEN ROUND((n * q - s * s)::DOUBLE / (n * (n - 1))::DOUBLE, 6)
+       END AS var_value
+FROM g ORDER BY arm
+"""
+
+
 def q_lineitem_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/digest.table_digest: order/partition-invariant content
     digest of lineitem over canonicalized columns (keys as ints, money
@@ -2034,6 +2072,7 @@ REGISTRY_EXTRA = {
     "orders_priority_encoding": (q_orders_priority_encoding, ORACLE_PRIORITY_ENCODING),
     "nation_revenue_share": (q_nation_revenue_share, ORACLE_NATION_SHARE),
     "lineitem_table_digest": (q_lineitem_table_digest, ORACLE_TABLE_DIGEST),
+    "events_ab_report": (q_events_ab_report, ORACLE_AB_REPORT),
     "customer_supplier_communities": (
         q_customer_supplier_communities,
         ORACLE_LPA,
