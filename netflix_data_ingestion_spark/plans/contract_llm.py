@@ -3236,11 +3236,14 @@ ORDER BY event_id
 def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-row (n_true, n_found, recall) — the production dedup path's
     MEASURED recall against the exhaustive all-pairs ground truth on a
-    200-doc audit slice: the docstring recall claim
+    1000-doc audit slice: the docstring recall claim
     (1-(1-J^r)^b banding) as a driver-verified artifact instead of
     prose.  n_found counts the intersection (defensively — the scale
-    path's exact-verify makes it a subset of truth by construction)."""
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    path's exact-verify makes it a subset of truth by construction).
+    The slice holds true pairs at every shipped SF (verified at
+    sf0.001/0.01/0.1); a pair-free slice would make recall 0/0, so the
+    division is additionally guarded to NULL."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
     audit = dedup.ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.8
     ).select("id_a", "id_b")
@@ -3255,8 +3258,9 @@ def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_true.crossJoin(n_found).select(
         "n_true",
         "n_found",
-        F.round(
-            F.col("n_found").cast("double") / F.col("n_true"), 6
+        F.when(
+            F.col("n_true") > 0,
+            F.round(F.col("n_found").cast("double") / F.col("n_true"), 6),
         ).alias("recall"),
     )
 
@@ -3266,7 +3270,7 @@ WITH toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                      t -> t <> '') AS tk
-  FROM documents WHERE doc_id < 200
+  FROM documents WHERE doc_id < 1000
 ),
 sh AS (
   SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
@@ -3317,7 +3321,8 @@ m AS (
            AS n_found
 )
 SELECT n_true, n_found,
-       ROUND(n_found::DOUBLE / n_true, 6) AS recall
+       CASE WHEN n_true > 0
+            THEN ROUND(n_found::DOUBLE / n_true, 6) END AS recall
 FROM m
 """
 
