@@ -100,11 +100,21 @@ def drift_report(
             .alias("lo_units"),
             "ref_n",
             "cur_n",
-            F.expr("(ref_n * 1000000) div __rt").alias("ref_ppm"),
-            F.expr("(cur_n * 1000000) div __ct").alias("cur_ppm"),
+            # div guarded: an EMPTY side (total 0) yields NULL shares, not
+            # an ANSI divide-by-zero crash (the dedup_lsh_recall lesson)
+            F.expr(
+                "CASE WHEN __rt > 0 THEN (ref_n * 1000000) div __rt END"
+            ).alias("ref_ppm"),
+            F.expr(
+                "CASE WHEN __ct > 0 THEN (cur_n * 1000000) div __ct END"
+            ).alias("cur_ppm"),
             F.abs(
-                F.expr("(ref_n * 1000000) div __rt")
-                - F.expr("(cur_n * 1000000) div __ct")
+                F.expr(
+                    "CASE WHEN __rt > 0 THEN (ref_n * 1000000) div __rt END"
+                )
+                - F.expr(
+                    "CASE WHEN __ct > 0 THEN (cur_n * 1000000) div __ct END"
+                )
             ).alias("delta_ppm"),
         )
     )

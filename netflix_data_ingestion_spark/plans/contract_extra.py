@@ -1255,9 +1255,10 @@ t AS (SELECT SUM(ref_n) AS rt, SUM(cur_n) AS ct FROM b)
 SELECT bin,
        CASE WHEN bin > 1 THEN cs[bin - 1] END AS lo_units,
        ref_n, cur_n,
-       (ref_n * 1000000) // rt AS ref_ppm,
-       (cur_n * 1000000) // ct AS cur_ppm,
-       abs((ref_n * 1000000) // rt - (cur_n * 1000000) // ct) AS delta_ppm
+       CASE WHEN rt > 0 THEN (ref_n * 1000000) // rt END AS ref_ppm,
+       CASE WHEN ct > 0 THEN (cur_n * 1000000) // ct END AS cur_ppm,
+       abs(CASE WHEN rt > 0 THEN (ref_n * 1000000) // rt END
+           - CASE WHEN ct > 0 THEN (cur_n * 1000000) // ct END) AS delta_ppm
 FROM b, t, cuts
 ORDER BY bin
 """

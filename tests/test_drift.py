@@ -39,3 +39,13 @@ def test_drift_unseen_values_land_in_edge_bins(spark):
     cur = spark.createDataFrame([(-50.0,), (1000.0,)], "x double")
     out = {r["bin"]: r for r in drift_report(ref, cur, "x", bins=4, scale=1).collect()}
     assert out[1]["cur_n"] == 1 and out[4]["cur_n"] == 1
+
+
+def test_drift_empty_current_side_yields_null_shares(spark):
+    ref = spark.createDataFrame(
+        [(float(v),) for v in range(1, 101)], "x double"
+    )
+    cur = ref.filter("x < 0")  # empty
+    out = drift_report(ref, cur, "x", bins=4, scale=1).collect()
+    assert len(out) == 4
+    assert all(r["cur_n"] == 0 and r["cur_ppm"] is None for r in out)
