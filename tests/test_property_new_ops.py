@@ -315,3 +315,49 @@ def test_winsorize_bounds_and_interior_identity(spark, vals):
             assert w == lo              # clipped to a real data point
         else:
             assert w == hi
+
+
+# --- prefix-filter Jaccard join: lossless vs the all-pairs definition ----
+#
+# Random corpora drawn from a SMALL vocabulary so near-duplicates and
+# threshold-boundary pairs actually occur; equality against the
+# quadratic all-pairs join for ANY corpus is the losslessness claim of
+# the PPJoin prefix bound (docstring, operators/dedup.py).
+
+docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["red", "blue", "green", "ox", "ant", "elm"]),
+        min_size=0,
+        max_size=12,
+    ),
+    min_size=2,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=docs_strategy)
+def test_prefix_jaccard_lossless_on_random_corpora(spark, docs):
+    from netflix_data_ingestion_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    ap = sorted(
+        (r["id_a"], r["id_b"], r["intersection"])
+        for r in dedup.ngram_jaccard_pairs(
+            df, "doc_id", "text", n=2, threshold=0.6
+        ).collect()
+    )
+    pf = sorted(
+        (r["id_a"], r["id_b"], r["intersection"])
+        for r in dedup.prefix_jaccard_pairs(
+            df, "doc_id", "text", n=2, t_num=3, t_den=5
+        ).collect()
+    )
+    assert ap == pf
