@@ -927,6 +927,9 @@ def prefix_jaccard_pairs(
         raise ValueError("threshold t_num/t_den must be in (0, 1)")
     sh = shingle_table(df, id_col, text_col, n)
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+    # ordered feeds BOTH the prefix explode and the verify arrays — pin
+    # it so the tokenize + df-count + rank-join pipeline runs once (the
+    # triangle_counts eager-localCheckpoint discipline)
     ordered = (
         sh.join(dfreq, "shingle")
         .groupBy(id_col)
@@ -939,6 +942,7 @@ def prefix_jaccard_pairs(
             F.col(id_col),
             F.col("__ord.shingle").alias("__sorted"),
         )
+        .localCheckpoint(eager=True)
     )
     sz = F.size("__sorted").cast("long")
     # ceil(tau * s) in exact integer arithmetic
