@@ -109,7 +109,12 @@ def item_similarity_topk(
     and the per-item rank is one window over the pruned pairs — at
     catalog scale, cost follows interesting pairs, not items².
     """
-    pairs = cooccurrence_pairs(df, basket_col, item_col, min_support)
+    # both union branches reference the pair frame — pin it so the
+    # basket self-join + marginal joins run once (triangle_counts
+    # eager-localCheckpoint discipline)
+    pairs = cooccurrence_pairs(
+        df, basket_col, item_col, min_support
+    ).localCheckpoint(eager=True)
     sym = pairs.select(
         F.col("item_a").alias("item"),
         F.col("item_b").alias("neighbor"),
