@@ -667,4 +667,5 @@ _VERIFY_ROUND5: list[str] = [
     "lineitem_table_digest",
     "part_item_neighbors",
     "events_ab_report",
+    "order_price_auc",
 ]

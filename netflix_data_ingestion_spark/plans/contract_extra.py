@@ -297,6 +297,47 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_order_price_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/metrics.auc_roc: exact tie-aware AUC of order total
+    (cents) ranking the 'is the order fulfilled (F)' label — the
+    Mann-Whitney pair count over per-distinct-score integer
+    aggregates, one final division."""
+    from netflix_data_ingestion_spark.operators.metrics import auc_roc
+
+    orders = _t(spark, sf_dir, "orders").select(
+        (F.col("o_orderstatus") == "F").alias("label"), "o_totalprice"
+    )
+    return auc_roc(orders, "label", "o_totalprice", scale=100)
+
+
+ORACLE_PRICE_AUC = """
+WITH base AS (
+  SELECT (o_orderstatus = 'F') AS y,
+         round(o_totalprice * 100)::BIGINT AS s
+  FROM orders
+  WHERE o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL
+),
+per_score AS (
+  SELECT s, COUNT(CASE WHEN y THEN 1 END)::BIGINT AS np,
+         COUNT(CASE WHEN NOT y THEN 1 END)::BIGINT AS nn
+  FROM base GROUP BY s
+),
+contrib AS (
+  SELECT np, nn,
+         np::HUGEINT * (2 * coalesce(SUM(nn) OVER
+             (ORDER BY s ASC ROWS BETWEEN UNBOUNDED PRECEDING
+              AND 1 PRECEDING), 0) + nn)::HUGEINT AS u2
+  FROM per_score
+)
+SELECT SUM(np)::BIGINT AS n_pos, SUM(nn)::BIGINT AS n_neg,
+       CASE WHEN SUM(np) > 0 AND SUM(nn) > 0
+            THEN ROUND(SUM(u2)::DOUBLE /
+                       (2 * SUM(np)::HUGEINT * SUM(nn)::HUGEINT)::DOUBLE, 6)
+       END AS auc
+FROM contrib
+"""
+
+
 def q_events_ab_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/abtest.ab_report: salted-md5 50/50 user assignment +
     per-arm exact-moment metric report (mean/sample variance of event
@@ -2074,6 +2115,7 @@ REGISTRY_EXTRA = {
     "nation_revenue_share": (q_nation_revenue_share, ORACLE_NATION_SHARE),
     "lineitem_table_digest": (q_lineitem_table_digest, ORACLE_TABLE_DIGEST),
     "events_ab_report": (q_events_ab_report, ORACLE_AB_REPORT),
+    "order_price_auc": (q_order_price_auc, ORACLE_PRICE_AUC),
     "customer_supplier_communities": (
         q_customer_supplier_communities,
         ORACLE_LPA,
