@@ -115,6 +115,8 @@ SANCTIONED: dict[str, str] = {
     "table_counts": "8 x 1-row count aggregates unioned",
     "user_forget_audit": "4 x 1-row audit aggregates unioned (table_counts shape)",
     "orders_price_drift": "1-row cut/total frames broadcast-crossJoined 3x (bm25 shape); global ref-quantile window, doc'd",
+    "order_price_auc": "ordered window over the DISTINCT-score frame (value domain, model-sized), doc'd",
+    "lineitem_table_digest": "final 1-row combine of the digest aggregate (global agg shape)",
     "weekly_active_users": "date-spine min/max 1-row frame",
 }
 
