@@ -828,37 +828,55 @@ def simhash_near_dup_pairs(
     fans out per 16-bit-block collision group, and the verify touches
     candidates only.
     """
+    sh = simhash(df, id_col, text_col).localCheckpoint(eager=True)
+    return hamming_pairs_64(sh, id_col, "simhash64", max_hamming)
+
+
+def hamming_pairs_64(
+    fps: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, hamming) — pairs of 64-bit hex fingerprints within
+    ``max_hamming`` bits, via the 4-block pigeonhole join (see
+    ``simhash_near_dup_pairs``, which this generalizes).  Works for ANY
+    64-bit fingerprint family — SimHash over text, perceptual hashes
+    over images — because the block-permutation recall guarantee is a
+    property of the JOIN, not of how the bits were made.  Input rows:
+    one (id, 16-hex-char hash) per item; the frame should already be
+    pinned if its derivation is expensive.
+    """
     if max_hamming > 3:
         raise ValueError(
             "4-block pigeonhole guarantees recall only for max_hamming <= 3"
         )
-    sh = simhash(df, id_col, text_col).localCheckpoint(eager=True)
-    blocks = sh.select(
+    blocks = fps.select(
         F.col(id_col),
-        F.col("simhash64"),
+        F.col(hash_col).alias("__h64"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("bidx"),
-                        F.substring("simhash64", b * 4 + 1, 4).alias("bval"),
+                        F.substring(hash_col, b * 4 + 1, 4).alias("bval"),
                     )
                     for b in range(4)
                 ]
             )
         ).alias("bl"),
     ).select(
-        id_col, "simhash64", F.col("bl.bidx").alias("bidx"), F.col("bl.bval").alias("bval")
+        id_col, "__h64", F.col("bl.bidx").alias("bidx"), F.col("bl.bval").alias("bval")
     )
     a = blocks.select(
         F.col(id_col).alias("id_a"),
-        F.col("simhash64").alias("sh_a"),
+        F.col("__h64").alias("sh_a"),
         "bidx",
         "bval",
     )
     b = blocks.select(
         F.col(id_col).alias("id_b"),
-        F.col("simhash64").alias("sh_b"),
+        F.col("__h64").alias("sh_b"),
         "bidx",
         "bval",
     )

@@ -220,3 +220,44 @@ def resize_stub(
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+def phash_stub(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(id, phash64) — 64-bit hex fingerprint per payload: the slot a
+    REAL perceptual hash (DCT pHash / aHash over the decoded image)
+    plugs into.  In this environment the decode is stubbed (no media
+    libs — same honesty as ``decode_stub_features``), so the stand-in
+    is md5-derived: exact-duplicate payloads collide at Hamming 0 and
+    every downstream JOIN mechanic is exercised for real; a true pHash
+    additionally places near-identical IMAGES within small Hamming
+    distance, changing only this one projection.
+    """
+    return media.select(
+        F.col(id_col),
+        F.substring(F.md5(F.col(payload_col)), 1, 16).alias("phash64"),
+    )
+
+
+def phash_near_dup_pairs(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, hamming) — media pairs whose perceptual fingerprints
+    differ in <= ``max_hamming`` bits: the IMAGE near-dup path of the
+    dedup ladder, sharing the 4-block pigeonhole join with SimHash
+    (``dedup.hamming_pairs_64`` — the recall guarantee belongs to the
+    join, not the fingerprint family).  Payload bytes never shuffle:
+    only (id, 16-hex) fingerprints enter the join.
+    """
+    from netflix_data_ingestion_spark.operators.dedup import (
+        hamming_pairs_64,
+    )
+
+    fps = phash_stub(media, id_col, payload_col).localCheckpoint(eager=True)
+    return hamming_pairs_64(fps, id_col, "phash64", max_hamming)

@@ -668,4 +668,5 @@ _VERIFY_ROUND5: list[str] = [
     "part_item_neighbors",
     "events_ab_report",
     "order_price_auc",
+    "multimodal_phash_pairs",
 ]

@@ -3393,6 +3393,65 @@ ORDER BY id_a, id_b
 """
 
 
+def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/multimodal.phash_near_dup_pairs: image near-dup via
+    64-bit perceptual fingerprints + the 4-block pigeonhole Hamming
+    join (shared with SimHash); the fingerprint is the documented
+    md5 stub, so exact-payload dups pair at Hamming 0 and the join
+    path is oracle-proven end to end."""
+    from netflix_data_ingestion_spark.operators.multimodal import (
+        phash_near_dup_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    # re-upload scenario: every 10th document appears again under a new
+    # media id — the exact-payload dups the fingerprint must pair
+    reuploads = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    media = attach_binary_payload(
+        docs.unionAll(reuploads), "doc_id", "text", "image"
+    )
+    return phash_near_dup_pairs(
+        media, "media_id", "payload", max_hamming=3
+    ).orderBy("id_a", "id_b")
+
+
+ORACLE_PHASH_PAIRS = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+),
+fp AS (
+  SELECT doc_id AS media_id, substr(md5(text), 1, 16) AS phash64
+  FROM corpus
+),
+blocks AS (
+  SELECT media_id, phash64, b.bidx,
+         substr(phash64, b.bidx * 4 + 1, 4) AS bval
+  FROM fp, unnest(range(0, 4)) AS b(bidx)
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS id_a, a.phash64 AS sh_a,
+                  b.media_id AS id_b, b.phash64 AS sh_b
+  FROM blocks a JOIN blocks b
+    ON a.bidx = b.bidx AND a.bval = b.bval AND a.media_id < b.media_id
+),
+verified AS (
+  SELECT id_a, id_b,
+         (SELECT SUM(bit_count(
+            xor(strpos('0123456789abcdef', substr(sh_a, j, 1)) - 1,
+                strpos('0123456789abcdef', substr(sh_b, j, 1)) - 1)))
+          FROM unnest(range(1, 17)) AS r(j))::INT AS hamming
+  FROM cand
+)
+SELECT id_a, id_b, hamming FROM verified
+WHERE hamming <= 3
+ORDER BY id_a, id_b
+"""
+
+
 def q_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/similarity.lsh_multiprobe_topk: each query probes its
     bucket plus all 8 Hamming-1 neighbors — near-miss recovery at
@@ -3756,4 +3815,5 @@ REGISTRY_LLM = {
     "events_sliding_window": (q_events_sliding_window, ORACLE_SLIDING),
     "multimodal_meta": (q_multimodal_meta, ORACLE_MULTIMODAL),
     "multimodal_frame_sample": (q_multimodal_frame_sample, ORACLE_FRAME_SAMPLE),
+    "multimodal_phash_pairs": (q_multimodal_phash_pairs, ORACLE_PHASH_PAIRS),
 }

@@ -99,3 +99,45 @@ def test_stubs_refuse_real_decode(spark):
         frame_sample_stub(media, real_decode=True)
     with _pytest.raises(NotImplementedError):
         resize_stub(media, real_decode=True)
+
+
+def test_phash_pairs_exact_payload_dups_at_hamming_zero(spark):
+    from netflix_data_ingestion_spark.operators.multimodal import (
+        attach_binary_payload,
+        phash_near_dup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "same bytes"), (2, "same bytes"), (3, "different bytes"),
+         (4, "same bytes")],
+        "doc_id long, text string",
+    )
+    media = attach_binary_payload(docs, "doc_id", "text", "image")
+    out = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_near_dup_pairs(media).collect()
+    }
+    assert out == {(1, 2): 0, (1, 4): 0, (2, 4): 0}
+
+
+def test_phash_hamming_one_fingerprint_pairs(spark):
+    """The JOIN itself (not the stub) must pair fingerprints within the
+    Hamming budget: feed hand-built 64-bit hashes through the shared
+    block join."""
+    from netflix_data_ingestion_spark.operators.dedup import (
+        hamming_pairs_64,
+    )
+
+    fps = spark.createDataFrame(
+        [(1, "0000000000000000"), (2, "0000000000000001"),  # 1 bit apart
+         (3, "000000000000000f"),                            # 4 bits from 1
+         (4, "ffffffffffffffff")],
+        "media_id long, phash64 string",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_pairs_64(fps, "media_id", "phash64", 3).collect()
+    }
+    assert out[(1, 2)] == 1 and out[(2, 3)] == 3
+    assert (1, 3) not in out  # hamming 4 > budget
+    assert all(4 not in p for p in out)
