@@ -465,3 +465,56 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels.select("node", F.col("lbl").alias("community"))
+
+
+def bfs_hops(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    sources: DataFrame | None = None,
+    source_col: str = "node",
+    rounds: int = 4,
+) -> DataFrame:
+    """(node, hops) — exact minimum hop distance from the source set
+    for every node within ``rounds`` hops (undirected); farther nodes
+    are ABSENT, which is the fixed-round contract (kcore's discipline:
+    determinism first, convergence asserted by tests).  The
+    neighborhood-expansion primitive under "friends of friends",
+    blast-radius, and supply-chain-exposure questions.
+
+    Per round: two node-keyed joins of the edge list against the
+    CURRENT frontier frame plus one min-combine, eager-checkpointed.
+    State is one row per REACHED node — cost grows with the
+    neighborhood, not the graph.
+    """
+    e = (
+        pairs.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = sources.select(
+        F.col(source_col).alias("node"), F.lit(0).cast("int").alias("hops")
+    ).distinct()
+    for _ in range(rounds):
+        du = dist.select(F.col("node").alias("u"), "hops")
+        dv = dist.select(F.col("node").alias("v"), "hops")
+        step = (
+            e.join(du, "u")
+            .select(F.col("v").alias("node"), (F.col("hops") + 1).alias("hops"))
+            .unionAll(
+                e.join(dv, "v").select(
+                    F.col("u").alias("node"), (F.col("hops") + 1).alias("hops")
+                )
+            )
+        )
+        dist = (
+            dist.unionAll(step)
+            .groupBy("node")
+            .agg(F.min("hops").cast("int").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

@@ -669,4 +669,5 @@ _VERIFY_ROUND5: list[str] = [
     "events_ab_report",
     "order_price_auc",
     "multimodal_phash_pairs",
+    "customer_supplier_hops",
 ]

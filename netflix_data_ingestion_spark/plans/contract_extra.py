@@ -1428,6 +1428,58 @@ def q_customer_supplier_communities(spark: SparkSession, sf_dir: str) -> DataFra
     return label_propagation(edges, "src", "dst", rounds=3).orderBy("node")
 
 
+def q_customer_supplier_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/graph.bfs_hops: exact hop distances from customer c1
+    over the bipartite order graph, 4 fixed rounds (even hops =
+    customers, odd = suppliers); nodes farther than 4 hops absent —
+    the supply-chain blast-radius primitive."""
+    from netflix_data_ingestion_spark.operators.graph import bfs_hops
+
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    edges = orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey
+    ).select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    sources = orders.sparkSession.createDataFrame(
+        [("c1",)], "node string"
+    )
+    return bfs_hops(edges, "src", "dst", sources=sources, rounds=4).orderBy(
+        "node"
+    )
+
+
+def _bfs_oracle(rounds: int = 4) -> str:
+    parts = [
+        """
+WITH e AS (
+  SELECT DISTINCT 'c' || o.o_custkey AS s, 's' || l.l_suppkey AS d
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+d0 AS (SELECT 'c1' AS node, 0 AS hops)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+d{i} AS (
+  SELECT node, MIN(hops)::INT AS hops FROM (
+    SELECT node, hops FROM d{i - 1}
+    UNION ALL
+    SELECT e.d AS node, p.hops + 1 FROM e JOIN d{i - 1} p ON p.node = e.s
+    UNION ALL
+    SELECT e.s AS node, p.hops + 1 FROM e JOIN d{i - 1} p ON p.node = e.d
+  ) GROUP BY node
+)"""
+        )
+    parts.append(f"\nSELECT node, hops FROM d{rounds} ORDER BY node")
+    return "".join(parts)
+
+
+ORACLE_BFS_HOPS = _bfs_oracle()
+
+
 def _lpa_oracle(rounds: int = 3) -> str:
     parts = [
         """
@@ -2120,6 +2172,7 @@ REGISTRY_EXTRA = {
         q_customer_supplier_communities,
         ORACLE_LPA,
     ),
+    "customer_supplier_hops": (q_customer_supplier_hops, ORACLE_BFS_HOPS),
     "customer_supplier_pagerank": (
         q_customer_supplier_pagerank,
         ORACLE_PAGERANK,

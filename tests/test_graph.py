@@ -198,3 +198,40 @@ def test_lpa_partition_invariant_and_converged(spark):
         for r in label_propagation(pairs, rounds=5).collect()
     )
     assert base == shuffled == extra
+
+
+def test_bfs_hops_exact_distances_and_bound(spark):
+    """Path 1-2-3-4-5-6 from source 1: hops exact; node 6 (5 hops)
+    absent at rounds=4; converged graph unchanged by an extra round."""
+    from netflix_data_ingestion_spark.operators.graph import bfs_hops
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11)],
+        "id_a long, id_b long",
+    )
+    src = spark.createDataFrame([(1,)], "node long")
+    out = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(pairs, sources=src, rounds=4).collect()
+    }
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+    # disconnected island never appears; extra round reaches node 6
+    out5 = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(pairs, sources=src, rounds=5).collect()
+    }
+    assert out5[6] == 5 and 10 not in out5 and 11 not in out5
+
+
+def test_bfs_multi_source_takes_min(spark):
+    from netflix_data_ingestion_spark.operators.graph import bfs_hops
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "id_a long, id_b long"
+    )
+    src = spark.createDataFrame([(1,), (4,)], "node long")
+    out = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(pairs, sources=src, rounds=3).collect()
+    }
+    assert out == {1: 0, 4: 0, 2: 1, 3: 1}
