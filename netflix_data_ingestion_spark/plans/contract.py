@@ -670,4 +670,5 @@ _VERIFY_ROUND5: list[str] = [
     "order_price_auc",
     "multimodal_phash_pairs",
     "customer_supplier_hops",
+    "order_lifecycle",
 ]

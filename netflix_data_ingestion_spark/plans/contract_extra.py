@@ -1428,6 +1428,68 @@ def q_customer_supplier_communities(spark: SparkSession, sf_dir: str) -> DataFra
     return label_propagation(edges, "src", "dst", rounds=3).orderBy("node")
 
 
+def q_order_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accumulating-snapshot fact (Kimball): one row per order carrying
+    its milestone timeline — order date, first/last ship, lines shipped
+    vs total — with integer day lags; the milestone-tracking table
+    UPDATE-heavy warehouses model exactly this way, built here as one
+    grouped pass + broadcast-joined order header.  Orders with no lines
+    yet are excluded (inner join) — the snapshot row is born with its
+    first milestone; the orphan audit is `orphan_lineitems`' job."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    per_order = lineitem.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+        F.count("*").cast("long").alias("n_lines"),
+        F.count(F.when(F.col("l_linestatus") == "F", 1))
+        .cast("long")
+        .alias("n_lines_shipped"),
+    )
+    return (
+        orders.select("o_orderkey", "o_orderdate", "o_orderstatus")
+        .join(per_order, "o_orderkey")
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            "o_orderstatus",
+            "first_ship",
+            "last_ship",
+            "n_lines",
+            "n_lines_shipped",
+            F.datediff("first_ship", "o_orderdate")
+            .cast("int")
+            .alias("days_to_first_ship"),
+            F.datediff("last_ship", "first_ship")
+            .cast("int")
+            .alias("ship_window_days"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+ORACLE_ORDER_LIFECYCLE = """
+WITH per_order AS (
+  SELECT l_orderkey AS o_orderkey,
+         MIN(l_shipdate) AS first_ship,
+         MAX(l_shipdate) AS last_ship,
+         COUNT(*)::BIGINT AS n_lines,
+         COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END)::BIGINT
+           AS n_lines_shipped
+  FROM lineitem GROUP BY 1
+)
+SELECT o.o_orderkey, o.o_orderdate, o.o_orderstatus,
+       p.first_ship, p.last_ship,
+       p.n_lines, p.n_lines_shipped,
+       date_diff('day', o.o_orderdate, p.first_ship)::INT
+         AS days_to_first_ship,
+       date_diff('day', p.first_ship, p.last_ship)::INT
+         AS ship_window_days
+FROM orders o JOIN per_order p USING (o_orderkey)
+ORDER BY o_orderkey
+"""
+
+
 def q_customer_supplier_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/graph.bfs_hops: exact hop distances from customer c1
     over the bipartite order graph, 4 fixed rounds (even hops =
@@ -2173,6 +2235,7 @@ REGISTRY_EXTRA = {
         ORACLE_LPA,
     ),
     "customer_supplier_hops": (q_customer_supplier_hops, ORACLE_BFS_HOPS),
+    "order_lifecycle": (q_order_lifecycle, ORACLE_ORDER_LIFECYCLE),
     "customer_supplier_pagerank": (
         q_customer_supplier_pagerank,
         ORACLE_PAGERANK,

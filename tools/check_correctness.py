@@ -102,6 +102,8 @@ def main() -> int:
             for k, v in r.items():
                 if isinstance(v, float) and math.isnan(v):
                     r[k] = None
+                elif v is not None and v != v:  # pandas NaT (NULL timestamp)
+                    r[k] = None
                 elif hasattr(v, "to_pydatetime"):
                     r[k] = v.to_pydatetime()
                 elif hasattr(v, "item"):
