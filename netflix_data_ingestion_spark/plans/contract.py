@@ -671,4 +671,5 @@ _VERIFY_ROUND5: list[str] = [
     "multimodal_phash_pairs",
     "customer_supplier_hops",
     "order_lifecycle",
+    "cohort_ltv",
 ]

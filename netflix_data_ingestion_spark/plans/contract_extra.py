@@ -1428,6 +1428,93 @@ def q_customer_supplier_communities(spark: SparkSession, sf_dir: str) -> DataFra
     return label_propagation(edges, "src", "dst", rounds=3).orderBy("node")
 
 
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers grouped by first-order
+    month; per (cohort, age-in-months) — active customers, revenue,
+    cumulative revenue, and cumulative revenue per cohort member
+    (integer cents until one final division).  The growth-analytics
+    twin of `user_retention_cohorts` (which counts heads; this follows
+    the money)."""
+    from pyspark.sql import Window as W
+
+    orders = _t(spark, sf_dir, "orders")
+    om = orders.select(
+        "o_custkey",
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    first = om.groupBy("o_custkey").agg(F.min("month").alias("cohort_month"))
+    sizes = first.groupBy("cohort_month").agg(
+        F.count("*").cast("long").alias("cohort_size")
+    )
+    age = (
+        (F.year("month") - F.year("cohort_month")) * 12
+        + (F.month("month") - F.month("cohort_month"))
+    ).cast("int")
+    per_age = (
+        om.join(first, "o_custkey")
+        .groupBy("cohort_month", age.alias("age_months"))
+        .agg(
+            F.count_distinct("o_custkey").cast("long").alias("active_customers"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
+    wc = W.partitionBy("cohort_month").orderBy("age_months").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return (
+        per_age.withColumn(
+            "cum_revenue_cents", F.sum("revenue_cents").over(wc)
+        )
+        .join(F.broadcast(sizes), "cohort_month")
+        .select(
+            "cohort_month",
+            "age_months",
+            "active_customers",
+            "revenue_cents",
+            "cum_revenue_cents",
+            F.round(
+                F.col("cum_revenue_cents") / F.col("cohort_size"), 6
+            ).alias("cum_revenue_per_customer"),
+        )
+        .orderBy("cohort_month", "age_months")
+    )
+
+
+ORACLE_COHORT_LTV = """
+WITH om AS (
+  SELECT o_custkey, date_trunc('month', o_orderdate) AS month,
+         round(o_totalprice * 100)::BIGINT AS cents
+  FROM orders
+),
+first AS (SELECT o_custkey, MIN(month) AS cohort_month FROM om GROUP BY 1),
+sizes AS (SELECT cohort_month, COUNT(*)::BIGINT AS cohort_size
+          FROM first GROUP BY 1),
+per_age AS (
+  SELECT f.cohort_month,
+         ((year(o.month) - year(f.cohort_month)) * 12
+          + (month(o.month) - month(f.cohort_month)))::INT AS age_months,
+         COUNT(DISTINCT o.o_custkey)::BIGINT AS active_customers,
+         SUM(o.cents)::BIGINT AS revenue_cents
+  FROM om o JOIN first f USING (o_custkey)
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT *, SUM(revenue_cents) OVER (PARTITION BY cohort_month
+             ORDER BY age_months
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+           AS cum_revenue_cents
+  FROM per_age
+)
+SELECT c.cohort_month, c.age_months, c.active_customers, c.revenue_cents,
+       c.cum_revenue_cents,
+       ROUND(c.cum_revenue_cents / s.cohort_size, 6)
+         AS cum_revenue_per_customer
+FROM cum c JOIN sizes s USING (cohort_month)
+ORDER BY cohort_month, age_months
+"""
+
+
 def q_order_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Accumulating-snapshot fact (Kimball): one row per order carrying
     its milestone timeline — order date, first/last ship, lines shipped
@@ -2236,6 +2323,7 @@ REGISTRY_EXTRA = {
     ),
     "customer_supplier_hops": (q_customer_supplier_hops, ORACLE_BFS_HOPS),
     "order_lifecycle": (q_order_lifecycle, ORACLE_ORDER_LIFECYCLE),
+    "cohort_ltv": (q_cohort_ltv, ORACLE_COHORT_LTV),
     "customer_supplier_pagerank": (
         q_customer_supplier_pagerank,
         ORACLE_PAGERANK,
