@@ -29,7 +29,14 @@ BENCH_QUERIES: list[str] | None = None  # None = all registered queries
 # sf0.01, but their wall-clock is reported separately so the headline
 # `value` measures the scale paths (dedup_near_dup_scale,
 # dedup_cosine_scale) rather than the audit forms.
-AUDIT_TWINS = {"dedup_ngram_jaccard", "dedup_embedding_cosine"}
+AUDIT_TWINS = {
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    # measures the production path's recall BY RUNNING the all-pairs
+    # audit on a 1000-doc slice — its cost is the audit's, not a
+    # production path's
+    "dedup_lsh_recall",
+}
 
 
 def main() -> None:
