@@ -59,3 +59,60 @@ def target_encode_loo(
             (F.col("__sum") - F.col("__y")) / (F.col("__n") - 1),
         ).alias(out_col),
     )
+
+
+def standardize_by_train(
+    df: DataFrame,
+    split_col: str,
+    value_col: str,
+    train_value: str = "train",
+    scale: int = 100,
+    out_col: str = "value_scaled",
+) -> DataFrame:
+    """Input columns + ``<out_col>`` — z-score standardization where
+    mean and standard deviation are fit on the TRAIN split only and
+    applied to every row: the leakage-safe scaler (fitting on the full
+    frame leaks test-set statistics into the features — the classic
+    preprocessing bug this operator makes structurally impossible).
+
+    Exactness: train moments are integer/DECIMAL(38,0) aggregates;
+    sample std is ONE correctly-rounded sqrt of one division, the
+    z-score one subtraction and one division, rounded to 6 — both
+    engines replay it bit-for-bit.  NULL values, and any frame whose
+    train split has < 2 rows or zero variance, scale to NULL.
+
+    Plan: one combinable 1-row aggregate over the train slice,
+    broadcast-crossJoined back (the tfidf __n_docs shape) — the fact
+    scans once and never shuffles.
+    """
+    dec = "decimal(38,0)"
+    v = F.round(F.col(value_col) * scale).cast("long")
+    base = df.withColumn("__v", v)
+    stats = (
+        base.where(
+            (F.col(split_col) == train_value) & F.col("__v").isNotNull()
+        )
+        .agg(
+            F.count("*").cast(dec).alias("__n"),
+            F.sum(F.col("__v").cast("decimal(18,0)")).cast(dec).alias("__s"),
+            F.sum(
+                F.col("__v").cast("decimal(18,0)")
+                * F.col("__v").cast("decimal(18,0)")
+            )
+            .cast(dec)
+            .alias("__q"),
+        )
+    )
+    n, s_, q = F.col("__n"), F.col("__s"), F.col("__q")
+    var = (n * q - s_ * s_).cast("double") / (n * (n - 1)).cast("double")
+    return base.crossJoin(F.broadcast(stats)).select(
+        *df.columns,
+        F.when(
+            F.col("__v").isNotNull() & (n > 1) & ((n * q) > (s_ * s_)),
+            F.round(
+                (F.col("__v").cast("double") - s_.cast("double") / n.cast("double"))
+                / F.sqrt(var),
+                6,
+            ),
+        ).alias(out_col),
+    )

@@ -672,4 +672,5 @@ _VERIFY_ROUND5: list[str] = [
     "customer_supplier_hops",
     "order_lifecycle",
     "cohort_ltv",
+    "orders_price_standardized",
 ]

@@ -1428,6 +1428,54 @@ def q_customer_supplier_communities(spark: SparkSession, sf_dir: str) -> DataFra
     return label_propagation(edges, "src", "dst", rounds=3).orderBy("node")
 
 
+def q_orders_price_standardized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/encode.standardize_by_train: z-scores for EVERY order
+    fit on the 80% md5-hash train split only — the leakage-safe scaler;
+    exact decimal train moments, one sqrt + one division, round 6."""
+    from netflix_data_ingestion_spark.operators.encode import (
+        standardize_by_train,
+    )
+    from netflix_data_ingestion_spark.operators.split import hash_split
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    split = hash_split(
+        orders, "o_orderkey", {"train": 0.8, "test": 0.2}, salt="v1"
+    )
+    return standardize_by_train(
+        split, "split", "o_totalprice", scale=100
+    ).orderBy("o_orderkey")
+
+
+ORACLE_PRICE_STANDARDIZED = """
+WITH f AS (
+  SELECT o_orderkey, o_totalprice,
+         ('0x' || substr(md5('v1|' || o_orderkey::VARCHAR), 1, 8))
+           ::UBIGINT::DOUBLE / 4294967296.0 AS frac,
+         round(o_totalprice * 100)::BIGINT AS v
+  FROM orders
+),
+s AS (
+  SELECT o_orderkey, o_totalprice, v,
+         CASE WHEN frac < 0.8 THEN 'train' ELSE 'test' END AS split
+  FROM f
+),
+m AS (
+  SELECT COUNT(*)::HUGEINT AS n, SUM(v::HUGEINT) AS sm,
+         SUM(v::HUGEINT * v) AS q
+  FROM s WHERE split = 'train' AND v IS NOT NULL
+)
+SELECT s.o_orderkey, s.split, s.o_totalprice,
+       CASE WHEN s.v IS NOT NULL AND m.n > 1 AND (m.n * m.q) > (m.sm * m.sm)
+            THEN ROUND(
+              (s.v::DOUBLE - m.sm::DOUBLE / m.n::DOUBLE)
+              / sqrt((m.n * m.q - m.sm * m.sm)::DOUBLE
+                     / (m.n * (m.n - 1))::DOUBLE), 6)
+       END AS value_scaled
+FROM s, m
+ORDER BY o_orderkey
+"""
+
+
 def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort lifetime-value curve: customers grouped by first-order
     month; per (cohort, age-in-months) — active customers, revenue,
@@ -2324,6 +2372,10 @@ REGISTRY_EXTRA = {
     "customer_supplier_hops": (q_customer_supplier_hops, ORACLE_BFS_HOPS),
     "order_lifecycle": (q_order_lifecycle, ORACLE_ORDER_LIFECYCLE),
     "cohort_ltv": (q_cohort_ltv, ORACLE_COHORT_LTV),
+    "orders_price_standardized": (
+        q_orders_price_standardized,
+        ORACLE_PRICE_STANDARDIZED,
+    ),
     "customer_supplier_pagerank": (
         q_customer_supplier_pagerank,
         ORACLE_PAGERANK,
