@@ -78,3 +78,35 @@ def salted_agg(
 
     partial = with_salt(df, n_salts).groupBy(*key_cols, _SALT).agg(*partial_exprs)
     return partial.groupBy(*key_cols).agg(*final_exprs)
+
+
+def salt_advisor(
+    df: DataFrame,
+    key_cols: list[str],
+    target_rows_per_task: int = 1_000_000,
+    min_factor: int = 2,
+) -> DataFrame:
+    """(keys..., n, salt_factor) — the keys that need salting before a
+    keyed shuffle, each with the factor that brings its heaviest task
+    under ``target_rows_per_task``: ``ceil(n / target)`` in exact
+    integer arithmetic.  Closes the loop from diagnosis
+    (``profile.skew_report``) to remedy (``with_salt``/``salted_agg``):
+    feed a returned factor straight into ``with_salt(df, factor)``.
+    Keys already under ``min_factor`` are omitted — salting uniform
+    keys only adds a second shuffle.
+
+    One combinable count per key, then a narrow filter — the advisor
+    costs one aggregation of the frame it protects.  (``target`` is
+    capacity policy: rows one task should own given executor memory —
+    tune per cluster; the default suits multi-GB executors with
+    ~100-byte rows.)
+    """
+    keys = list(key_cols)
+    t = F.lit(target_rows_per_task)
+    counts = df.groupBy(*keys).agg(F.count("*").cast("long").alias("n"))
+    factor = F.floor((F.col("n") + t - 1) / t).cast("int")
+    return (
+        counts.withColumn("salt_factor", factor)
+        .filter(F.col("salt_factor") >= min_factor)
+        .select(*keys, "n", "salt_factor")
+    )

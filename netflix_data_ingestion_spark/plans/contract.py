@@ -673,4 +673,5 @@ _VERIFY_ROUND5: list[str] = [
     "order_lifecycle",
     "cohort_ltv",
     "orders_price_standardized",
+    "lineitem_salt_advice",
 ]

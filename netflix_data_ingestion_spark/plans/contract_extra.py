@@ -1428,6 +1428,30 @@ def q_customer_supplier_communities(spark: SparkSession, sf_dir: str) -> DataFra
     return label_propagation(edges, "src", "dst", rounds=3).orderBy("node")
 
 
+def q_lineitem_salt_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/skew.salt_advisor: suppliers whose lineitem share would
+    overload one shuffle task at a 200-row target (test-scale policy
+    knob) with the exact ceil(n/target) salt factor to feed
+    `with_salt` — diagnosis-to-remedy closure of the skew family."""
+    from netflix_data_ingestion_spark.operators.skew import salt_advisor
+
+    li = _t(spark, sf_dir, "lineitem")
+    return salt_advisor(
+        li, ["l_suppkey"], target_rows_per_task=200, min_factor=2
+    ).orderBy("l_suppkey")
+
+
+ORACLE_SALT_ADVICE = """
+WITH c AS (
+  SELECT l_suppkey, COUNT(*)::BIGINT AS n FROM lineitem GROUP BY 1
+)
+SELECT l_suppkey, n,
+       ((n + 199) // 200)::INT AS salt_factor
+FROM c WHERE ((n + 199) // 200) >= 2
+ORDER BY l_suppkey
+"""
+
+
 def q_orders_price_standardized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/encode.standardize_by_train: z-scores for EVERY order
     fit on the 80% md5-hash train split only — the leakage-safe scaler;
@@ -2372,6 +2396,7 @@ REGISTRY_EXTRA = {
     "customer_supplier_hops": (q_customer_supplier_hops, ORACLE_BFS_HOPS),
     "order_lifecycle": (q_order_lifecycle, ORACLE_ORDER_LIFECYCLE),
     "cohort_ltv": (q_cohort_ltv, ORACLE_COHORT_LTV),
+    "lineitem_salt_advice": (q_lineitem_salt_advice, ORACLE_SALT_ADVICE),
     "orders_price_standardized": (
         q_orders_price_standardized,
         ORACLE_PRICE_STANDARDIZED,

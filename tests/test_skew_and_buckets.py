@@ -81,3 +81,19 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_left")
         spark.sql("DROP TABLE IF EXISTS t_right")
+
+
+def test_salt_advisor_factors_and_cut(spark):
+    from netflix_data_ingestion_spark.operators.skew import salt_advisor
+
+    rows = (
+        [("hot",)] * 450 + [("warm",)] * 250 + [("cold",)] * 120
+        + [("tiny",)] * 10
+    )
+    df = spark.createDataFrame(rows, "k string")
+    out = {
+        r["k"]: (r["n"], r["salt_factor"])
+        for r in salt_advisor(df, ["k"], target_rows_per_task=100).collect()
+    }
+    # ceil(450/100)=5, ceil(250/100)=3, ceil(120/100)=2; tiny omitted
+    assert out == {"hot": (450, 5), "warm": (250, 3), "cold": (120, 2)}
