@@ -674,4 +674,5 @@ _VERIFY_ROUND5: list[str] = [
     "cohort_ltv",
     "orders_price_standardized",
     "lineitem_salt_advice",
+    "kmeans_inertia",
 ]

@@ -1162,6 +1162,54 @@ ORDER BY vec_id"""
 ORACLE_KMEANS = _kmeans_oracle()
 
 
+def q_kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster within-cluster sum of squares — THE k-selection
+    metric (elbow method): composes kmeans_train's exact fixed-point
+    qdist into (cluster_id, n_members, inertia) with one grouped sum;
+    bit-exact because the distances already are."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = kmeans.kmeans_train(emb, "vec_id", "embedding", k=8, iters=2)
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.sum(F.col("qdist").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("inertia"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _kmeans_inertia_oracle(
+    k: int = 8, iters: int = 2, scale: int = 1_000_000
+) -> str:
+    parts = [_kmeans_cte_chain(k, iters, scale)]
+    fin = iters + 1
+    parts.append(
+        f""",
+d{fin} AS (
+  SELECT p.vec_id, c.cid,
+         SUM((p.q - c.qc) * (p.q - c.qc))::BIGINT AS dist
+  FROM pos p JOIN c{iters} c USING (pos) GROUP BY 1, 2
+),
+fin AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT vec_id, cid, dist,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM d{fin}) WHERE rn = 1
+)
+SELECT cid::INT AS cluster_id, COUNT(*)::BIGINT AS n_members,
+       SUM(dist::HUGEINT)::VARCHAR AS inertia
+FROM fin GROUP BY 1 ORDER BY cluster_id"""
+    )
+    return "".join(parts)
+
+
+ORACLE_KMEANS_INERTIA = _kmeans_inertia_oracle()
+
+
 def _ivf_trained_oracle(
     k: int = 10,
     nlist: int = 16,
@@ -3804,6 +3852,7 @@ REGISTRY_LLM = {
     ),
     "curate_corpus": (q_curate_corpus, ORACLE_CURATE),
     "kmeans_clusters": (q_kmeans_clusters, ORACLE_KMEANS),
+    "kmeans_inertia": (q_kmeans_inertia, ORACLE_KMEANS_INERTIA),
     "doc_repetition_ratio": (q_doc_repetition_ratio, ORACLE_REPETITION),
     "doc_quota_sample": (q_doc_quota_sample, ORACLE_QUOTA_SAMPLE),
     "doc_stratified_sample": (q_doc_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
