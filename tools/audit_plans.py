@@ -117,6 +117,7 @@ SANCTIONED: dict[str, str] = {
     "orders_price_drift": "1-row cut/total frames broadcast-crossJoined 3x (bm25 shape); global ref-quantile window, doc'd",
     "order_price_auc": "ordered window over the DISTINCT-score frame (value domain, model-sized), doc'd",
     "lineitem_table_digest": "final 1-row combine of the digest aggregate (global agg shape)",
+    "orders_price_standardized": "1-row train-moments frame broadcast-crossJoined (tfidf __n_docs shape)",
     "weekly_active_users": "date-spine min/max 1-row frame",
 }
 
