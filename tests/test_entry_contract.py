@@ -25,3 +25,20 @@ def test_all_queries_run_at_smoke_scale(spark, sf_dir):
 
 def test_oracle_keys_subset_of_queries():
     assert set(entry_mod.oracle_sql()) <= set(entry_mod.queries())
+
+
+def test_rotation_lists_reference_real_queries():
+    """Every name in the verification-rotation lists must be a registered
+    query — a typo would silently starve a query of its driver row."""
+    from netflix_data_ingestion_spark.plans.contract import (
+        REGISTRY,
+        _VERIFY_FIRST,
+        _VERIFY_ROUND5,
+    )
+
+    assert set(_VERIFY_FIRST) <= set(REGISTRY)
+    assert set(_VERIFY_ROUND5) <= set(REGISTRY)
+    assert len(set(_VERIFY_FIRST)) == len(_VERIFY_FIRST)
+    assert len(set(_VERIFY_ROUND5)) == len(_VERIFY_ROUND5)
+    # the rotated head IS the driver's sample window
+    assert list(REGISTRY)[: len(_VERIFY_FIRST)] == _VERIFY_FIRST
