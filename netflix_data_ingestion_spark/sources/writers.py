@@ -169,6 +169,41 @@ def write_balanced(
     return shards
 
 
+def write_length_sorted_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    length_col: str,
+    target_rows_per_file: int,
+    salt: str = "v1",
+) -> int:
+    """``write_balanced`` + WITHIN-shard length sort — the
+    padding-minimizing layout for sequence-model training: a loader
+    batching consecutive rows gets near-uniform lengths per batch
+    (short docs don't pad up to the one long straggler), while the
+    md5-range spread still keeps shard SIZES even and the global order
+    decorrelated from content.  ``sortWithinPartitions`` adds no
+    shuffle — the sort rides the shards the balance repartition
+    already built.  Returns the shard count.
+    """
+    import math
+
+    n = df.count()
+    shards = max(1, math.ceil(n / target_rows_per_file))
+    keyed = df.withColumn(
+        "__shard_key",
+        F.md5(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string"))),
+    )
+    (
+        keyed.repartitionByRange(shards, F.col("__shard_key"))
+        .sortWithinPartitions(F.col(length_col).asc(), F.col(id_col).asc())
+        .drop("__shard_key")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return shards
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,

@@ -166,3 +166,32 @@ def test_manifest_pruning_skips_files_and_matches_full_scan(spark, tmp_path):
     # empty range: zero files, empty frame with the right schema
     got0, sel0, _ = pruned_read(spark, path, "id", 99999, 100000)
     assert sel0 == 0 and got0.count() == 0 and got0.columns == ["id", "v"]
+
+
+def test_length_sorted_shards(spark, tmp_path):
+    """Each output file is internally length-sorted (padding-efficient
+    batching), rows survive exactly, and shards stay balanced."""
+    import glob
+
+    from netflix_data_ingestion_spark.sources.writers import (
+        write_length_sorted_shards,
+    )
+
+    rows = [(i, "x" * ((i * 37) % 500 + 1)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df = df.withColumn("n_chars", __import__("pyspark").sql.functions.length("text"))
+    path = str(tmp_path / "sorted_shards")
+    shards = write_length_sorted_shards(
+        df, path, "doc_id", "n_chars", target_rows_per_file=500
+    )
+    assert shards == 4
+    files = sorted(glob.glob(path + "/part-*.parquet"))
+    assert len(files) == 4
+    total = 0
+    import pyarrow.parquet as pq
+
+    for f in files:
+        lens = pq.read_table(f, columns=["n_chars"])["n_chars"].to_pylist()
+        assert lens == sorted(lens), f
+        total += len(lens)
+    assert total == 2000
