@@ -74,3 +74,48 @@ def auc_roc(
             ),
         ).alias("auc"),
     )
+
+
+def classification_report(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    threshold: float,
+    scale: int = 100,
+) -> DataFrame:
+    """One row: (tp, fp, tn, fn, precision, recall, f1) — the
+    thresholded companion of ``auc_roc`` (which scores the RANKING;
+    this scores one operating point).  The threshold compares on the
+    fixed-point grid (``score*scale >= round(threshold*scale)``) so the
+    boundary is integer-decided, and each ratio is one division of
+    exact counts, round 6, NULL when its denominator is empty.
+    One combinable aggregate — a single pass, nothing shuffles.
+    """
+    thr = int(round(threshold * scale))
+    base = df.select(
+        F.col(label_col).cast("boolean").alias("__y"),
+        (
+            F.round(F.col(score_col) * scale).cast("long") >= F.lit(thr)
+        ).alias("__p"),
+    ).where(F.col("__y").isNotNull() & F.col("__p").isNotNull())
+    g = base.agg(
+        F.count(F.when(F.col("__y") & F.col("__p"), 1)).cast("long").alias("tp"),
+        F.count(F.when(~F.col("__y") & F.col("__p"), 1)).cast("long").alias("fp"),
+        F.count(F.when(~F.col("__y") & ~F.col("__p"), 1)).cast("long").alias("tn"),
+        F.count(F.when(F.col("__y") & ~F.col("__p"), 1)).cast("long").alias("fn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    prec = F.when(tp + fp > 0, F.round(tp / (tp + fp), 6))
+    rec = F.when(tp + fn > 0, F.round(tp / (tp + fn), 6))
+    return g.select(
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+        prec.alias("precision"),
+        rec.alias("recall"),
+        F.when(
+            (F.lit(2) * tp + fp + fn) > 0,
+            F.round(F.lit(2) * tp / (F.lit(2) * tp + fp + fn), 6),
+        ).alias("f1"),
+    )

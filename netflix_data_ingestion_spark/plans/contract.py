@@ -675,4 +675,5 @@ _VERIFY_ROUND5: list[str] = [
     "orders_price_standardized",
     "lineitem_salt_advice",
     "kmeans_inertia",
+    "order_class_report",
 ]

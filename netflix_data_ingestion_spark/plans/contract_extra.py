@@ -338,6 +338,45 @@ FROM contrib
 """
 
 
+def q_order_class_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/metrics.classification_report: the 200k-cent threshold
+    as the operating point for 'is the order fulfilled' — confusion
+    counts + precision/recall/F1, each ONE division of exact counts."""
+    from netflix_data_ingestion_spark.operators.metrics import (
+        classification_report,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        (F.col("o_orderstatus") == "F").alias("label"), "o_totalprice"
+    )
+    return classification_report(
+        orders, "label", "o_totalprice", threshold=2000.0, scale=100
+    )
+
+
+ORACLE_CLASS_REPORT = """
+WITH base AS (
+  SELECT (o_orderstatus = 'F') AS y,
+         (round(o_totalprice * 100)::BIGINT >= 200000) AS p
+  FROM orders
+  WHERE o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL
+),
+g AS (
+  SELECT COUNT(CASE WHEN y AND p THEN 1 END)::BIGINT AS tp,
+         COUNT(CASE WHEN NOT y AND p THEN 1 END)::BIGINT AS fp,
+         COUNT(CASE WHEN NOT y AND NOT p THEN 1 END)::BIGINT AS tn,
+         COUNT(CASE WHEN y AND NOT p THEN 1 END)::BIGINT AS fn
+  FROM base
+)
+SELECT tp, fp, tn, fn,
+       CASE WHEN tp + fp > 0 THEN ROUND(tp / (tp + fp), 6) END AS precision,
+       CASE WHEN tp + fn > 0 THEN ROUND(tp / (tp + fn), 6) END AS recall,
+       CASE WHEN 2 * tp + fp + fn > 0
+            THEN ROUND(2 * tp / (2 * tp + fp + fn), 6) END AS f1
+FROM g
+"""
+
+
 def q_events_ab_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/abtest.ab_report: salted-md5 50/50 user assignment +
     per-arm exact-moment metric report (mean/sample variance of event
@@ -2389,6 +2428,7 @@ REGISTRY_EXTRA = {
     "lineitem_table_digest": (q_lineitem_table_digest, ORACLE_TABLE_DIGEST),
     "events_ab_report": (q_events_ab_report, ORACLE_AB_REPORT),
     "order_price_auc": (q_order_price_auc, ORACLE_PRICE_AUC),
+    "order_class_report": (q_order_class_report, ORACLE_CLASS_REPORT),
     "customer_supplier_communities": (
         q_customer_supplier_communities,
         ORACLE_LPA,

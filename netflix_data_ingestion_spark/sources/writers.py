@@ -335,3 +335,24 @@ def write_orc(
         w.orc(path)
 
     with_retry(_write)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str | None = "gzip",
+) -> None:
+    """JSON-lines sink (one JSON object per row) — the lingua franca of
+    training-data interchange; gzip per-part by default (JSONL's size
+    penalty vs parquet is the price of universal readability — use it
+    at the EDGE of the pipeline, parquet inside).  Same retry
+    discipline as every writer here; round-trips through
+    ``readers.read_jsonl`` schema-for-schema."""
+    def _write() -> None:
+        w = df.write.mode(mode)
+        if compression:
+            w = w.option("compression", compression)
+        w.json(path)
+
+    with_retry(_write)

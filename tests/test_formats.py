@@ -76,3 +76,21 @@ def test_orc_round_trip_with_pushdown(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters: [" in plan and "isnotnull(id" in plan
+
+
+def test_jsonl_round_trip_via_writer(spark, tmp_path):
+    from netflix_data_ingestion_spark.sources.readers import read_jsonl
+    from netflix_data_ingestion_spark.sources.writers import write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "a \"quoted\" string", 1.5), (2, None, -3.0)],
+        "id long, txt string, score double",
+    )
+    path = str(tmp_path / "jsonl_out")
+    write_jsonl(df, path)
+    back = read_jsonl(spark, path, "id long, txt string, score double")
+    got = sorted(
+        (r["id"], r["txt"], r["score"])
+        for r in back.select("id", "txt", "score").collect()
+    )
+    assert got == [(1, 'a "quoted" string', 1.5), (2, None, -3.0)]

@@ -45,3 +45,30 @@ def test_auc_partition_invariant(spark):
     a = auc_roc(df, "label", "score", scale=1).collect()[0]["auc"]
     b = auc_roc(df.repartition(17), "label", "score", scale=1).collect()[0]["auc"]
     assert a == b
+
+
+def test_classification_report_exact_counts(spark):
+    from netflix_data_ingestion_spark.operators.metrics import (
+        classification_report,
+    )
+
+    rows = [(True, 9.0), (True, 1.0), (False, 8.0), (False, 2.0),
+            (True, 5.0), (None, 9.0), (False, None)]
+    df = spark.createDataFrame(rows, "label boolean, score double")
+    r = classification_report(df, "label", "score", threshold=5.0,
+                              scale=1).collect()[0]
+    # predictions at >= 5: T(9)+, T(1)-, F(8)+, F(2)-, T(5)+
+    assert (r["tp"], r["fp"], r["tn"], r["fn"]) == (2, 1, 1, 1)
+    assert r["precision"] == round(2 / 3, 6)
+    assert r["recall"] == round(2 / 3, 6)
+    assert r["f1"] == round(4 / 6, 6)
+
+
+def test_classification_report_degenerate(spark):
+    from netflix_data_ingestion_spark.operators.metrics import (
+        classification_report,
+    )
+
+    df = spark.createDataFrame([(False, 1.0)], "label boolean, score double")
+    r = classification_report(df, "label", "score", 5.0, scale=1).collect()[0]
+    assert r["precision"] is None and r["recall"] is None and r["f1"] is None
