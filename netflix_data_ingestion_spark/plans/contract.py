@@ -676,4 +676,5 @@ _VERIFY_ROUND5: list[str] = [
     "lineitem_salt_advice",
     "kmeans_inertia",
     "order_class_report",
+    "events_twap_daily",
 ]

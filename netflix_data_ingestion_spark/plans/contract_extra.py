@@ -338,6 +338,50 @@ FROM contrib
 """
 
 
+def q_events_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/resample.time_weighted_average: per (user, day)
+    duration-weighted mean of the step signal — integer-microsecond
+    weights x fixed-point values in DECIMAL(38,0), one final
+    division; single-sample days carry zero span and NULL average."""
+    from netflix_data_ingestion_spark.operators.resample import (
+        time_weighted_average,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    return time_weighted_average(
+        events, "user_id", "ts", "value", bucket="day", scale=100
+    ).orderBy("user_id", "bucket_ts")
+
+
+ORACLE_TWAP_DAILY = """
+WITH base AS (
+  SELECT user_id, date_trunc('day', ts) AS bucket_ts,
+         epoch_us(ts) AS t, round(value * 100)::BIGINT AS v
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+stepped AS (
+  SELECT *, LEAD(t) OVER (PARTITION BY user_id, bucket_ts
+                          ORDER BY t ASC, v ASC) AS next_t
+  FROM base
+),
+g AS (
+  SELECT user_id, bucket_ts,
+         COUNT(*)::BIGINT AS n_samples,
+         SUM(CASE WHEN next_t IS NOT NULL THEN next_t - t END)::HUGEINT
+           AS span,
+         SUM(CASE WHEN next_t IS NOT NULL
+                  THEN v::HUGEINT * (next_t - t) END)::HUGEINT AS wsum
+  FROM stepped GROUP BY 1, 2
+)
+SELECT user_id, bucket_ts, n_samples,
+       coalesce(span, 0)::BIGINT AS span_micros,
+       CASE WHEN span > 0
+            THEN ROUND(wsum::DOUBLE / span::DOUBLE, 6) END AS twa_value
+FROM g
+ORDER BY user_id, bucket_ts
+"""
+
+
 def q_order_class_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/metrics.classification_report: the 200k-cent threshold
     as the operating point for 'is the order fulfilled' — confusion
@@ -2429,6 +2473,7 @@ REGISTRY_EXTRA = {
     "events_ab_report": (q_events_ab_report, ORACLE_AB_REPORT),
     "order_price_auc": (q_order_price_auc, ORACLE_PRICE_AUC),
     "order_class_report": (q_order_class_report, ORACLE_CLASS_REPORT),
+    "events_twap_daily": (q_events_twap_daily, ORACLE_TWAP_DAILY),
     "customer_supplier_communities": (
         q_customer_supplier_communities,
         ORACLE_LPA,

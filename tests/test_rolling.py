@@ -140,3 +140,29 @@ def test_ohlc_resample_ties_nulls_and_selection(spark):
     assert bar["n_events"] == 3
     assert out[("a", 11)]["open"] == out[("a", 11)]["close"] == 9.0
     assert ("b", None) not in out and len(out) == 2
+
+
+def test_time_weighted_average_holds_values_by_duration(spark):
+    """Value 10 held 9s then 100 held 1s -> TWA 19.0; the plain mean
+    (55) would be wrong. Single-sample day -> NULL with zero span."""
+    import datetime as dt
+
+    from netflix_data_ingestion_spark.operators.resample import (
+        time_weighted_average,
+    )
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = [
+        (1, base, 10.0),
+        (1, base + dt.timedelta(seconds=9), 100.0),
+        (1, base + dt.timedelta(seconds=10), 100.0),
+        (2, base, 42.0),  # lone sample
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {
+        (r["user_id"]): (r["n_samples"], r["span_micros"], r["twa_value"])
+        for r in time_weighted_average(df, "user_id", "ts", "value", scale=1)
+        .collect()
+    }
+    assert out[1] == (3, 10_000_000, 19.0)
+    assert out[2] == (1, 0, None)
