@@ -677,4 +677,5 @@ _VERIFY_ROUND5: list[str] = [
     "kmeans_inertia",
     "order_class_report",
     "events_twap_daily",
+    "session_entry_conversion",
 ]

@@ -338,6 +338,73 @@ FROM contrib
 """
 
 
+def q_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landing analysis: sessions (30-min gap windows) grouped by their
+    ENTRY event type — session counts, how many contained a purchase,
+    and the conversion rate in exact ppm; the funnel-adjacent BI shape
+    built on session_window + a (ts, event_id) min_by entry pick."""
+    events = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    per_session = events.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+    ).agg(
+        F.min_by(
+            "event_type", F.struct(F.col("ts"), F.col("event_id"))
+        ).alias("entry_type"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("__conv"),
+    )
+    return (
+        per_session.groupBy("entry_type")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.sum("__conv").cast("long").alias("n_converted"),
+        )
+        .select(
+            "entry_type",
+            "n_sessions",
+            "n_converted",
+            F.expr("(n_converted * 1000000) div n_sessions").alias(
+                "conversion_ppm"
+            ),
+        )
+        .orderBy("entry_type")
+    )
+
+
+ORACLE_SESSION_ENTRY = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   >= INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events WHERE ts IS NOT NULL
+),
+islands AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, sid,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+         MAX(CASE WHEN rn = 1 THEN event_type END) AS entry_type
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                                     ORDER BY ts, event_id) AS rn
+        FROM islands)
+  GROUP BY 1, 2
+)
+SELECT entry_type, COUNT(*)::BIGINT AS n_sessions,
+       SUM(conv)::BIGINT AS n_converted,
+       (SUM(conv) * 1000000) // COUNT(*) AS conversion_ppm
+FROM per_session GROUP BY 1 ORDER BY entry_type
+"""
+
+
 def q_events_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/resample.time_weighted_average: per (user, day)
     duration-weighted mean of the step signal — integer-microsecond
@@ -2474,6 +2541,10 @@ REGISTRY_EXTRA = {
     "order_price_auc": (q_order_price_auc, ORACLE_PRICE_AUC),
     "order_class_report": (q_order_class_report, ORACLE_CLASS_REPORT),
     "events_twap_daily": (q_events_twap_daily, ORACLE_TWAP_DAILY),
+    "session_entry_conversion": (
+        q_session_entry_conversion,
+        ORACLE_SESSION_ENTRY,
+    ),
     "customer_supplier_communities": (
         q_customer_supplier_communities,
         ORACLE_LPA,
