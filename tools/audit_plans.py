@@ -118,6 +118,7 @@ SANCTIONED: dict[str, str] = {
     "order_price_auc": "ordered window over the DISTINCT-score frame (value domain, model-sized), doc'd",
     "lineitem_table_digest": "final 1-row combine of the digest aggregate (global agg shape)",
     "orders_price_standardized": "1-row train-moments frame broadcast-crossJoined (tfidf __n_docs shape)",
+    "order_class_report": "single 1-row confusion aggregate, constant output (orders_profile shape)",
     "weekly_active_users": "date-spine min/max 1-row frame",
 }
 
