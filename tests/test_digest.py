@@ -33,3 +33,18 @@ def test_digest_column_subset_and_order_matter(spark):
     subset = _row(table_digest(df, ["id"]))
     swapped = _row(table_digest(df, ["val", "id"]))
     assert full != subset and full != swapped
+
+
+def test_digest_is_mergeable_across_shards(spark):
+    """digest(A ∪ B) == digest(A) + digest(B) — shards can be hashed
+    independently (even by different clusters) and combined by plain
+    addition; this is the cross-system merge contract."""
+    a = spark.createDataFrame([(i, f"v{i}") for i in range(50)],
+                              "id long, val string")
+    b = spark.createDataFrame([(i, f"v{i}") for i in range(50, 80)],
+                              "id long, val string")
+    na, da = _row(table_digest(a))
+    nb, db = _row(table_digest(b))
+    nu, du = _row(table_digest(a.unionAll(b)))
+    assert nu == na + nb
+    assert int(du) == int(da) + int(db)

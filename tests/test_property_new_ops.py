@@ -361,3 +361,56 @@ def test_prefix_jaccard_lossless_on_random_corpora(spark, docs):
         ).collect()
     )
     assert ap == pf
+
+
+# --- label propagation: synchronous-update replica on random graphs ------
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=0, max_value=9),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _lpa_replica(edges, rounds):
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {n: n for n in adj}
+    for _ in range(rounds):
+        nxt = {}
+        for n, nbrs in adj.items():
+            counts = {}
+            for m in nbrs:
+                counts[labels[m]] = counts.get(labels[m], 0) + 1
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[n] = best[0]
+        labels = nxt
+    return labels
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=edges_strategy)
+def test_label_propagation_matches_python_replica(spark, edges):
+    from netflix_data_ingestion_spark.operators.graph import (
+        label_propagation,
+    )
+
+    if all(a == b for a, b in edges):
+        return  # no real edges -> empty graph, nothing to compare
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(df, rounds=3).collect()
+    }
+    assert got == _lpa_replica(edges, 3)
