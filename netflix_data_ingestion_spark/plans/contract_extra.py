@@ -1695,9 +1695,11 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "active_customers",
             "revenue_cents",
             "cum_revenue_cents",
-            F.round(
-                F.col("cum_revenue_cents") / F.col("cohort_size"), 6
-            ).alias("cum_revenue_per_customer"),
+            # exact integer micro-cents per member: ROUND(quotient, 6)
+            # differs between engines in the last ulp at sf0.1 (observed)
+            F.expr(
+                "(cum_revenue_cents * 1000000) div cohort_size"
+            ).alias("cum_revenue_micro_per_customer"),
         )
         .orderBy("cohort_month", "age_months")
     )
@@ -1730,8 +1732,8 @@ cum AS (
 )
 SELECT c.cohort_month, c.age_months, c.active_customers, c.revenue_cents,
        c.cum_revenue_cents,
-       ROUND(c.cum_revenue_cents / s.cohort_size, 6)
-         AS cum_revenue_per_customer
+       (c.cum_revenue_cents * 1000000) // s.cohort_size
+         AS cum_revenue_micro_per_customer
 FROM cum c JOIN sizes s USING (cohort_month)
 ORDER BY cohort_month, age_months
 """
