@@ -73,12 +73,21 @@ def main() -> None:
             pass  # missing table: the queries that need it will surface it
     names = BENCH_QUERIES or list(REGISTRY)
 
+    import gc
+
     timings: dict[str, float] = {}
     for name in names:
         fn, _ = REGISTRY[name]
         t0 = time.time()
         fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
+        # release this query's eager-localCheckpoint RDD blocks before the
+        # next measurement: the ContextCleaner only reaps them after Python
+        # GC drops the frames, and 170 queries of retained blocks in one
+        # JVM otherwise tax late queries with GC/memory pressure (observed
+        # 4s -> 24s inflation on checkpoint-heavy plans late in the run)
+        gc.collect()
+        spark.catalog.clearCache()
 
     prod = {n: s for n, s in timings.items() if n not in AUDIT_TWINS}
     audit = {n: s for n, s in timings.items() if n in AUDIT_TWINS}
