@@ -154,3 +154,30 @@ def run_expectations(df: DataFrame, specs: Sequence[Spec]) -> DataFrame:
     for frame in frames[1:]:
         out = out.unionAll(frame)
     return out
+
+
+def schema_diff(a: DataFrame, b: DataFrame) -> list[dict]:
+    """Metadata-only contract check between two frames (yesterday's
+    drop vs today's, producer vs consumer expectation): one dict per
+    differing column — ``{column, in_a, in_b, type_a, type_b, change}``
+    with change in {added, removed, retyped}.  Empty list = compatible.
+    Driver-side schema walk; NO data is scanned, so it is free to run
+    before every ingest (the formats layer's additive-evolution story
+    made checkable)."""
+    ta = {f.name: f.dataType.simpleString() for f in a.schema.fields}
+    tb = {f.name: f.dataType.simpleString() for f in b.schema.fields}
+    out: list[dict] = []
+    for name in sorted(set(ta) | set(tb)):
+        if name not in tb:
+            out.append({"column": name, "in_a": True, "in_b": False,
+                        "type_a": ta[name], "type_b": None,
+                        "change": "removed"})
+        elif name not in ta:
+            out.append({"column": name, "in_a": False, "in_b": True,
+                        "type_a": None, "type_b": tb[name],
+                        "change": "added"})
+        elif ta[name] != tb[name]:
+            out.append({"column": name, "in_a": True, "in_b": True,
+                        "type_a": ta[name], "type_b": tb[name],
+                        "change": "retyped"})
+    return out

@@ -90,3 +90,19 @@ def test_single_aggregation_pass_for_row_checks(spark):
     plan = report._jdf.queryExecution().executedPlan().toString()
     # four row-level checks, one scan of the input
     assert plan.count("Scan ExistingRDD") <= 1
+
+
+def test_schema_diff_detects_all_change_kinds(spark):
+    from netflix_data_ingestion_spark.operators.expectations import (
+        schema_diff,
+    )
+
+    a = spark.createDataFrame([(1, "x", 1.0)], "id long, name string, v double")
+    b = spark.createDataFrame([(1, "x", 2)], "id long, name string, v int")
+    c = spark.createDataFrame([(1, "x", True)], "id long, label string, extra boolean")
+    assert schema_diff(a, a) == []
+    d = schema_diff(a, b)
+    assert len(d) == 1 and d[0]["change"] == "retyped" and d[0]["column"] == "v"
+    kinds = {r["column"]: r["change"] for r in schema_diff(a, c)}
+    assert kinds == {"name": "removed", "label": "added",
+                     "v": "removed", "extra": "added"}
