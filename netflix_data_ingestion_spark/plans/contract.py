@@ -678,4 +678,5 @@ _VERIFY_ROUND5: list[str] = [
     "order_class_report",
     "events_twap_daily",
     "session_entry_conversion",
+    "part_abc_classes",
 ]

@@ -338,6 +338,68 @@ FROM contrib
 """
 
 
+def q_part_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC analysis: parts ranked by revenue; cumulative share in
+    exact ppm classifies A (first 80% of revenue), B (to 95%), C (tail)
+    — the inventory-priority classic.  The ordered window runs over the
+    part CATALOG (value domain, not the fact), integer-divided shares,
+    (revenue desc, partkey) total order."""
+    from pyspark.sql import Window as W
+
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "revenue_cents"
+        )
+    )
+    w = W.orderBy(F.col("revenue_cents").desc(), F.col("p_partkey").asc())
+    ranked = per_part.select(
+        "p_partkey",
+        "revenue_cents",
+        F.sum("revenue_cents")
+        .over(w.rowsBetween(W.unboundedPreceding, 0))
+        .alias("__cum"),
+        F.sum("revenue_cents").over(
+            W.orderBy(F.lit(1)).rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).alias("__total"),
+    )
+    cum_ppm = F.expr("(__cum * 1000000) div __total")
+    return ranked.select(
+        "p_partkey",
+        "revenue_cents",
+        cum_ppm.alias("cum_share_ppm"),
+        F.when(cum_ppm <= 800000, "A")
+        .when(cum_ppm <= 950000, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    ).orderBy("p_partkey")
+
+
+ORACLE_ABC_CLASSES = """
+WITH per_part AS (
+  SELECT l_partkey AS p_partkey,
+         SUM(round(l_extendedprice * 100)::BIGINT)::BIGINT AS revenue_cents
+  FROM lineitem GROUP BY 1
+),
+ranked AS (
+  SELECT p_partkey, revenue_cents,
+         SUM(revenue_cents) OVER (ORDER BY revenue_cents DESC, p_partkey ASC
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(revenue_cents) OVER () AS total
+  FROM per_part
+)
+SELECT p_partkey, revenue_cents,
+       (cum * 1000000) // total AS cum_share_ppm,
+       CASE WHEN (cum * 1000000) // total <= 800000 THEN 'A'
+            WHEN (cum * 1000000) // total <= 950000 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked
+ORDER BY p_partkey
+"""
+
+
 def q_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Landing analysis: sessions (30-min gap windows) grouped by their
     ENTRY event type — session counts, how many contained a purchase,
@@ -2543,6 +2605,7 @@ REGISTRY_EXTRA = {
     "order_price_auc": (q_order_price_auc, ORACLE_PRICE_AUC),
     "order_class_report": (q_order_class_report, ORACLE_CLASS_REPORT),
     "events_twap_daily": (q_events_twap_daily, ORACLE_TWAP_DAILY),
+    "part_abc_classes": (q_part_abc_classes, ORACLE_ABC_CLASSES),
     "session_entry_conversion": (
         q_session_entry_conversion,
         ORACLE_SESSION_ENTRY,

@@ -119,6 +119,7 @@ SANCTIONED: dict[str, str] = {
     "lineitem_table_digest": "final 1-row combine of the digest aggregate (global agg shape)",
     "orders_price_standardized": "1-row train-moments frame broadcast-crossJoined (tfidf __n_docs shape)",
     "order_class_report": "single 1-row confusion aggregate, constant output (orders_profile shape)",
+    "part_abc_classes": "ordered window over the part CATALOG (value domain, model-sized), doc'd",
     "weekly_active_users": "date-spine min/max 1-row frame",
 }
 
