@@ -67,3 +67,74 @@ def collapse_bursts(
     return ranked.filter(F.col("__rn") == 1).drop(
         "__new", "__island", "__rn"
     )
+
+
+def cooldown_throttle(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    tiebreak_col: str,
+    gap_seconds: int = 300,
+) -> DataFrame:
+    """Admitted rows only — the COOL-DOWN rate limiter: an event is
+    admitted iff at least ``gap_seconds`` passed since the last
+    ADMITTED event of its key (each admission resets the clock) — the
+    notification/alerting dedup policy.  Contrast with
+    ``collapse_bursts`` (island semantics: chains by gap to the
+    previous EVENT, so a slow drizzle collapses into one burst) — under
+    cool-down that same drizzle re-admits every ``gap_seconds``.
+    Greedy admission is ORDER-dependent, hence the (ts, tiebreak)
+    total order; rows with NULL ts are dropped.
+
+    Plan: sequential-per-key by nature (each decision depends on prior
+    admissions), expressed as a JVM-side fold — per key, the sorted
+    event array runs through ONE ``F.aggregate`` lambda carrying
+    (last_admitted, kept) — no Python stage, no window cascade; one
+    key shuffle + a semi-join back to the rows.  Hot-key caveat: a
+    key's whole history folds in one task (quota_sample's documented
+    trade) — pre-split by time for pathological keys.
+    """
+    keys = list(key_cols)
+    gap_us = gap_seconds * 1_000_000
+    mic = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    evs = (
+        df.where(F.col(ts_col).isNotNull())
+        .groupBy(*keys)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        mic.alias("t"),
+                        F.col(tiebreak_col).cast("long").alias("tb"),
+                    )
+                )
+            ).alias("__evs")
+        )
+    )
+    init = F.struct(
+        F.lit(-(2**62)).cast("long").alias("last"),
+        F.array().cast("array<bigint>").alias("kept"),
+    )
+    folded = evs.select(
+        *keys,
+        F.aggregate(
+            "__evs",
+            init,
+            lambda acc, x: F.when(
+                x["t"] - acc["last"] >= F.lit(gap_us),
+                F.struct(
+                    x["t"].alias("last"),
+                    F.concat(acc["kept"], F.array(x["tb"])).alias("kept"),
+                ),
+            ).otherwise(acc),
+        )["kept"].alias("__kept"),
+    )
+    admitted = folded.select(
+        *keys, F.explode("__kept").alias("__tb")
+    )
+    return df.join(
+        admitted,
+        [df[k] == admitted[k] for k in keys]
+        + [df[tiebreak_col].cast("long") == admitted["__tb"]],
+        "left_semi",
+    )

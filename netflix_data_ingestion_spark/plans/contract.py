@@ -679,4 +679,5 @@ _VERIFY_ROUND5: list[str] = [
     "events_twap_daily",
     "session_entry_conversion",
     "part_abc_classes",
+    "events_cooldown_throttle",
 ]

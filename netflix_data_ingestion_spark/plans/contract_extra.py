@@ -338,6 +338,49 @@ FROM contrib
 """
 
 
+def q_events_cooldown_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/bursts.cooldown_throttle: 10-minute cool-down per
+    (user, event_type) — every ADMISSION resets the clock (contrast
+    with events_burst_collapse's island semantics on the same data);
+    JVM-side greedy fold, (ts, event_id) total order.  NULL user_id
+    rows excluded (keys must join back)."""
+    from netflix_data_ingestion_spark.operators.bursts import (
+        cooldown_throttle,
+    )
+
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    ).where(F.col("user_id").isNotNull())
+    return cooldown_throttle(
+        events, ["user_id", "event_type"], "ts", "event_id",
+        gap_seconds=600,
+    ).orderBy("event_id")
+
+
+ORACLE_COOLDOWN_THROTTLE = """
+WITH RECURSIVE ev AS (
+  SELECT user_id, event_type, event_id, ts, epoch_us(ts) AS t,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+adm(user_id, event_type, event_id, ts, t, rn) AS (
+  SELECT user_id, event_type, event_id, ts, t, rn FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.event_type, e.event_id, e.ts, e.t, e.rn
+  FROM adm a JOIN ev e
+    ON e.user_id = a.user_id AND e.event_type = a.event_type
+   AND e.t >= a.t + 600000000
+  WHERE e.rn = (SELECT MIN(e2.rn) FROM ev e2
+                WHERE e2.user_id = a.user_id
+                  AND e2.event_type = a.event_type
+                  AND e2.t >= a.t + 600000000)
+)
+SELECT event_id, user_id, event_type, ts
+FROM adm ORDER BY event_id
+"""
+
+
 def q_part_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto/ABC analysis: parts ranked by revenue; cumulative share in
     exact ppm classifies A (first 80% of revenue), B (to 95%), C (tail)
@@ -2606,6 +2649,10 @@ REGISTRY_EXTRA = {
     "order_class_report": (q_order_class_report, ORACLE_CLASS_REPORT),
     "events_twap_daily": (q_events_twap_daily, ORACLE_TWAP_DAILY),
     "part_abc_classes": (q_part_abc_classes, ORACLE_ABC_CLASSES),
+    "events_cooldown_throttle": (
+        q_events_cooldown_throttle,
+        ORACLE_COOLDOWN_THROTTLE,
+    ),
     "session_entry_conversion": (
         q_session_entry_conversion,
         ORACLE_SESSION_ENTRY,

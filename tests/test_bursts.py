@@ -48,3 +48,38 @@ def test_burst_equal_timestamps_total_order(spark):
     ).collect()
     assert len(out) == 1
     assert out[0]["event_id"] == 3 and out[0]["burst_size"] == 3
+
+
+def test_cooldown_resets_on_admission_not_on_events(spark):
+    """Drizzle at 0,50,120,130,260s with 100s cool-down: admissions at
+    0, 120, 260 — island semantics would collapse 0..130 into ONE."""
+    rows = [
+        (1, 1, "c", _t(0)), (2, 1, "c", _t(50)), (3, 1, "c", _t(120)),
+        (4, 1, "c", _t(130)), (5, 1, "c", _t(260)),
+        (6, 2, "c", _t(0)), (7, 2, "c", _t(300)),
+        (8, 1, "c", None),
+    ]
+    from netflix_data_ingestion_spark.operators.bursts import (
+        collapse_bursts,
+        cooldown_throttle,
+    )
+
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    admitted = sorted(
+        r["event_id"]
+        for r in cooldown_throttle(
+            df, ["user_id", "event_type"], "ts", "event_id", gap_seconds=100
+        ).collect()
+    )
+    assert admitted == [1, 3, 5, 6, 7]
+    # contrast: island collapse keeps only the burst heads 1, 5 (gaps
+    # 50/70/10 chain 1..4; 130->260 is a 130s gap, new burst), 6, 7
+    heads = sorted(
+        r["event_id"]
+        for r in collapse_bursts(
+            df, ["user_id", "event_type"], "ts", "event_id", gap_seconds=100
+        ).collect()
+    )
+    assert heads == [1, 5, 6, 7]
