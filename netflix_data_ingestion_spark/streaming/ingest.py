@@ -713,3 +713,69 @@ def ohlc_stream(
             "n_events",
         )
     )
+
+
+COOLDOWN_STATE_SCHEMA = T.StructType(
+    [T.StructField("last_us", T.LongType(), True)]
+)
+
+
+def cooldown_events(
+    events: DataFrame,
+    key_cols: tuple[str, str] = ("user_id", "event_type"),
+    gap_seconds: int = 600,
+    watermark: str = "2 hours",
+    timeout_ms: int = 2 * 60 * 60 * 1000,
+) -> DataFrame:
+    """Streaming COOL-DOWN limiter: per key, admit an event only when
+    ``gap_seconds`` have passed since the last ADMITTED one — each
+    admission resets the clock (the alerting/notification policy;
+    ``throttle_events`` caps per fixed bucket instead, and streaming
+    ``dedup_events`` drops by id).  State is ONE long (last admitted
+    event-time micros) per key — bounded, timeout-expired.
+
+    Within a micro-batch admission follows (ts, event_id) order;
+    across micro-batches it is by arrival (admissions are never
+    revoked), so late data can diverge from the batch twin — the same
+    owned divergence as the rate limiter.  The batch twin
+    ``operators/bursts.cooldown_throttle`` (oracle-checked,
+    `events_cooldown_throttle`) pins the greedy-admission semantics.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (last,) = state.get if state.exists else (-(2**62),)
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        keep = []
+        for i, t in enumerate(rows["ts"]):
+            t_us = t.value // 1000  # pandas ns -> micros
+            if t_us - last >= gap_us:
+                keep.append(i)
+                last = t_us
+        state.update((int(last),))
+        state.setTimeoutDuration(timeout_ms)
+        if keep:
+            yield rows.iloc[keep][
+                ["event_id", "ts", "user_id", "event_type", "value"]
+            ]
+
+    marked = events.withWatermark("ts", watermark)
+    return marked.groupBy(*key_cols).applyInPandasWithState(
+        fn,
+        outputStructType=THROTTLE_OUTPUT_SCHEMA,
+        stateStructType=COOLDOWN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="ProcessingTimeTimeout",
+    )

@@ -752,3 +752,53 @@ def test_ohlc_stream_matches_batch_resample(spark, source_dir):
     assert all(expect[k] == v for k, v in got.items())
     assert (1, datetime.datetime(2024, 1, 1, 0, 0)) in got
     assert (2, datetime.datetime(2024, 1, 1, 0, 0)) in got
+
+
+def test_cooldown_stream_matches_batch_twin_in_order(spark, tmp_path_factory):
+    """Single-file replay (event-time order == arrival order): the
+    streamed cool-down admissions equal the oracle-pinned batch twin
+    exactly; state carries the last ADMITTED time across events."""
+    from netflix_data_ingestion_spark.operators.bursts import (
+        cooldown_throttle,
+    )
+
+    # user 1 'click': minutes 0, 5, 12, 13, 30 with a 10-min cool-down
+    # -> admit 0, 12, 30; user 2 single event passes
+    rows = _mk_events(
+        offsets_minutes=[0, 5, 12, 13, 30, 3],
+        user_ids=[1, 1, 1, 1, 1, 2],
+        values=[1.0] * 6,
+    )
+    df = spark.createDataFrame(rows, ingest.EVENT_SCHEMA)
+    flat = tmp_path_factory.mktemp("cooldown_flat")
+    import glob as _g
+    import shutil as _sh
+
+    tmp = str(flat / "tmp")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    _sh.copyfile(_g.glob(tmp + "/*.parquet")[0], str(flat / "f0.parquet"))
+    _sh.rmtree(tmp)
+
+    stream = ingest.stream_events(spark, str(flat))
+    out = ingest.cooldown_events(
+        stream, key_cols=("user_id", "event_type"), gap_seconds=600
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_cooldown")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = sorted(
+        r["event_id"] for r in spark.table("t_cooldown").collect()
+    )
+    batch = sorted(
+        r["event_id"]
+        for r in cooldown_throttle(
+            df, ["user_id", "event_type"], "ts", "event_id", gap_seconds=600
+        ).collect()
+    )
+    assert streamed == batch
+    assert streamed == [0, 2, 4, 5]
