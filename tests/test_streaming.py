@@ -802,3 +802,57 @@ def test_cooldown_stream_matches_batch_twin_in_order(spark, tmp_path_factory):
     )
     assert streamed == batch
     assert streamed == [0, 2, 4, 5]
+
+
+def test_cooldown_restart_preserves_last_admission(spark, tmp_path_factory):
+    """Kill/restart between micro-batches: the last-admitted time must
+    survive in the checkpoint — an event arriving after the restart but
+    INSIDE the cool-down of a pre-restart admission stays suppressed;
+    one past the window is admitted."""
+    import glob as _g
+    import os as _os
+    import shutil as _sh
+
+    d = tmp_path_factory.mktemp("cooldown_restart")
+    flat, ckpt = str(d / "flat"), str(d / "ckpt")
+    _os.makedirs(flat, exist_ok=True)
+
+    def emit(rows, name):
+        stage = str(d / name)
+        spark.createDataFrame(rows, ingest.EVENT_SCHEMA).coalesce(
+            1
+        ).write.mode("overwrite").parquet(stage)
+        for f in _g.glob(f"{stage}/*.parquet"):
+            _sh.copy(f, f"{flat}/{name}_{f.split('/')[-1]}")
+
+    sink = str(d / "sink")
+
+    def run_once():
+        out = ingest.cooldown_events(
+            ingest.stream_events(spark, flat),
+            key_cols=("user_id", "event_type"),
+            gap_seconds=600,
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # minute 0 admitted, minute 5 suppressed; then the "kill"
+    emit(_mk_events([0, 5], [1, 1], [1.0, 2.0], start_id=0), "b1")
+    run_once()
+    assert sorted(
+        r["event_id"] for r in spark.read.parquet(sink).collect()
+    ) == [0]
+
+    # restart: minute 8 still inside the 10-min window of the minute-0
+    # admission (lost state would admit it); minute 11 clears it
+    emit(_mk_events([8, 11], [1, 1], [3.0, 4.0], start_id=2), "b2")
+    run_once()
+    got = sorted(r["event_id"] for r in spark.read.parquet(sink).collect())
+    assert got == [0, 3]
