@@ -586,10 +586,11 @@ _VERIFY_FIRST: list[str] = [
     "embedding_l2_normalize",
 ]
 
-REGISTRY = {
-    **{name: REGISTRY[name] for name in _VERIFY_FIRST},
-    **{name: spec for name, spec in REGISTRY.items() if name not in _VERIFY_FIRST},
-}
+_ROUND5_HEAD: list[str] = [
+    # the round-4 red row: the SCD2 sentinel fix (2260-12-31, pandas-safe)
+    # must be proven by a fresh driver row, so it leads the window
+    "user_state_history",
+]
 
 # ---------------------------------------------------------------------------
 # ROUND-5 ROTATION PLAN (apply at the START of round 5: replace
@@ -681,3 +682,18 @@ _VERIFY_ROUND5: list[str] = [
     "part_abc_classes",
     "events_cooldown_throttle",
 ]
+
+# Round-5 window = the fixed red row first, then the never-driver-sampled
+# queries oldest-first.  Entries past position 50 queue for round 6.
+_VERIFY_ORDER: list[str] = _ROUND5_HEAD + [
+    n for n in _VERIFY_ROUND5 if n not in _ROUND5_HEAD
+]
+
+REGISTRY = {
+    **{name: REGISTRY[name] for name in _VERIFY_ORDER},
+    **{
+        name: spec
+        for name, spec in REGISTRY.items()
+        if name not in _VERIFY_ORDER
+    },
+}

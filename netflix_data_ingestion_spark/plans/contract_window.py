@@ -426,12 +426,16 @@ def q_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     valid_to) and a version number."""
     events = _t(spark, sf_dir, "events")
     hist = scd.scd2_history(events, "user_id", "ts", "event_type")
-    # open intervals use the classic 9999-12-31 sentinel (also dodges the
-    # None-vs-NaT NULL-timestamp hash asymmetry between engines)
+    # Open intervals use a far-future sentinel (also dodges the
+    # None-vs-NaT NULL-timestamp hash asymmetry between engines).  The
+    # classic 9999-12-31 overflows pandas' nanosecond timestamps
+    # (ceiling 2262-04-11) when a comparator materializes the oracle
+    # result through pandas, so the convention here is 2260-12-31 —
+    # same semantics, representable everywhere.
     return hist.withColumn(
         "valid_to",
         F.coalesce(
-            "valid_to", F.lit("9999-12-31 00:00:00").cast("timestamp_ntz")
+            "valid_to", F.lit("2260-12-31 00:00:00").cast("timestamp_ntz")
         ),
     ).orderBy("user_id", "version")
 
@@ -451,7 +455,7 @@ chg AS (
 SELECT user_id, state, valid_from,
        COALESCE(
          lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from),
-         TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+         TIMESTAMP '2260-12-31 00:00:00') AS valid_to,
        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY valid_from)::BIGINT
          AS version,
        lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
@@ -801,7 +805,7 @@ hist AS (
   SELECT user_id, state AS state_at_event, valid_from,
          COALESCE(
            lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from),
-           TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+           TIMESTAMP '2260-12-31 00:00:00') AS valid_to,
          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY valid_from)::BIGINT
            AS version
   FROM chg
