@@ -84,7 +84,9 @@ def cooldown_throttle(
     previous EVENT, so a slow drizzle collapses into one burst) — under
     cool-down that same drizzle re-admits every ``gap_seconds``.
     Greedy admission is ORDER-dependent, hence the (ts, tiebreak)
-    total order; rows with NULL ts are dropped.
+    total order; rows with NULL ts are dropped.  ``tiebreak_col`` must
+    be an integral column unique per key (it keys the admitted set
+    back to rows) — a non-integral type raises ValueError.
 
     Plan: sequential-per-key by nature (each decision depends on prior
     admissions), expressed as a JVM-side fold — per key, the sorted
@@ -96,6 +98,24 @@ def cooldown_throttle(
     """
     keys = list(key_cols)
     gap_us = gap_seconds * 1_000_000
+    # The admitted set is keyed back to rows by (keys, tiebreak) value, so
+    # the tiebreak must be an integral column whose values are unique per
+    # key (a string would cast to NULL under ANSI try-semantics and the
+    # semi-join would silently return nothing; a duplicated value would
+    # admit extra rows).  Fail loudly instead.
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    tb_type = df.schema[tiebreak_col].dataType
+    if not isinstance(tb_type, (ByteType, ShortType, IntegerType, LongType)):
+        raise ValueError(
+            f"cooldown_throttle: tiebreak column {tiebreak_col!r} must be "
+            f"an integral type unique per key, got {tb_type.simpleString()}"
+        )
     mic = F.unix_micros(F.col(ts_col).cast("timestamp"))
     evs = (
         df.where(F.col(ts_col).isNotNull())
@@ -129,12 +149,17 @@ def cooldown_throttle(
             ).otherwise(acc),
         )["kept"].alias("__kept"),
     )
+    # Alias the admitted frame's key columns before joining back onto the
+    # frame it derives from — a bare df[k] == admitted[k] is the classic
+    # self-join ambiguity (Spark's "trivially true equals predicate"
+    # warning) that can degrade silently under refactoring.
     admitted = folded.select(
-        *keys, F.explode("__kept").alias("__tb")
+        *[F.col(k).alias(f"__adm_{k}") for k in keys],
+        F.explode("__kept").alias("__tb"),
     )
     return df.join(
         admitted,
-        [df[k] == admitted[k] for k in keys]
+        [df[k] == admitted[f"__adm_{k}"] for k in keys]
         + [df[tiebreak_col].cast("long") == admitted["__tb"]],
         "left_semi",
     )

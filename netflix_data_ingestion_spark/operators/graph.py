@@ -487,6 +487,10 @@ def bfs_hops(
     State is one row per REACHED node — cost grows with the
     neighborhood, not the graph.
     """
+    if sources is None:
+        raise ValueError(
+            "bfs_hops: a sources frame (the hop-0 node set) is required"
+        )
     e = (
         pairs.select(
             F.least(F.col(src), F.col(dst)).alias("u"),

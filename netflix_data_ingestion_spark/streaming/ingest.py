@@ -757,7 +757,11 @@ def cooldown_events(
             state.remove()
             return
         (last,) = state.get if state.exists else (-(2**62),)
-        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        rows = pd.concat(list(pdfs))
+        # NULL event times have no position in event time — drop them,
+        # matching the batch twin's contract (a NaT .value is a huge
+        # negative ns count that would otherwise be admitted).
+        rows = rows[rows["ts"].notna()].sort_values(["ts", "event_id"])
         keep = []
         for i, t in enumerate(rows["ts"]):
             t_us = t.value // 1000  # pandas ns -> micros

@@ -38,8 +38,10 @@ from netflix_data_ingestion_spark.sources.writers import (
 
 #: digest canonicalization: integer/string columns only (double columns
 #: like quality_score are engine-render-sensitive and stay OUT of the
-#: release fingerprint; they ride the shards as data regardless)
-_DIGEST_COLS = ["doc_id", "source", "n_tokens", "chunk_id", "chunk_offset"]
+#: release fingerprint; they ride the shards as data regardless).
+#: ``text`` — the actual training payload — IS digested: the consumer
+#: integrity check must catch shard text tampering, not just metadata.
+_DIGEST_COLS = ["doc_id", "source", "n_tokens", "chunk_id", "chunk_offset", "text"]
 
 
 def export_training_data(

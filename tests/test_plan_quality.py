@@ -399,3 +399,33 @@ def test_negative_sample_single_anti_join(spark):
     assert plan.count("LeftAnti") == 1
     # the only nested-loop artifact is the 1-row n_items broadcast
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_audit_all_registry(spark):
+    """Whole-registry plan-smell gate: the set of flagged plans must
+    equal the reviewed SANCTIONED allowlist in tools/audit_plans.py.
+    A new query introducing a Python stage, a single-partition
+    exchange, or a nested-loop join fails HERE (and must either be
+    fixed or explicitly sanctioned with a justification); a sanction
+    whose query no longer smells is stale and fails too."""
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    from audit_plans import SANCTIONED, audit
+
+    flagged = audit(spark, SF_DIR)
+    errors = {n: s for n, s in flagged.items() if s and s[0].startswith("ERROR")}
+    assert not errors, f"queries failed to plan: {errors}"
+    unreviewed = sorted(set(flagged) - set(SANCTIONED))
+    assert not unreviewed, (
+        f"unreviewed plan smells {unreviewed}: "
+        f"{ {n: flagged[n] for n in unreviewed} } — fix the plan or add a "
+        "justified SANCTIONED entry in tools/audit_plans.py"
+    )
+    stale = sorted(set(SANCTIONED) - set(flagged))
+    assert not stale, (
+        f"stale SANCTIONED entries (no longer flagged): {stale} — remove "
+        "them from tools/audit_plans.py"
+    )

@@ -54,3 +54,27 @@ def test_export_tamper_detection(spark, tmp_path):
     with open(p, "w") as f:
         json.dump(m, f)
     assert not verify_export(spark, out)
+
+
+def test_export_text_tamper_detection(spark, tmp_path):
+    """The release digest covers the text payload itself: rewriting the
+    shards with one character of one document changed must fail the
+    consumer-side integrity check (metadata columns untouched)."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "release3")
+    export_training_data(spark, SF_DIR, out, target_rows_per_file=10)
+    shard_dir = os.path.join(out, "shards")
+    shards = spark.read.parquet(shard_dir)
+    first_id = shards.select("doc_id").orderBy("doc_id").first()[0]
+    tampered = shards.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") == F.lit(first_id),
+            F.concat(F.col("text"), F.lit("X")),
+        ).otherwise(F.col("text")),
+    )
+    tampered.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        shard_dir
+    )
+    assert not verify_export(spark, out)

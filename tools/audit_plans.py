@@ -26,13 +26,12 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-
+def audit(spark, sf_dir: str) -> dict[str, list[str]]:
+    """Build every registry query's physical plan and return
+    {query_name: [smell, ...]} for the plans with at least one smell.
+    Importable so the test suite can gate on it (test_plan_quality.py)."""
     from netflix_data_ingestion_spark.plans.contract import REGISTRY
-    from netflix_data_ingestion_spark.session import build_session
 
-    spark = build_session(app_name="plan-audit")
     flagged: dict[str, list[str]] = {}
     for name, (fn, _oracle) in REGISTRY.items():
         try:
@@ -62,6 +61,17 @@ def main() -> int:
             smells.append(f"CARTES x{cartes}")
         if smells:
             flagged[name] = smells
+    return flagged
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+    from netflix_data_ingestion_spark.plans.contract import REGISTRY
+    from netflix_data_ingestion_spark.session import build_session
+
+    spark = build_session(app_name="plan-audit")
+    flagged = audit(spark, sf_dir)
     clean = len(REGISTRY) - len(flagged)
     print(f"\n{clean}/{len(REGISTRY)} contract plans smell-free")
     for name, smells in sorted(flagged.items()):
@@ -91,7 +101,6 @@ SANCTIONED: dict[str, str] = {
     "part_cooccurrence": "1-row n_baskets broadcast crossJoin, doc'd",
     "doc_model_scores": "Arrow-batched model-inference stage, doc'd",
     "doc_bm25_search": "1-row corpus-stats broadcast crossJoin, doc'd",
-    "doc_token_ids": "vocab-sized rank window (model frame), doc'd",
     "dedup_lsh_recall": "1-row metric counts crossJoined; audit slice bounded at 200 docs",
     "user_decile_lift": "global ntile over the user aggregate, doc'd",
     "dedup_cosine_scale": "Arrow verify stage (doc'd); 1-row plan stats",
