@@ -135,3 +135,68 @@ def prefix_sum_ranged(
         )
         .drop(_PID, _OFFSET)
     )
+
+
+def ntile_ranged(
+    df: DataFrame,
+    order_cols: list,
+    k: int,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``out_col`` = EXACT SQL ``ntile(k)`` over the global
+    ``order_cols`` order, computed DISTRIBUTED — the scale-safe twin of
+    ``F.ntile(k).over(Window.orderBy(...))``, which sorts the world in
+    one task.
+
+    Identical semantics to the window form (including tie-splitting:
+    ties are separated by their position in the total order, so pass a
+    unique tiebreak column exactly as you would to the window): SQL
+    NTILE assigns the first ``n mod k`` buckets ``ceil(n/k)`` rows and
+    the rest ``floor(n/k)``, which is pure arithmetic on the global
+    rank — and the global rank is ``surrogate_key_ranged``'s
+    distributed numbering (range partition + local row_number +
+    broadcast per-partition offsets; driver state O(#partitions)).
+    Integer ceil-division throughout, exact at any rank.
+
+    ``order_cols`` accepts strings or Column expressions (e.g.
+    ``F.col("n").desc()``) — they feed repartitionByRange, the local
+    sort, and the local window identically.
+    """
+    n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    ranged = (
+        df.repartitionByRange(n_part, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn(_PID, F.spark_partition_id())
+    ).localCheckpoint(eager=True)
+
+    counts = {
+        r[_PID]: r["cnt"]
+        for r in ranged.groupBy(_PID).agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = [], 0
+    for p in range(n_part):
+        offsets.append((p, acc))
+        acc += counts.get(p, 0)
+    total = acc
+    offsets_df = df.sparkSession.createDataFrame(
+        offsets, schema=f"{_PID} int, {_OFFSET} long"
+    )
+    local = Window.partitionBy(_PID).orderBy(*cols)
+    ranked = ranged.join(F.broadcast(offsets_df), _PID).withColumn(
+        "__nt_r", F.col(_OFFSET) + F.row_number().over(local)
+    )
+    q, rem = divmod(total, k)
+    if q == 0:
+        # fewer rows than buckets: ntile gives each row its own bucket
+        bucket = F.col("__nt_r")
+    else:
+        head = (q + 1) * rem  # rows living in the ceil-sized buckets
+        bucket = F.when(
+            F.col("__nt_r") <= F.lit(head),
+            F.expr(f"(__nt_r + {q}) div {q + 1}"),
+        ).otherwise(F.expr(f"{rem} + (__nt_r - {head} + {q - 1}) div {q}"))
+    return ranked.withColumn(out_col, bucket.cast("int")).drop(
+        _PID, _OFFSET, "__nt_r"
+    )

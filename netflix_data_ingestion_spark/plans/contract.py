@@ -590,6 +590,9 @@ _ROUND5_HEAD: list[str] = [
     # the round-4 red row: the SCD2 sentinel fix (2260-12-31, pandas-safe)
     # must be proven by a fresh driver row, so it leads the window
     "user_state_history",
+    # r4's only "err" row: now carries an exact-count + bounded-error
+    # boolean oracle instead of rows-only — prove the conversion
+    "approx_distinct_users_daily",
 ]
 
 # ---------------------------------------------------------------------------

@@ -805,13 +805,17 @@ ORDER BY user_id
 
 
 def q_customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/keys.ntile_ranged: exact SQL ntile(4) computed
+    distributed (range partition + local rank + broadcast offsets) —
+    no single-task global sort even with 10^8 customers."""
+    from netflix_data_ingestion_spark.operators.keys import ntile_ranged
+
     cust = _t(spark, sf_dir, "customer")
-    # single global window: fine at dimension cardinality; range-partition
-    # by balance bands before ntile at fact scale
-    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
-    quartiled = cust.select(
-        "c_custkey", F.ntile(4).over(w).cast("int").alias("quartile"),
-        "c_acctbal",
+    quartiled = ntile_ranged(
+        cust.select("c_custkey", "c_acctbal"),
+        [F.col("c_acctbal").asc(), F.col("c_custkey").asc()],
+        4,
+        "quartile",
     )
     return (
         quartiled.groupBy("quartile")
@@ -2442,9 +2446,12 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic RFM scoring: per ordering customer, quartile of last
     order date (recency — 4 = most recent), order count (frequency),
     and rounded total spend (monetary); segment = 100*r + 10*f + m.
-    Quartiles are global ntile windows over the CUSTOMER aggregate
-    (dimension-sized — the customer_balance_quartiles license), ties
-    broken by custkey for cross-engine determinism."""
+    Quartiles are exact distributed ntiles (operators/keys.ntile_ranged
+    — range partition + local rank + broadcast offsets; identical
+    semantics to the global window, no single-task sort), ties broken
+    by custkey for cross-engine determinism."""
+    from netflix_data_ingestion_spark.operators.keys import ntile_ranged
+
     orders = _t(spark, sf_dir, "orders")
     per_cust = orders.groupBy(
         F.col("o_custkey").alias("c_custkey")
@@ -2453,18 +2460,13 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
     )
-    def q(col_order):
-        return F.ntile(4).over(Window.orderBy(*col_order))
-
-    scored = per_cust.select(
-        "c_custkey",
-        "last_order",
-        "n_orders",
-        "total_spend",
-        q([F.col("last_order").asc(), F.col("c_custkey").asc()]).alias("r"),
-        q([F.col("n_orders").asc(), F.col("c_custkey").asc()]).alias("f"),
-        q([F.col("total_spend").asc(), F.col("c_custkey").asc()]).alias("m"),
-    )
+    scored = per_cust
+    for out, order in [
+        ("r", [F.col("last_order").asc(), F.col("c_custkey").asc()]),
+        ("f", [F.col("n_orders").asc(), F.col("c_custkey").asc()]),
+        ("m", [F.col("total_spend").asc(), F.col("c_custkey").asc()]),
+    ]:
+        scored = ntile_ranged(scored, order, 4, out)
     return scored.select(
         "c_custkey",
         "last_order",

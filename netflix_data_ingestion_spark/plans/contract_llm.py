@@ -2808,25 +2808,25 @@ SELECT MIN(s)::BIGINT AS est_join_rows FROM per_row
 def q_user_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-evaluation lift table: users ranked into activity deciles
     (the "score"), purchase rate per decile — the calibration/lift
-    shape every ranking-model eval produces.  Deciles are a global
-    ntile over the USER aggregate (dimension-sized, the
-    balance-quartiles license); the rate is one int/int division."""
-    events = _t(spark, sf_dir, "events")
-    from pyspark.sql import Window as W
+    shape every ranking-model eval produces.  Deciles are exact
+    distributed ntiles over the USER aggregate
+    (operators/keys.ntile_ranged — identical tie-splitting semantics
+    to the global window, no single-task sort); the rate is one
+    int/int division."""
+    from netflix_data_ingestion_spark.operators.keys import ntile_ranged
 
+    events = _t(spark, sf_dir, "events")
     per_user = events.groupBy("user_id").agg(
         F.count("*").cast("long").alias("n_events"),
         F.max(
             (F.col("event_type") == "purchase").cast("int")
         ).alias("purchased"),
     )
-    scored = per_user.withColumn(
+    scored = ntile_ranged(
+        per_user,
+        [F.col("n_events").desc(), F.col("user_id").asc()],
+        10,
         "decile",
-        F.ntile(10).over(
-            W.orderBy(
-                F.col("n_events").desc(), F.col("user_id").asc()
-            )
-        ),
     )
     return (
         scored.groupBy("decile")

@@ -229,17 +229,41 @@ ORDER BY order_year ASC NULLS FIRST, order_month ASC NULLS FIRST
 
 
 # ---------------------------------------------------------------------------
-# Approximate count-distinct (HLL) — rows-only: sketches are not portable
+# Approximate count-distinct (HLL) — bounded-error contract: the sketch
+# value itself is not portable across engines, but its ERROR BOUND is a
+# checkable fact.  The row carries the exact distinct count (oracle-
+# reproducible) plus a boolean asserting the native HLL estimate landed
+# within 3x its configured rsd (0.05 -> 15%); the oracle emits TRUE, so
+# an out-of-tolerance sketch becomes a hash mismatch, not a shrug.
+# Spark's HLL++ is deterministic for given data, so the row cannot flake.
 # ---------------------------------------------------------------------------
 
 
 def q_approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = _t(spark, sf_dir, "events")
-    return (
-        events.groupBy(F.to_date("ts").alias("event_date"))
-        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
-        .orderBy("event_date")
+    events = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    per_day = events.groupBy(F.to_date("ts").alias("event_date")).agg(
+        F.approx_count_distinct("user_id", 0.05).alias("__approx"),
+        F.count_distinct("user_id").cast("long").alias("exact_users"),
     )
+    # integer arithmetic: |approx - exact| * 100 <= exact * 15
+    return per_day.select(
+        "event_date",
+        "exact_users",
+        (
+            F.abs(F.col("__approx") - F.col("exact_users")) * 100
+            <= F.col("exact_users") * 15
+        ).alias("approx_within_15pct"),
+    ).orderBy("event_date")
+
+
+ORACLE_APPROX_DISTINCT_DAILY = """
+SELECT CAST(ts AS DATE) AS event_date,
+       COUNT(DISTINCT user_id)::BIGINT AS exact_users,
+       TRUE AS approx_within_15pct
+FROM events
+WHERE ts IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
 
 
 def q_events_asof_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -890,5 +914,8 @@ REGISTRY_WINDOW = {
     "events_sessionization": (q_events_sessionization, ORACLE_SESSIONIZATION),
     "pivot_event_types": (q_pivot_event_types, ORACLE_PIVOT),
     "orders_rollup": (q_orders_rollup, ORACLE_ROLLUP),
-    "approx_distinct_users_daily": (q_approx_distinct_users_daily, None),
+    "approx_distinct_users_daily": (
+        q_approx_distinct_users_daily,
+        ORACLE_APPROX_DISTINCT_DAILY,
+    ),
 }

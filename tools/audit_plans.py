@@ -91,8 +91,6 @@ SANCTIONED: dict[str, str] = {
     "ann_ivf_topk": "bNLJ: query-rows x centroid table, both model-sized",
     "calendar_dim": "1-task date-spine generator, 2.4k rows by design",
     "curate_corpus": "1-row gate-stats frames (quota totals), bounded",
-    "customer_balance_quartiles": "global ntile = one ordered window, doc'd",
-    "customer_rfm_segments": "global ntiles over the customer aggregate, doc'd",
     "customer_part_negatives": "1-row n_items broadcast crossJoin, doc'd",
     "doc_class_balance": "1-row target-size broadcast crossJoin, doc'd",
     "user_churn_labels": "1-row label-horizon broadcast crossJoin, doc'd",
@@ -102,7 +100,6 @@ SANCTIONED: dict[str, str] = {
     "doc_model_scores": "Arrow-batched model-inference stage, doc'd",
     "doc_bm25_search": "1-row corpus-stats broadcast crossJoin, doc'd",
     "dedup_lsh_recall": "1-row metric counts crossJoined; audit slice bounded at 200 docs",
-    "user_decile_lift": "global ntile over the user aggregate, doc'd",
     "dedup_cosine_scale": "Arrow verify stage (doc'd); 1-row plan stats",
     "dedup_embedding_cosine": "AUDIT twin: driver block-matrix, doc'd",
     "dedup_semantic": "Arrow verify stage shared with cosine_scale",
