@@ -43,7 +43,7 @@ def drift_report(
     count the engines can hold.
     """
     from netflix_data_ingestion_spark.operators.profile import (
-        exact_quantiles,
+        exact_quantiles_ranged,
     )
 
     qs = tuple(i / bins for i in range(1, bins))
@@ -53,7 +53,9 @@ def drift_report(
     curv = cur.select(
         F.round(F.col(value_col) * scale).cast("long").alias("__v")
     ).where(F.col("__v").isNotNull())
-    cutrow = exact_quantiles(refv, [], "__v", qs=qs)
+    # distributed global quantiles (range partition + broadcast offsets)
+    # — no single-task sort of the reference side at any scale
+    cutrow = exact_quantiles_ranged(refv, "__v", qs=qs)
     cuts = cutrow.select(
         F.array(
             *[F.col(f"p{int(round(q * 100))}") for q in qs]

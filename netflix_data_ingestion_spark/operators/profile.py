@@ -120,6 +120,71 @@ def exact_quantiles(
     )
 
 
+def exact_quantiles_ranged(
+    df: DataFrame,
+    value_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """GLOBAL twin of ``exact_quantiles(df, [], value_col, qs)`` —
+    identical nearest-rank picks (1-based rank ``ceil(q * n)``; the
+    driver-side ``math.ceil(q * n)`` is the same IEEE double product
+    the SQL form computes, so picks stay bit-identical) but computed
+    DISTRIBUTED: range partition on the value, local row_number plus
+    broadcast per-partition offsets gives every row its global rank
+    (keys.surrogate_key_ranged's numbering; driver state
+    O(#partitions)), then the <= |qs| rows AT the target ranks fold
+    into the one-row profile.  No single-task sort of the world; tie
+    runs may split across partitions, but the VALUE at any rank inside
+    a tie run is the tied value itself, so picks are
+    partition-invariant.  NULL values are excluded here (the keyed
+    form leaves NULL handling to its callers, which pre-filter).
+
+    Returns one row: (n, p<q>...) — empty input yields n=0 with NULL
+    picks.
+    """
+    import math
+
+    n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.where(F.col(value_col).isNotNull())
+        .select(value_col)
+        .repartitionByRange(n_part, F.col(value_col).asc())
+        .sortWithinPartitions(F.col(value_col).asc())
+        .withColumn("__pid", F.spark_partition_id())
+    ).localCheckpoint(eager=True)
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in ranged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = [], 0
+    for p in range(n_part):
+        offsets.append((p, acc))
+        acc += counts.get(p, 0)
+    total = acc
+    offsets_df = df.sparkSession.createDataFrame(
+        offsets, schema="__pid int, __off long"
+    )
+    targets = {
+        f"p{int(round(q * 100))}": (max(1, math.ceil(q * total)) if total else -1)
+        for q in qs
+    }
+    local = Window.partitionBy("__pid").orderBy(F.col(value_col).asc())
+    ranked = ranged.join(F.broadcast(offsets_df), "__pid").withColumn(
+        "__rn", F.col("__off") + F.row_number().over(local)
+    )
+    picks_src = ranked.where(
+        F.col("__rn").isin(*sorted(set(targets.values())))
+    )
+    picks = [
+        F.max(
+            F.when(F.col("__rn") == F.lit(rank), F.col(value_col))
+        ).alias(name)
+        for name, rank in targets.items()
+    ]
+    return picks_src.agg(F.lit(total).cast("long").alias("n"), *picks)
+
+
 def skew_report(
     df: DataFrame, key_cols: list[str], top: int = 10
 ) -> DataFrame:

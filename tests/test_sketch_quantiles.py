@@ -122,3 +122,37 @@ def test_cms_join_size_estimate_one_sided_and_tight(spark):
         0
     ]["est_join_rows"]
     assert est0 < true_size
+
+
+def test_exact_quantiles_ranged_matches_global_window(spark):
+    """The distributed global quantile (range partition + broadcast
+    offsets) picks the exact same nearest-rank values as the windowed
+    form, including under heavy ties and at tiny n."""
+    from pyspark.sql import functions as F
+
+    from netflix_data_ingestion_spark.operators.profile import (
+        exact_quantiles,
+        exact_quantiles_ranged,
+    )
+
+    for n in (1000, 37, 3):
+        df = spark.range(n).select(((F.col("id") * 7919) % 101).alias("v"))
+        want = exact_quantiles(
+            df, [], "v", qs=(0.25, 0.5, 0.75, 0.9)
+        ).collect()[0]
+        got = exact_quantiles_ranged(
+            df, "v", qs=(0.25, 0.5, 0.75, 0.9), num_partitions=5
+        ).collect()[0]
+        assert got.asDict() == want.asDict(), n
+
+
+def test_exact_quantiles_ranged_empty_input(spark):
+    from pyspark.sql import functions as F
+
+    from netflix_data_ingestion_spark.operators.profile import (
+        exact_quantiles_ranged,
+    )
+
+    df = spark.range(5).select(F.col("id").alias("v")).where(F.col("v") < 0)
+    row = exact_quantiles_ranged(df, "v", qs=(0.5,)).collect()[0]
+    assert row["n"] == 0 and row["p50"] is None

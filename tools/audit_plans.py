@@ -120,7 +120,7 @@ SANCTIONED: dict[str, str] = {
     "running_event_total": "global running total: inherently one ordered pass",
     "table_counts": "8 x 1-row count aggregates unioned",
     "user_forget_audit": "4 x 1-row audit aggregates unioned (table_counts shape)",
-    "orders_price_drift": "1-row cut/total frames broadcast-crossJoined 3x (bm25 shape); global ref-quantile window, doc'd",
+    "orders_price_drift": "1-row cut/total/picks frames broadcast-crossJoined (bm25 shape); ref quantiles now DISTRIBUTED (exact_quantiles_ranged)",
     "order_price_auc": "ordered window over the DISTINCT-score frame (value domain, model-sized), doc'd",
     "lineitem_table_digest": "final 1-row combine of the digest aggregate (global agg shape)",
     "orders_price_standardized": "1-row train-moments frame broadcast-crossJoined (tfidf __n_docs shape)",
