@@ -141,3 +141,128 @@ def test_phash_hamming_one_fingerprint_pairs(spark):
     assert out[(1, 2)] == 1 and out[(2, 3)] == 3
     assert (1, 3) not in out  # hamming 4 > budget
     assert all(4 not in p for p in out)
+
+
+# ---------------------------------------------------------------------------
+# Real decode path (pure-numpy netpbm/BMP parsers)
+# ---------------------------------------------------------------------------
+
+
+def _ppm_bytes(w, h, rgb):
+    """P6 with a comment in the header; rgb = fn(x, y) -> (r, g, b)."""
+    body = bytearray()
+    for y in range(h):
+        for x in range(w):
+            body.extend(rgb(x, y))
+    return b"P6\n# test\n%d %d\n255\n" % (w, h) + bytes(body)
+
+
+def _pgm_bytes(w, h, gray):
+    body = bytes(gray(x, y) for y in range(h) for x in range(w))
+    return b"P5 %d %d 255\n" % (w, h) + body
+
+
+def _bmp_bytes(w, h, rgb):
+    """Uncompressed 24-bit bottom-up BI_RGB."""
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up row order
+        row = bytearray()
+        for x in range(w):
+            r, g, b = rgb(x, y)
+            row.extend((b, g, r))  # BGR
+        row.extend(b"\x00" * (stride - len(row)))
+        body.extend(row)
+    data_off = 54
+    size = data_off + len(body)
+    hdr = (
+        b"BM"
+        + size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + data_off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(body).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return bytes(hdr) + bytes(body)
+
+
+def _media_frame(spark, payloads):
+    rows = [(i, bytearray(p), "image", len(p), "x") for i, p in enumerate(payloads)]
+    return spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+
+
+def test_real_decode_ppm_pgm_bmp_exact(spark):
+    """Real pixel statistics: decoded dims and the exact integer mean
+    luminance match a straight-line Python oracle for all 3 codecs."""
+    w, h = 10, 6
+    rgb = lambda x, y: ((x * 23) % 256, (y * 41) % 256, (x + y) % 256)
+    gray = lambda x, y: (x * 7 + y * 13) % 256
+    payloads = [_ppm_bytes(w, h, rgb), _pgm_bytes(w, h, gray), _bmp_bytes(w, h, rgb)]
+    got = {
+        r["media_id"]: r.asDict()
+        for r in multimodal.decode_real_features(
+            _media_frame(spark, payloads)
+        ).collect()
+    }
+    # oracle: integer Rec.601 milli-luma means
+    rgb_lumas = [
+        rgb(x, y)[0] * 299 + rgb(x, y)[1] * 587 + rgb(x, y)[2] * 114
+        for y in range(h)
+        for x in range(w)
+    ]
+    want_rgb_mean = sum(rgb_lumas) // (w * h)
+    gray_lumas = [gray(x, y) * 1000 for y in range(h) for x in range(w)]
+    want_gray_mean = sum(gray_lumas) // (w * h)
+    assert got[0]["codec"] == "ppm" and got[1]["codec"] == "pgm"
+    assert got[2]["codec"] == "bmp"
+    for mid in (0, 1, 2):
+        assert (got[mid]["width"], got[mid]["height"]) == (w, h)
+    assert got[0]["mean_luma_milli"] == want_rgb_mean
+    assert got[1]["mean_luma_milli"] == want_gray_mean
+    # BMP carries the SAME pixels as the PPM -> identical stats + hash
+    assert got[2]["mean_luma_milli"] == want_rgb_mean
+    assert got[2]["ahash64"] == got[0]["ahash64"]
+    assert len(got[0]["ahash64"]) == 16
+
+
+def test_real_decode_quarantines_bad_payloads(spark):
+    payloads = [b"", b"JPEG not really", b"P6 trunca", b"BM\x00\x00"]
+    rows = multimodal.decode_real_features(
+        _media_frame(spark, payloads)
+    ).collect()
+    assert len(rows) == 4
+    assert all(r["codec"] is None and r["ahash64"] is None for r in rows)
+
+
+def test_real_decode_ahash_is_perceptual(spark):
+    """Near-identical images land at small Hamming distance; a bright
+    vs dark image pair lands far apart."""
+    w, h = 32, 32
+    base = lambda x, y: (x * 8 % 256, x * 8 % 256, x * 8 % 256)
+    tweaked = lambda x, y: (
+        min(255, x * 8 % 256 + (1 if (x, y) == (3, 3) else 0)),
+    ) * 3
+    inverted = lambda x, y: (255 - x * 8 % 256,) * 3
+    got = {
+        r["media_id"]: int(r["ahash64"], 16)
+        for r in multimodal.decode_real_features(
+            _media_frame(
+                spark,
+                [
+                    _ppm_bytes(w, h, base),
+                    _ppm_bytes(w, h, tweaked),
+                    _ppm_bytes(w, h, inverted),
+                ],
+            )
+        ).collect()
+    }
+    near = bin(got[0] ^ got[1]).count("1")
+    far = bin(got[0] ^ got[2]).count("1")
+    assert near <= 2
+    assert far >= 20
