@@ -354,6 +354,10 @@ def ivf_topk(
         )
     else:
         cent = ivf_centroids(corpus, id_col, vec_col, nlist)
+    # the centroid table is nlist rows but derives from a corpus-wide
+    # join+agg; it is referenced twice below (assignment + query probe),
+    # so pin it or the quantizer's final pass runs once per reference
+    cent = cent.localCheckpoint(eager=True)
     assign = ivf_assign(corpus, cent, id_col, vec_col)
     qp = queries.crossJoin(F.broadcast(cent)).withColumn(
         "sim", F.round(cosine(F.col(vec_col), F.col("centroid")), 6)
