@@ -33,12 +33,16 @@ def test_rotation_lists_reference_real_queries():
     from netflix_data_ingestion_spark.plans.contract import (
         REGISTRY,
         _VERIFY_FIRST,
+        _VERIFY_ORDER,
         _VERIFY_ROUND5,
     )
 
     assert set(_VERIFY_FIRST) <= set(REGISTRY)
     assert set(_VERIFY_ROUND5) <= set(REGISTRY)
+    assert set(_VERIFY_ORDER) <= set(REGISTRY)
     assert len(set(_VERIFY_FIRST)) == len(_VERIFY_FIRST)
     assert len(set(_VERIFY_ROUND5)) == len(_VERIFY_ROUND5)
-    # the rotated head IS the driver's sample window
-    assert list(REGISTRY)[: len(_VERIFY_FIRST)] == _VERIFY_FIRST
+    assert len(set(_VERIFY_ORDER)) == len(_VERIFY_ORDER)
+    # the rotated head IS the driver's sample window (round 5: the fixed
+    # red/err rows first, then the never-driver-sampled backlog)
+    assert list(REGISTRY)[: len(_VERIFY_ORDER)] == _VERIFY_ORDER
