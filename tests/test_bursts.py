@@ -83,3 +83,19 @@ def test_cooldown_resets_on_admission_not_on_events(spark):
         ).collect()
     )
     assert heads == [1, 5, 6, 7]
+
+
+def test_cooldown_rejects_non_integral_tiebreak(spark):
+    """A string tiebreak would cast to NULL and silently admit nothing —
+    the guard must fail loudly instead."""
+    import pytest
+
+    from netflix_data_ingestion_spark.operators.bursts import (
+        cooldown_throttle,
+    )
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), "a")], "k int, ts timestamp, tb string"
+    )
+    with pytest.raises(ValueError, match="integral"):
+        cooldown_throttle(df, ["k"], "ts", "tb", gap_seconds=60)

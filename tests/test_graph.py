@@ -235,3 +235,13 @@ def test_bfs_multi_source_takes_min(spark):
         for r in bfs_hops(pairs, sources=src, rounds=3).collect()
     }
     assert out == {1: 0, 4: 0, 2: 1, 3: 1}
+
+
+def test_bfs_hops_requires_sources(spark):
+    import pytest
+
+    from netflix_data_ingestion_spark.operators.graph import bfs_hops
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="sources"):
+        bfs_hops(pairs)

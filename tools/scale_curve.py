@@ -1,0 +1,197 @@
+"""Measured scaling curves: does each operator family actually scale?
+
+SCALE.md argues posture; this tool MEASURES it.  Each representative
+operator runs at 1x / 4x / 16x of sf0.1 input (copies are key-shifted so
+join/group cardinalities scale linearly, and document text is per-copy
+salted so near-dup structure stays per-copy instead of exploding across
+copies), and the table reports wall seconds plus the fitted scaling
+exponent e ~ log(t16/t1)/log(16) — e near 1.0 is linear, well under 1
+means fixed overhead still dominates, well over 1 flags super-linear
+cost that would bite at 100 TB.
+
+Inputs are materialized to parquet under /tmp first so every run scans
+real files (pushdown, split sizing) rather than in-memory unions.
+
+Usage: python tools/scale_curve.py [sf_dir] [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SCALES = (1, 4, 16)
+WORK = "/tmp/scale_curve"
+
+
+def _shifted(df, tbl: str, i: int):
+    from pyspark.sql import functions as F
+
+    if i == 0 and tbl != "documents":
+        return df
+    if tbl == "lineitem":
+        return df.withColumn(
+            "l_orderkey", F.col("l_orderkey") + i * 100_000_000
+        )
+    if tbl == "orders":
+        return df.withColumn(
+            "o_orderkey", F.col("o_orderkey") + i * 100_000_000
+        ).withColumn("o_custkey", F.col("o_custkey") + i * 10_000_000)
+    if tbl == "customer":
+        return df.withColumn(
+            "c_custkey", F.col("c_custkey") + i * 10_000_000
+        )
+    if tbl == "events":
+        return df.withColumn(
+            "event_id", F.col("event_id") + i * 10_000_000_000
+        ).withColumn("user_id", F.col("user_id") + i * 10_000_000)
+    if tbl == "documents":
+        # uniform per-copy word salt: preserves within-copy near-dup
+        # structure, breaks cross-copy shingle overlap (so dup pairs
+        # scale linearly with copies, as fresh data would)
+        return df.withColumn(
+            "doc_id", F.col("doc_id") + i * 10_000_000
+        ).withColumn(
+            "text", F.regexp_replace("text", " ", f" zq{i} ")
+        )
+    raise ValueError(tbl)
+
+
+def materialize(spark, sf_dir: str, tbl: str, copies: int) -> str:
+    path = f"{WORK}/{tbl}_x{copies}"
+    if os.path.exists(path):
+        return path
+    base = spark.read.parquet(f"{sf_dir}/{tbl}.parquet")
+    out = _shifted(base, tbl, 0)
+    for i in range(1, copies):
+        out = out.unionByName(_shifted(base, tbl, i))
+    out.write.mode("overwrite").parquet(path)
+    return path
+
+
+def ops(spark, sf_dir: str, copies: int):
+    """name -> (n_input_rows, thunk building+running the op)."""
+    from pyspark.sql import functions as F
+
+    from netflix_data_ingestion_spark.operators.bursts import (
+        cooldown_throttle,
+    )
+    from netflix_data_ingestion_spark.operators.dedup import (
+        minhash_lsh_candidate_pairs,
+    )
+    from netflix_data_ingestion_spark.operators.keys import ntile_ranged
+
+    li = spark.read.parquet(materialize(spark, sf_dir, "lineitem", copies))
+    orders = spark.read.parquet(materialize(spark, sf_dir, "orders", copies))
+    cust = spark.read.parquet(materialize(spark, sf_dir, "customer", copies))
+    events = spark.read.parquet(materialize(spark, sf_dir, "events", copies))
+    docs = spark.read.parquet(materialize(spark, sf_dir, "documents", copies))
+
+    def scan_agg():
+        return (
+            li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity"),
+                F.sum("l_extendedprice"),
+                F.avg("l_discount"),
+                F.count("*"),
+            )
+            .collect()
+        )
+
+    def join_agg():
+        return (
+            orders.join(cust, orders.o_custkey == cust.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.count("*"), F.sum("o_totalprice"), F.max("o_orderdate"))
+            .collect()
+        )
+
+    def sessionize():
+        return (
+            events.groupBy(
+                F.session_window("ts", "30 minutes"), F.col("user_id")
+            )
+            .agg(F.count("*"), F.round(F.sum("value"), 2))
+            .count()
+        )
+
+    def lsh_candidates():
+        return minhash_lsh_candidate_pairs(
+            docs, "doc_id", "text"
+        ).count()
+
+    def ntile():
+        return ntile_ranged(
+            cust.select("c_custkey", "c_acctbal"),
+            [F.col("c_acctbal").asc(), F.col("c_custkey").asc()],
+            10,
+            "decile",
+        ).count()
+
+    def cooldown():
+        return cooldown_throttle(
+            events, ["user_id", "event_type"], "ts", "event_id", 600
+        ).count()
+
+    return {
+        "scan_agg(lineitem)": (copies * 600_000, scan_agg),
+        "join_agg(orders*cust)": (copies * 150_000, join_agg),
+        "session_window(events)": (copies * 100_000, sessionize),
+        "minhash_lsh(documents)": (copies * 5_000, lsh_candidates),
+        "ntile_ranged(customer)": (copies * 15_000, ntile),
+        "cooldown_throttle(events)": (copies * 100_000, cooldown),
+    }
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out_json = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_curve.json"
+
+    from netflix_data_ingestion_spark.session import build_session
+
+    spark = build_session(app_name="scale-curve")
+    shutil.rmtree(WORK, ignore_errors=True)
+
+    results: dict[str, dict] = {}
+    for copies in SCALES:
+        for name, (n, thunk) in ops(spark, sf_dir, copies).items():
+            # warm-up once at the smallest scale so JIT/codegen cold cost
+            # doesn't masquerade as the 1x time
+            if copies == SCALES[0]:
+                thunk()
+            t0 = time.time()
+            thunk()
+            dt = time.time() - t0
+            results.setdefault(name, {"rows": {}, "sec": {}})
+            results[name]["rows"][copies] = n
+            results[name]["sec"][copies] = round(dt, 2)
+            spark.catalog.clearCache()
+        print(f"--- {copies}x done", flush=True)
+
+    lo, hi = SCALES[0], SCALES[-1]
+    print(f"\n{'operator':28s} " + " ".join(f"{c:>7}x" for c in SCALES) + "   exp")
+    for name, r in results.items():
+        t1, tn = r["sec"][lo], r["sec"][hi]
+        e = math.log(max(tn, 1e-3) / max(t1, 1e-3)) / math.log(hi / lo)
+        r["exponent"] = round(e, 2)
+        print(
+            f"{name:28s} "
+            + " ".join(f"{r['sec'][c]:7.2f}" for c in SCALES)
+            + f"  {e:5.2f}"
+        )
+    with open(out_json, "w") as f:
+        json.dump(results, f, indent=1, sort_keys=True)
+    print(f"\nwrote {out_json}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
