@@ -33,9 +33,17 @@ def auc_roc(
     conventional half-credit.  AUC is NULL when either class is empty
     (no ranking question to score).
 
-    Plan: one combinable per-score aggregate, one ordered window over
-    the DISTINCT-score frame, one 1-row combine.
+    Plan: one combinable per-score aggregate, then the
+    cumulative-negatives term as a DISTRIBUTED prefix sum over the
+    distinct-score frame (operators/keys.prefix_sum_ranged — range
+    partition + local running sum + broadcast offsets; for continuous
+    scores the distinct-value domain is data-sized, so no single-task
+    ordered pass), one 1-row combine.
     """
+    from netflix_data_ingestion_spark.operators.keys import (
+        prefix_sum_ranged,
+    )
+
     base = df.select(
         F.col(label_col).cast("boolean").alias("__y"),
         F.round(F.col(score_col) * scale).cast("long").alias("__s"),
@@ -44,17 +52,14 @@ def auc_roc(
         F.count(F.when(F.col("__y"), 1)).cast("long").alias("__np"),
         F.count(F.when(~F.col("__y"), 1)).cast("long").alias("__nn"),
     )
-    w = Window.orderBy(F.col("__s").asc()).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    contrib = per_score.select(
+    pre = prefix_sum_ranged(per_score, ["__s"], "__nn", "__pre_nn")
+    contrib = pre.select(
         "__np",
         "__nn",
         (
             F.col("__np").cast("decimal(38,0)")
             * (
-                F.lit(2) * F.coalesce(F.sum("__nn").over(w), F.lit(0))
-                + F.col("__nn")
+                F.lit(2) * F.col("__pre_nn") + F.col("__nn")
             ).cast("decimal(38,0)")
         ).alias("__u2"),
     )

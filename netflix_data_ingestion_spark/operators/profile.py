@@ -230,11 +230,11 @@ def global_rank(
     table into one task.  The distributed construction:
 
       1. per-value frequencies — one combinable shuffle on the value;
-      2. cumulative offsets over the |distinct values| frequency rows —
-         this window IS single-task, but over distinct values only
-         (same cardinality caveat as ``skew_report``: fine for
-         measure-ish columns, not for unique keys — for those the rank
-         is ``row_number`` within value anyway);
+      2. cumulative offsets over the frequency rows via the DISTRIBUTED
+         exclusive prefix sum (``keys.prefix_sum_ranged``: range
+         partition on the value, local running sum, broadcast
+         O(#partitions) offsets) — no single-task pass even when the
+         value column is near-unique;
       3. rank = value's offset + row_number within the value group
          ordered by id — a window PARTITIONED by value, distributed.
 
@@ -243,20 +243,16 @@ def global_rank(
     position — Spark ASC puts NULLs first, DuckDB last — so a NULL
     would make ranks engine-dependent; filter first).
     """
+    from netflix_data_ingestion_spark.operators.keys import (
+        prefix_sum_ranged,
+    )
+
     freq = df.groupBy(F.col(value_col).alias("__v")).agg(
         F.count(F.lit(1)).alias("__f")
     )
-    cum = freq.withColumn(
-        "__offset",
-        F.coalesce(
-            F.sum("__f").over(
-                Window.orderBy("__v").rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
-            ),
-            F.lit(0),
-        ),
-    ).select("__v", "__offset")
+    cum = prefix_sum_ranged(freq, ["__v"], "__f", "__offset").select(
+        "__v", "__offset"
+    )
     within = F.row_number().over(
         Window.partitionBy(value_col).orderBy(F.col(id_col).asc())
     )

@@ -384,10 +384,14 @@ FROM adm ORDER BY event_id
 def q_part_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto/ABC analysis: parts ranked by revenue; cumulative share in
     exact ppm classifies A (first 80% of revenue), B (to 95%), C (tail)
-    — the inventory-priority classic.  The ordered window runs over the
-    part CATALOG (value domain, not the fact), integer-divided shares,
-    (revenue desc, partkey) total order."""
-    from pyspark.sql import Window as W
+    — the inventory-priority classic.  The cumulative revenue is a
+    DISTRIBUTED prefix sum (operators/keys.prefix_sum_ranged over the
+    (revenue desc, partkey) total order — no single-task sort of the
+    catalog, which at 100 TB is 10^7+ parts); the grand total is a
+    1-row broadcast off the same pinned frame; shares integer-divided."""
+    from netflix_data_ingestion_spark.operators.keys import (
+        prefix_sum_ranged,
+    )
 
     li = _t(spark, sf_dir, "lineitem")
     per_part = li.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
@@ -395,18 +399,18 @@ def q_part_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_cents"
         )
     )
-    w = W.orderBy(F.col("revenue_cents").desc(), F.col("p_partkey").asc())
-    ranked = per_part.select(
+    pre = prefix_sum_ranged(
+        per_part,
+        [F.col("revenue_cents").desc(), F.col("p_partkey").asc()],
+        "revenue_cents",
+        "__pre",
+    )
+    totals = pre.agg(F.sum("revenue_cents").alias("__total"))
+    ranked = pre.crossJoin(F.broadcast(totals)).select(
         "p_partkey",
         "revenue_cents",
-        F.sum("revenue_cents")
-        .over(w.rowsBetween(W.unboundedPreceding, 0))
-        .alias("__cum"),
-        F.sum("revenue_cents").over(
-            W.orderBy(F.lit(1)).rowsBetween(
-                W.unboundedPreceding, W.unboundedFollowing
-            )
-        ).alias("__total"),
+        (F.col("__pre") + F.col("revenue_cents")).alias("__cum"),
+        "__total",
     )
     cum_ppm = F.expr("(__cum * 1000000) div __total")
     return ranked.select(

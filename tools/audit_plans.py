@@ -112,7 +112,7 @@ SANCTIONED: dict[str, str] = {
     "lineitem_feature_corr": "single 1-row moment aggregate, constant output",
     "price_quantity_ols": "single 1-row moment aggregate, constant output",
     "multimodal_frame_sample": "Arrow 1-to-many frame stub, doc'd",
-    "order_price_equidepth": "distinct-value cumsum + 1-row total, doc'd",
+    "order_price_equidepth": "1-row total broadcast; rank offsets now DISTRIBUTED (prefix_sum_ranged inside global_rank)",
     "orders_expectations": "1-row report aggregates (constant output)",
     "orders_profile": "single 1-row profile aggregate, constant output",
     "orders_zorder_key": "1-row min/max bounds broadcast, doc'd",
@@ -121,11 +121,11 @@ SANCTIONED: dict[str, str] = {
     "table_counts": "8 x 1-row count aggregates unioned",
     "user_forget_audit": "4 x 1-row audit aggregates unioned (table_counts shape)",
     "orders_price_drift": "1-row cut/total/picks frames broadcast-crossJoined (bm25 shape); ref quantiles now DISTRIBUTED (exact_quantiles_ranged)",
-    "order_price_auc": "ordered window over the DISTINCT-score frame (value domain, model-sized), doc'd",
+    "order_price_auc": "final 1-row AUC combine (global agg shape); cumulative-negatives term now DISTRIBUTED (prefix_sum_ranged)",
     "lineitem_table_digest": "final 1-row combine of the digest aggregate (global agg shape)",
     "orders_price_standardized": "1-row train-moments frame broadcast-crossJoined (tfidf __n_docs shape)",
     "order_class_report": "single 1-row confusion aggregate, constant output (orders_profile shape)",
-    "part_abc_classes": "ordered window over the part CATALOG (value domain, model-sized), doc'd",
+    "part_abc_classes": "1-row grand-total broadcast crossJoin; cumulative revenue now DISTRIBUTED (prefix_sum_ranged)",
     "weekly_active_users": "date-spine min/max 1-row frame",
 }
 
