@@ -3,12 +3,15 @@
 Images/audio/video are carried as opaque ``binary`` columns with typed
 metadata.  The Spark-side plumbing — schemas, per-row metadata
 extraction, Arrow-batched ``mapInPandas`` decode/feature stages — is real
-and tested; the actual media decode is STUBBED (image/audio libraries are
-not available in this environment): ``decode_stub_features`` derives a
-deterministic fake feature vector from the payload hash so the pipeline
-shape (batch sizes, schema evolution, partitioning) can be validated
-end-to-end, and raises ``NotImplementedError`` when asked for a real
-decode.
+and tested.  Formats that need no codec library are decoded FOR REAL
+in pure numpy: ``decode_real_features`` (netpbm P5/P6 + uncompressed
+24-bit BMP -> exact integer luma stats + 8x8 perceptual aHash) and
+``resize_real`` (integer box-average downsample + netpbm re-encode).
+Library-needing formats (JPEG/PNG/video) remain honestly stubbed:
+``decode_stub_features``/``frame_sample_stub``/``resize_stub`` derive
+deterministic pseudo-features so batch shape / schema / partitioning
+are exercised end-to-end, and raise ``NotImplementedError`` when asked
+for a real decode this environment cannot perform.
 
 At 100 TB: binary payloads make row groups large — ingest should set
 ``spark.sql.files.maxPartitionBytes`` with payload size in mind, and
@@ -193,7 +196,8 @@ def resize_stub(
     """
     if real_decode:
         raise NotImplementedError(
-            "real resize requires an image library not present in this "
+            "use resize_real for netpbm/BMP payloads (pure-numpy box "
+            "resample); other formats require an image library not present in this "
             "environment; wire PIL here on a real cluster"
         )
     import hashlib
@@ -287,8 +291,9 @@ REAL_DECODE_SCHEMA = T.StructType(
 
 
 def _decode_netpbm(b: bytes):
-    """P6 (RGB) / P5 (gray) binary netpbm -> (codec, luma array HxW in
-    milli-units).  Returns None when the payload isn't valid netpbm."""
+    """P6 (RGB) / P5 (gray) binary netpbm -> (codec, 8-bit pixel array:
+    HxW gray or HxWx3 RGB, int64).  Returns None when the payload isn't
+    valid netpbm."""
     import numpy as np
 
     if len(b) < 2 or b[0:1] != b"P" or b[1:2] not in (b"5", b"6"):
@@ -327,18 +332,13 @@ def _decode_netpbm(b: bytes):
         px = px * 255 // maxval
     elif bpv == 2:
         px = px // 257
-    if ch == 3:
-        px = px.reshape(h, w, 3)
-        # integer Rec.601 luma in milli-units: r*299 + g*587 + b*114
-        luma = px[:, :, 0] * 299 + px[:, :, 1] * 587 + px[:, :, 2] * 114
-    else:
-        luma = px.reshape(h, w) * 1000
-    return codec, luma
+    px = px.reshape(h, w, 3) if ch == 3 else px.reshape(h, w)
+    return codec, px
 
 
 def _decode_bmp(b: bytes):
-    """Uncompressed 24-bit bottom-up BI_RGB BMP -> ("bmp", luma HxW in
-    milli-units), or None."""
+    """Uncompressed 24-bit bottom-up BI_RGB BMP -> ("bmp", HxWx3 RGB
+    int64 array), or None."""
     import numpy as np
 
     if len(b) < 54 or b[0:2] != b"BM":
@@ -363,9 +363,16 @@ def _decode_bmp(b: bytes):
     px = raw[:, : w * 3].reshape(rows, w, 3).astype(np.int64)
     if h > 0:  # bottom-up storage
         px = px[::-1]
-    # BMP stores BGR
-    luma = px[:, :, 2] * 299 + px[:, :, 1] * 587 + px[:, :, 0] * 114
-    return "bmp", luma
+    # BMP stores BGR; normalize to RGB channel order
+    return "bmp", px[:, :, ::-1]
+
+
+def _luma(px):
+    """8-bit pixel array (HxW gray or HxWx3 RGB) -> integer Rec.601
+    luma plane in milli-units."""
+    if px.ndim == 3:
+        return px[:, :, 0] * 299 + px[:, :, 1] * 587 + px[:, :, 2] * 114
+    return px * 1000
 
 
 def _ahash64(luma) -> str:
@@ -432,7 +439,8 @@ def decode_real_features(
                     out["mean_luma_milli"].append(None)
                     out["ahash64"].append(None)
                     continue
-                codec, luma = got
+                codec, px = got
+                luma = _luma(px)
                 h, w = luma.shape
                 out["codec"].append(codec)
                 out["width"].append(w)
@@ -451,3 +459,82 @@ def decode_real_features(
             )
 
     return df.mapInPandas(batches, REAL_DECODE_SCHEMA)
+
+
+def _box_resample(px, oh: int, ow: int):
+    """Exact integer box-average downsample of an 8-bit pixel array
+    (HxW or HxWx3) to (oh, ow): each output pixel is the floor-mean of
+    its source block (blocks tile the image via the same h*i//oh grid
+    as _ahash64 — deterministic, no float resampling kernels)."""
+    import numpy as np
+
+    h, w = px.shape[:2]
+    ys = np.array([h * i // oh for i in range(oh)], dtype=np.int64)
+    xs = np.array([w * j // ow for j in range(ow)], dtype=np.int64)
+    yc = np.diff(np.append(ys, h))
+    xc = np.diff(np.append(xs, w))
+    sums = np.add.reduceat(np.add.reduceat(px, ys, axis=0), xs, axis=1)
+    counts = np.outer(yc, xc)
+    if px.ndim == 3:
+        counts = counts[:, :, None]
+    return sums // counts
+
+
+def _encode_netpbm(px) -> bytes:
+    """8-bit pixel array -> P6 (RGB) / P5 (gray) binary netpbm bytes."""
+    import numpy as np
+
+    h, w = px.shape[:2]
+    magic = b"P6" if px.ndim == 3 else b"P5"
+    return (
+        magic + b"\n%d %d\n255\n" % (w, h)
+        + np.clip(px, 0, 255).astype(np.uint8).tobytes()
+    )
+
+
+def resize_real(
+    df: DataFrame,
+    max_width: int = 256,
+    max_height: int = 256,
+) -> DataFrame:
+    """REAL image resize for netpbm/BMP payloads — decode, exact
+    integer box-average downsample to fit (max_width, max_height)
+    preserving aspect (never upscales), re-encode as netpbm (P6/P5 —
+    BMP inputs come back as P6: the canonical-interchange choice a
+    real pipeline makes when normalizing formats).  Same RESIZE_SCHEMA
+    as ``resize_stub``; payloads that don't decode pass through
+    UNCHANGED with their original metadata (quarantine-not-crash), so
+    the operator is safe to run over a mixed-format corpus.
+    """
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {k.name: [] for k in RESIZE_SCHEMA}
+            for media_id, payload, mt in zip(
+                pdf["media_id"], pdf["payload"], pdf["media_type"]
+            ):
+                b = b"" if payload is None else bytes(payload)
+                got = _decode_netpbm(b) or _decode_bmp(b)
+                if got is None:
+                    out, ow, oh = b, None, None
+                else:
+                    _, px = got
+                    h, w = px.shape[:2]
+                    num = min(max_width * h, max_height * w, w * h)
+                    # integer-exact aspect fit: scale = num/(w*h) <= 1
+                    ow = max(1, (w * num) // (w * h))
+                    oh = max(1, (h * num) // (w * h))
+                    out = _encode_netpbm(_box_resample(px, oh, ow))
+                rows["media_id"].append(media_id)
+                rows["payload"].append(out)
+                rows["media_type"].append(mt)
+                rows["n_bytes"].append(len(out))
+                rows["sha256"].append(hashlib.sha256(out).hexdigest())
+                rows["out_width"].append(ow)
+                rows["out_height"].append(oh)
+            yield pd.DataFrame(rows).astype(
+                {"out_width": "Int32", "out_height": "Int32"}
+            )
+
+    return df.mapInPandas(batches, RESIZE_SCHEMA)

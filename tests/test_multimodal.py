@@ -266,3 +266,56 @@ def test_real_decode_ahash_is_perceptual(spark):
     far = bin(got[0] ^ got[2]).count("1")
     assert near <= 2
     assert far >= 20
+
+
+def test_resize_real_box_downsample_exact(spark):
+    """Aspect-fit dims + exact box-mean pixels: a 100x60 PPM into a
+    50x50 box lands at 50x30, and a uniform-color image stays exactly
+    that color after resampling."""
+    rgb = lambda x, y: (37, 120, 211)
+    media = _media_frame(spark, [_ppm_bytes(100, 60, rgb)])
+    out = multimodal.resize_real(media, 50, 50).collect()[0]
+    assert (out["out_width"], out["out_height"]) == (50, 30)
+    codec, px = multimodal._decode_netpbm(bytes(out["payload"]))
+    assert codec == "ppm" and px.shape == (30, 50, 3)
+    assert (px.reshape(-1, 3) == [37, 120, 211]).all()
+
+
+def test_resize_real_mean_preserved_when_blocks_divide(spark):
+    """8x8 gray image of multiples-of-4 values into 4x4: each output
+    pixel is the exact integer mean of its 2x2 block."""
+    gray = lambda x, y: ((x + 2 * y) % 8) * 4
+    media = _media_frame(spark, [_pgm_bytes(8, 8, gray)])
+    out = multimodal.resize_real(media, 4, 4).collect()[0]
+    codec, px = multimodal._decode_netpbm(bytes(out["payload"]))
+    assert codec == "pgm" and px.shape == (4, 4)
+    for i in range(4):
+        for j in range(4):
+            block = [
+                gray(2 * j + dx, 2 * i + dy)
+                for dy in range(2)
+                for dx in range(2)
+            ]
+            assert px[i, j] == sum(block) // 4
+
+
+def test_resize_real_bmp_normalizes_to_ppm_and_passthrough(spark):
+    rgb = lambda x, y: (x % 256, y % 256, (x * y) % 256)
+    payloads = [_bmp_bytes(64, 64, rgb), b"not an image at all"]
+    rows = {
+        r["media_id"]: r
+        for r in multimodal.resize_real(
+            _media_frame(spark, payloads), 16, 16
+        ).collect()
+    }
+    codec, px = multimodal._decode_netpbm(bytes(rows[0]["payload"]))
+    assert codec == "ppm" and px.shape == (16, 16, 3)
+    # undecodable payload passes through byte-identical
+    assert bytes(rows[1]["payload"]) == payloads[1]
+    assert rows[1]["out_width"] is None and rows[1]["out_height"] is None
+
+
+def test_resize_real_never_upscales(spark):
+    media = _media_frame(spark, [_pgm_bytes(5, 3, lambda x, y: 7)])
+    out = multimodal.resize_real(media, 100, 100).collect()[0]
+    assert (out["out_width"], out["out_height"]) == (5, 3)
