@@ -538,3 +538,43 @@ def resize_real(
             )
 
     return df.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+def phash_real(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(id, phash64) — REAL perceptual fingerprint for decodable
+    payloads: the 8x8 average-hash of the decoded luma plane
+    (``decode_real_features``' aHash), which places near-identical
+    IMAGES within small Hamming distance — the property ``phash_stub``'s
+    md5 stand-in cannot provide.  Undecodable payloads fall back to the
+    md5 fingerprint (exact-duplicate detection still works for them).
+    Same output contract as ``phash_stub``, so
+    ``phash_near_dup_pairs``' pigeonhole Hamming join composes
+    unchanged with ``fingerprints=phash_real(...)``.
+    """
+    import hashlib
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("phash64", T.StringType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for media_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = b"" if payload is None else bytes(payload)
+                got = _decode_netpbm(b) or _decode_bmp(b)
+                ids.append(media_id)
+                if got is None:
+                    hashes.append(hashlib.md5(b).hexdigest()[:16])
+                else:
+                    hashes.append(_ahash64(_luma(got[1])))
+            yield pd.DataFrame({"media_id": ids, "phash64": hashes})
+
+    return media.mapInPandas(batches, schema)

@@ -319,3 +319,34 @@ def test_resize_real_never_upscales(spark):
     media = _media_frame(spark, [_pgm_bytes(5, 3, lambda x, y: 7)])
     out = multimodal.resize_real(media, 100, 100).collect()[0]
     assert (out["out_width"], out["out_height"]) == (5, 3)
+
+
+def test_phash_real_pairs_near_duplicate_images(spark):
+    """Two perceptually-near images (one pixel nudged) pair up through
+    the pigeonhole Hamming join; a perceptually-distant image doesn't —
+    the property the md5 stand-in cannot provide."""
+    from netflix_data_ingestion_spark.operators.dedup import (
+        hamming_pairs_64,
+    )
+
+    w, h = 32, 32
+    base = lambda x, y: ((x * 8) % 256,) * 3
+    tweak = lambda x, y: (
+        min(255, (x * 8) % 256 + (3 if (x, y) == (5, 5) else 0)),
+    ) * 3
+    inverted = lambda x, y: (255 - (x * 8) % 256,) * 3
+    media = _media_frame(
+        spark,
+        [
+            _ppm_bytes(w, h, base),
+            _ppm_bytes(w, h, tweak),
+            _ppm_bytes(w, h, inverted),
+        ],
+    )
+    fps = multimodal.phash_real(media)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in hamming_pairs_64(fps, "media_id", "phash64", 3).collect()
+    }
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
