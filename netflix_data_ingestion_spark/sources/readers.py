@@ -200,3 +200,47 @@ def read_orc(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.orc(path)
+
+
+_MEDIA_EXT = {
+    "ppm": "image", "pgm": "image", "bmp": "image", "png": "image",
+    "jpg": "image", "jpeg": "image", "gif": "image",
+    "wav": "audio", "mp3": "audio", "flac": "audio",
+    "mp4": "video", "mkv": "video", "webm": "video",
+}
+
+
+def read_media_dir(
+    spark: SparkSession, path: str, glob: str = "*"
+) -> DataFrame:
+    """Directory of media files -> a MEDIA_SCHEMA frame (media_id,
+    payload, media_type, n_bytes, sha256) via Spark's built-in
+    ``binaryFile`` source — the real ingest edge of the multimodal
+    pipeline (operators/multimodal): files land as one binary column
+    plus typed metadata, ready for decode_real_features / resize_real /
+    phash_real.
+
+    media_id is the 63-bit xxhash64 of the file path (content-stable
+    across re-listings; collision odds are the birthday bound, ~1e-9 at
+    1e5 files); media_type maps from the extension, 'other' when
+    unknown.  At 100 TB: binaryFile splits by FILE (payloads are never
+    split), so set spark.sql.files.maxPartitionBytes with payload sizes
+    in mind and compact tiny files first — the listing, not the bytes,
+    is the first bottleneck (sources/writers.write_manifest pattern).
+    """
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    ext = F.lower(F.element_at(F.split(F.col("path"), "\\."), -1))
+    type_expr = F.lit("other")
+    for e, t in _MEDIA_EXT.items():
+        type_expr = F.when(ext == e, t).otherwise(type_expr)
+    return raw.select(
+        F.abs(F.xxhash64(F.col("path"))).alias("media_id"),
+        F.col("content").alias("payload"),
+        type_expr.alias("media_type"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.sha2(F.col("content"), 256).alias("sha256"),
+    )

@@ -350,3 +350,25 @@ def test_phash_real_pairs_near_duplicate_images(spark):
     }
     assert (0, 1) in pairs
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_read_media_dir_end_to_end(spark, tmp_path):
+    """Files on disk -> binaryFile source -> MEDIA_SCHEMA -> real
+    decode: the full multimodal ingest edge."""
+    from netflix_data_ingestion_spark.sources.readers import read_media_dir
+
+    rgb = lambda x, y: (x % 256, y % 256, 128)
+    (tmp_path / "a.ppm").write_bytes(_ppm_bytes(12, 8, rgb))
+    (tmp_path / "b.bmp").write_bytes(_bmp_bytes(6, 4, rgb))
+    (tmp_path / "notes.txt").write_bytes(b"not media")
+    media = read_media_dir(spark, str(tmp_path))
+    rows = media.collect()
+    assert len(rows) == 3
+    assert {r["media_type"] for r in rows} == {"image", "other"}
+    assert all(r["n_bytes"] == len(bytes(r["payload"])) for r in rows)
+    assert len({r["media_id"] for r in rows}) == 3
+    decoded = {
+        r["codec"]
+        for r in multimodal.decode_real_features(media).collect()
+    }
+    assert decoded == {"ppm", "bmp", None}
