@@ -414,3 +414,106 @@ def test_label_propagation_matches_python_replica(spark, edges):
         for r in label_propagation(df, rounds=3).collect()
     }
     assert got == _lpa_replica(edges, 3)
+
+
+# ---------------------------------------------------------------------------
+# Distributed-rank family (keys.ntile_ranged / keys.prefix_sum_ranged /
+# profile.exact_quantiles_ranged) vs single-node Python oracles
+# ---------------------------------------------------------------------------
+
+ranked_values = st.lists(
+    st.integers(min_value=-50, max_value=50), min_size=1, max_size=120
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=ranked_values,
+    k=st.sampled_from([1, 2, 3, 7, 10]),
+    nparts=st.sampled_from([2, 5, 9]),
+)
+def test_ntile_ranged_matches_python_oracle(spark, vals, k, nparts):
+    from pyspark.sql import functions as F
+
+    from netflix_data_ingestion_spark.operators.keys import ntile_ranged
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["uid", "v"])
+    got = {
+        r["uid"]: r["b"]
+        for r in ntile_ranged(
+            df,
+            [F.col("v").asc(), F.col("uid").asc()],
+            k,
+            "b",
+            num_partitions=nparts,
+        ).collect()
+    }
+    # oracle: sort, then SQL NTILE bucket arithmetic
+    order = sorted(rows, key=lambda t: (t[1], t[0]))
+    n = len(order)
+    q, rem = divmod(n, k)
+    want = {}
+    for pos, (uid, _) in enumerate(order, start=1):
+        if q == 0:
+            want[uid] = pos
+        elif pos <= (q + 1) * rem:
+            want[uid] = (pos + q) // (q + 1)
+        else:
+            want[uid] = rem + (pos - (q + 1) * rem + q - 1) // q
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vals=ranked_values, nparts=st.sampled_from([2, 5, 9]))
+def test_prefix_sum_ranged_matches_python_oracle(spark, vals, nparts):
+    from netflix_data_ingestion_spark.operators.keys import (
+        prefix_sum_ranged,
+    )
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["uid", "v"])
+    got = {
+        r["uid"]: r["pre"]
+        for r in prefix_sum_ranged(
+            df, ["uid"], "v", "pre", num_partitions=nparts
+        ).collect()
+    }
+    acc, want = 0, {}
+    for uid, v in rows:  # uid order IS the total order here
+        want[uid] = acc
+        acc += v
+    assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vals=ranked_values, nparts=st.sampled_from([2, 5, 9]))
+def test_exact_quantiles_ranged_matches_python_oracle(spark, vals, nparts):
+    import math
+
+    from netflix_data_ingestion_spark.operators.profile import (
+        exact_quantiles_ranged,
+    )
+
+    qs = (0.25, 0.5, 0.75, 0.9)
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    row = exact_quantiles_ranged(
+        df, "v", qs=qs, num_partitions=nparts
+    ).collect()[0]
+    order = sorted(vals)
+    assert row["n"] == len(order)
+    for q in qs:
+        want = order[max(1, math.ceil(q * len(order))) - 1]
+        assert row[f"p{int(round(q * 100))}"] == want, q
