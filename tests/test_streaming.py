@@ -856,3 +856,43 @@ def test_cooldown_restart_preserves_last_admission(spark, tmp_path_factory):
     run_once()
     got = sorted(r["event_id"] for r in spark.read.parquet(sink).collect())
     assert got == [0, 3]
+
+
+def test_cooldown_stream_drops_null_event_times(spark, tmp_path_factory):
+    """A NULL-ts event must NOT be admitted (a NaT .value is a huge
+    negative ns count that, unfiltered, always clears the cool-down
+    gap) — matching the batch twin's NULL-ts contract."""
+    rows = _mk_events(
+        offsets_minutes=[0, 5], user_ids=[1, 1], values=[1.0, 1.0]
+    )
+    # event 2: NULL ts for the same key; event 3: a different key, valid
+    rows.append((2, None, 1, "click", 1.0, "{}"))
+    rows.append((3, BASE, 2, "click", 1.0, "{}"))
+    df = spark.createDataFrame(rows, ingest.EVENT_SCHEMA)
+    flat = tmp_path_factory.mktemp("cooldown_null")
+    import glob as _g
+    import shutil as _sh
+
+    tmp = str(flat / "tmp")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    _sh.copyfile(_g.glob(tmp + "/*.parquet")[0], str(flat / "f0.parquet"))
+    _sh.rmtree(tmp)
+
+    stream = ingest.stream_events(spark, str(flat))
+    out = ingest.cooldown_events(
+        stream, key_cols=("user_id", "event_type"), gap_seconds=600
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_cooldown_null")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = sorted(
+        r["event_id"] for r in spark.table("t_cooldown_null").collect()
+    )
+    # user 1: admit minute-0 only (minute-5 inside the gap, NULL-ts
+    # dropped); user 2: its single valid event
+    assert streamed == [0, 3]
