@@ -60,6 +60,28 @@ def _shifted(df, tbl: str, i: int):
         ).withColumn(
             "text", F.regexp_replace("text", " ", f" zq{i} ")
         )
+    if tbl == "embeddings":
+        # deterministic DIRECTIONAL perturbation per copy (a scalar
+        # multiply would leave cosine identical and explode cross-copy
+        # dup pairs): each component shifts by a hash-derived bump
+        return df.withColumn(
+            "vec_id", F.col("vec_id") + i * 10_000_000
+        ).withColumn(
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda x, j: (
+                    x
+                    + (
+                        F.pmod(
+                            F.xxhash64(F.col("vec_id"), F.lit(i), j), 200
+                        ).cast("double")
+                        - 100.0
+                    )
+                    / 40.0
+                ).cast("float"),
+            ),
+        )
     raise ValueError(tbl)
 
 
@@ -87,11 +109,20 @@ def ops(spark, sf_dir: str, copies: int):
     )
     from netflix_data_ingestion_spark.operators.keys import ntile_ranged
 
+    from netflix_data_ingestion_spark.operators.curate import curate_corpus
+    from netflix_data_ingestion_spark.operators.dedup import (
+        cosine_near_dup_pairs_at_scale,
+        exact_dedup,
+    )
+
     li = spark.read.parquet(materialize(spark, sf_dir, "lineitem", copies))
     orders = spark.read.parquet(materialize(spark, sf_dir, "orders", copies))
     cust = spark.read.parquet(materialize(spark, sf_dir, "customer", copies))
     events = spark.read.parquet(materialize(spark, sf_dir, "events", copies))
     docs = spark.read.parquet(materialize(spark, sf_dir, "documents", copies))
+    embs = spark.read.parquet(
+        materialize(spark, sf_dir, "embeddings", copies)
+    )
 
     def scan_agg():
         return (
@@ -141,6 +172,32 @@ def ops(spark, sf_dir: str, copies: int):
             events, ["user_id", "event_type"], "ts", "event_id", 600
         ).count()
 
+    def exact_dd():
+        return exact_dedup(docs, "doc_id", "text").count()
+
+    def cosine_dd():
+        # the documented corpus-size knob: planes grows with log4(n) so
+        # expected bucket occupancy stays constant — without it the
+        # candidate join is quadratic in occupancy (measured: 16x at
+        # fixed planes=6 runs 2x this, trending quadratic); threshold
+        # 0.9 keeps the OUTPUT near-dup-sized (the clustered testdata
+        # has quadratically many pairs at loose thresholds, which no
+        # algorithm can emit in linear time)
+        import math
+
+        planes = 6 + int(math.log(copies, 4))
+        return cosine_near_dup_pairs_at_scale(
+            embs, "vec_id", "embedding", threshold=0.9, planes=planes
+        ).count()
+
+    def curate():
+        # min_quality=0: the per-copy word salt shifts quality features
+        # uniformly below the default gate, which would empty the
+        # pipeline after stage 1 — the curve measures the FULL ladder
+        # (gates -> LSH dedup -> CC -> quota -> packing), not gate
+        # calibration on synthetic text
+        return curate_corpus(docs, min_quality=0.0).count()
+
     return {
         "scan_agg(lineitem)": (copies * 600_000, scan_agg),
         "join_agg(orders*cust)": (copies * 150_000, join_agg),
@@ -148,6 +205,9 @@ def ops(spark, sf_dir: str, copies: int):
         "minhash_lsh(documents)": (copies * 5_000, lsh_candidates),
         "ntile_ranged(customer)": (copies * 15_000, ntile),
         "cooldown_throttle(events)": (copies * 100_000, cooldown),
+        "exact_dedup(documents)": (copies * 5_000, exact_dd),
+        "cosine_lsh_dedup(embeddings)": (copies * 2_000, cosine_dd),
+        "curate_corpus(documents)": (copies * 5_000, curate),
     }
 
 
