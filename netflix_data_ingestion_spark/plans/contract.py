@@ -593,6 +593,16 @@ _ROUND5_HEAD: list[str] = [
     # r4's only "err" row: now carries an exact-count + bounded-error
     # boolean oracle instead of rows-only — prove the conversion
     "approx_distinct_users_daily",
+    # every query whose CODE changed in round 5 re-enters the window
+    # ahead of the never-sampled backlog (the red-row lesson: changed
+    # code needs driver proof first) — the distributed-rank rewires
+    "customer_balance_quartiles",   # ntile_ranged
+    "order_price_equidepth",        # global_rank offsets via prefix sum
+    "user_decile_lift",             # ntile_ranged
+    "customer_rfm_segments",        # ntile_ranged x3
+    "orders_price_drift",           # exact_quantiles_ranged cuts
+    "order_price_auc",              # prefix-sum cumulative negatives
+    "part_abc_classes",             # prefix-sum cumulative revenue
 ]
 
 # ---------------------------------------------------------------------------
@@ -700,3 +710,66 @@ REGISTRY = {
         if name not in _VERIFY_ORDER
     },
 }
+
+# ---------------------------------------------------------------------------
+# ROUND-6 ROTATION PLAN (apply at the START of round 6: make this the
+# registry head).  The 30 queries with no driver CORRECTNESS row after
+# the round-5 window, oldest-registered-first, then the oldest
+# r1/r2-era greens for re-verification (code unchanged since unless
+# noted).  After round 6 every registry query will have a driver row
+# and the verification lag the round-4 verdict flagged is fully paid.
+# ---------------------------------------------------------------------------
+_VERIFY_ROUND6: list[str] = [
+    # never driver-sampled (rolled out of the r5 window)
+    "price_quantity_ols",
+    "ann_multiprobe_topk",
+    "dedup_simhash_pairs",
+    "dedup_lsh_recall",
+    "time_to_purchase_labels",
+    "dedup_prefix_jaccard",
+    "customer_supplier_communities",
+    "events_seasonal_anomaly",
+    "user_forget_audit",
+    "part_name_entities",
+    "dedup_incremental",
+    "doc_dup_spans",
+    "doc_span_cut",
+    "events_burst_collapse",
+    "orders_priority_encoding",
+    "nation_revenue_share",
+    "lineitem_table_digest",
+    "part_item_neighbors",
+    "events_ab_report",
+    "multimodal_phash_pairs",
+    "customer_supplier_hops",
+    "order_lifecycle",
+    "cohort_ltv",
+    "orders_price_standardized",
+    "lineitem_salt_advice",
+    "kmeans_inertia",
+    "order_class_report",
+    "events_twap_daily",
+    "session_entry_conversion",
+    "events_cooldown_throttle",
+    # oldest (r1/r2-era) greens, for re-verification in window slots 31-50
+    "pricing_summary",
+    "top_parts_by_count",
+    "top_discounted_parts_having",
+    "orders_trend_by_year",
+    "daily_event_summary",
+    "most_active_customers",
+    "customer_order_aggregates",
+    "orphan_lineitems",
+    "distinct_event_users",
+    "calendar_dim",
+    "forward_fill_events",
+    "join_drop_accounting",
+    "table_counts",
+    "event_props_json",
+    "top_tokens",
+    "train_test_split",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_lsh_topk",
+]
