@@ -68,11 +68,14 @@ def curate_corpus(
     q = textstats.quality_score(docs, id_col, text_col).select(
         id_col, "quality_score"
     )
+    # base feeds BOTH the dedup candidate stage and the keep-join below;
+    # the quality pass is tokenization-heavy, so pin it or it runs once
+    # per reference (the ivf_topk centroid lesson)
     base = (
         docs.filter(F.col(lang_col) == lang)
         .join(q, id_col)
         .filter(F.col("quality_score") >= min_quality)
-    )
+    ).localCheckpoint(eager=True)
     clusters = graph.dedup_clusters(
         base,
         id_col,
