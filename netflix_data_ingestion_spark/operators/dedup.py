@@ -227,8 +227,14 @@ def minhash_lsh_candidate_pairs(
     num_hashes: int = 16,
     bands: int = 4,
 ) -> DataFrame:
-    """Distinct candidate near-dup pairs: docs sharing >= 1 LSH band bucket."""
-    bt = minhash_band_table(df, id_col, text_col, n, num_hashes, bands)
+    """Distinct candidate near-dup pairs: docs sharing >= 1 LSH band
+    bucket.  The band table (shingling + num_hashes min-hashes — the
+    expensive projection) is PINNED before the self-join: a self-join
+    on a lazy frame plans its subtree once per side, running the
+    minhash pass twice."""
+    bt = minhash_band_table(
+        df, id_col, text_col, n, num_hashes, bands
+    ).localCheckpoint(eager=True)
     a = bt.alias("a")
     b = bt.alias("b")
     return (
@@ -552,7 +558,12 @@ def semantic_dedup_pairs(
     """
     from netflix_data_ingestion_spark.operators.kmeans import kmeans_train
 
-    asg = kmeans_train(df, id_col, vec_col, k=k, iters=iters)
+    # the returned assignment is a narrow pass whose distance expression
+    # carries k codeword folds per row — pin the (id, cluster) frame so
+    # the two sides of the within-cluster join don't each re-run it
+    asg = kmeans_train(df, id_col, vec_col, k=k, iters=iters).select(
+        id_col, "cluster_id"
+    ).localCheckpoint(eager=True)
     a = asg.select(F.col(id_col).alias("id_a"), "cluster_id")
     b = asg.select(F.col(id_col).alias("id_b"), "cluster_id")
     cand = (
