@@ -125,7 +125,9 @@ def ngram_jaccard_pairs(
         .cast("long")
         .alias("n_shingles"),
     ).filter(F.col("n_shingles") > 0)
-    sh = sh.join(F.broadcast(sizes), id_col)
+    # pin before the self-join: the shingle explode would otherwise run
+    # once per side (audit twin, but no reason to pay 2x)
+    sh = sh.join(F.broadcast(sizes), id_col).localCheckpoint(eager=True)
 
     # LENGTH FILTER inside the pair join: jaccard >= t forces
     # min(|A|,|B|) >= t * max(|A|,|B|), so size-incompatible pairs are
@@ -422,7 +424,7 @@ def cosine_lsh_candidate_pairs(
             F.col("tb.bucket").alias("bucket"),
         )
         .filter(F.col("bucket").isNotNull())
-    )
+    ).localCheckpoint(eager=True)  # hyperplane folds x tables: once, not per join side
     a = bt.alias("a")
     b = bt.alias("b")
     return (
@@ -681,7 +683,7 @@ def incremental_near_dup_candidates(
     """
     new_bands = minhash_band_table(
         new_docs, id_col, text_col, n, num_hashes, bands
-    )
+    ).localCheckpoint(eager=True)  # probe side AND part of the union side
     a = new_bands.alias("a")
     b = band_snapshot.union(new_bands).alias("b")
     pairs = (
@@ -732,7 +734,9 @@ def containment_pairs(
     single-projection pattern — one array projection pass, one join,
     regroup shuffles candidate-matched arrays only.
     """
-    sh = shingle_table(df, id_col, text_col, n)
+    # sh feeds the df-count agg AND both sides of the blocked self-join
+    # — pin it or the shingle explode runs three times
+    sh = shingle_table(df, id_col, text_col, n).localCheckpoint(eager=True)
     rare = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("__df"))
