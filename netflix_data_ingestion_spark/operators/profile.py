@@ -196,6 +196,12 @@ def skew_report(
     One keyed groupBy (combinable) then a top-k cut over the |distinct
     keys| counts; share is ONE double division of exact counts.
 
+    The top-k rank is DISTRIBUTED: ``global_rank`` over the counts frame
+    (ascending by -n, struct-of-keys tie-break) — never an unpartitioned
+    ``row_number`` window, which on this operator's own target workload
+    (a skewed key over a 100 TB fact, distinct keys in the billions)
+    would funnel every distinct key through one task to cut 10 rows.
+
     The total is a 1-row aggregate FRAME crossJoined (broadcast) onto
     the top-k rows — not an eager ``df.count()`` — so the operator stays
     one lazy plan and an expensive derived input is computed once, not
@@ -204,12 +210,15 @@ def skew_report(
     pre-cut counts frame."""
     counts = df.groupBy(*key_cols).agg(F.count("*").alias("n"))
     total = counts.agg(F.sum("n").cast("double").alias("__total"))
-    w = Window.orderBy(
-        F.col("n").desc(), *[F.col(c).asc() for c in key_cols]
+    ranked = global_rank(
+        counts.withColumn("__negn", -F.col("n")).withColumn(
+            "__id", F.struct(*[F.col(c) for c in key_cols])
+        ),
+        "__negn",
+        "__id",
     )
     return (
-        counts.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= top)
+        ranked.filter(F.col("rank") <= top)
         .crossJoin(F.broadcast(total))
         .select(
             *key_cols,

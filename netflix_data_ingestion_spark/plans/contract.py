@@ -773,3 +773,25 @@ _VERIFY_ROUND6: list[str] = [
     "dedup_simhash",
     "ann_lsh_topk",
 ]
+
+# Round-6 window (applied): the two round-5 red rows first (red-row
+# convention — both were oracle HUGEINT-representation defects, fixed by
+# CAST(... AS BIGINT) in the oracle strings, Spark answers unchanged),
+# then the 30 never-driver-sampled queries (which already include the
+# two latent HUGEINT carriers nation_revenue_share and
+# session_entry_conversion — all four HUGEINT fixes are driver-proven in
+# one window), then the oldest r1/r2-era greens.  52 candidates for 50
+# slots: the last two (dedup_simhash, ann_lsh_topk) queue for round 7.
+_ROUND6_HEAD: list[str] = ["orders_price_drift", "part_abc_classes"]
+_VERIFY_ORDER6: list[str] = _ROUND6_HEAD + [
+    n for n in _VERIFY_ROUND6 if n not in _ROUND6_HEAD
+]
+
+REGISTRY = {
+    **{name: REGISTRY[name] for name in _VERIFY_ORDER6},
+    **{
+        name: spec
+        for name, spec in REGISTRY.items()
+        if name not in _VERIFY_ORDER6
+    },
+}

@@ -438,7 +438,7 @@ ranked AS (
   FROM per_part
 )
 SELECT p_partkey, revenue_cents,
-       (cum * 1000000) // total AS cum_share_ppm,
+       CAST((cum * 1000000) // total AS BIGINT) AS cum_share_ppm,
        CASE WHEN (cum * 1000000) // total <= 800000 THEN 'A'
             WHEN (cum * 1000000) // total <= 950000 THEN 'B'
             ELSE 'C' END AS abc_class
@@ -509,7 +509,7 @@ per_session AS (
 )
 SELECT entry_type, COUNT(*)::BIGINT AS n_sessions,
        SUM(conv)::BIGINT AS n_converted,
-       (SUM(conv) * 1000000) // COUNT(*) AS conversion_ppm
+       CAST((SUM(conv) * 1000000) // COUNT(*) AS BIGINT) AS conversion_ppm
 FROM per_session GROUP BY 1 ORDER BY entry_type
 """
 
@@ -728,8 +728,9 @@ WITH per_nation AS (
   GROUP BY 1, 2
 )
 SELECT region_name, nation_name, revenue_cents,
-       (revenue_cents * 1000000)
-         // SUM(revenue_cents) OVER (PARTITION BY region_name) AS share_ppm,
+       CAST((revenue_cents * 1000000)
+         // SUM(revenue_cents) OVER (PARTITION BY region_name) AS BIGINT)
+         AS share_ppm,
        ROW_NUMBER() OVER (PARTITION BY region_name
                           ORDER BY revenue_cents DESC, nation_name ASC)::INT
          AS rank_in_region
@@ -1559,10 +1560,13 @@ t AS (SELECT SUM(ref_n) AS rt, SUM(cur_n) AS ct FROM b)
 SELECT bin,
        CASE WHEN bin > 1 THEN cs[bin - 1] END AS lo_units,
        ref_n, cur_n,
-       CASE WHEN rt > 0 THEN (ref_n * 1000000) // rt END AS ref_ppm,
-       CASE WHEN ct > 0 THEN (cur_n * 1000000) // ct END AS cur_ppm,
-       abs(CASE WHEN rt > 0 THEN (ref_n * 1000000) // rt END
-           - CASE WHEN ct > 0 THEN (cur_n * 1000000) // ct END) AS delta_ppm
+       CAST(CASE WHEN rt > 0 THEN (ref_n * 1000000) // rt END AS BIGINT)
+         AS ref_ppm,
+       CAST(CASE WHEN ct > 0 THEN (cur_n * 1000000) // ct END AS BIGINT)
+         AS cur_ppm,
+       CAST(abs(CASE WHEN rt > 0 THEN (ref_n * 1000000) // rt END
+           - CASE WHEN ct > 0 THEN (cur_n * 1000000) // ct END) AS BIGINT)
+         AS delta_ppm
 FROM b, t, cuts
 ORDER BY bin
 """

@@ -90,7 +90,6 @@ def main() -> int:
 SANCTIONED: dict[str, str] = {
     "ann_ivf_topk": "bNLJ: query-rows x centroid table, both model-sized",
     "calendar_dim": "1-task date-spine generator, 2.4k rows by design",
-    "curate_corpus": "1-row gate-stats frames (quota totals), bounded",
     "customer_part_negatives": "1-row n_items broadcast crossJoin, doc'd",
     "doc_class_balance": "1-row target-size broadcast crossJoin, doc'd",
     "user_churn_labels": "1-row label-horizon broadcast crossJoin, doc'd",
@@ -108,7 +107,7 @@ SANCTIONED: dict[str, str] = {
     "embedding_cosine_topk": "bNLJ: 5 query rows x corpus, exact baseline",
     "events_pit_state": "1-row validity-cap bound broadcast, doc'd",
     "join_drop_accounting": "global 1-row audit aggregate",
-    "lineitem_skew_report": "1-row total broadcast + top-k cut",
+    "lineitem_skew_report": "1-row total broadcast only; top-k rank now DISTRIBUTED (global_rank over counts)",
     "lineitem_feature_corr": "single 1-row moment aggregate, constant output",
     "price_quantity_ols": "single 1-row moment aggregate, constant output",
     "multimodal_frame_sample": "Arrow 1-to-many frame stub, doc'd",
@@ -117,7 +116,14 @@ SANCTIONED: dict[str, str] = {
     "orders_profile": "single 1-row profile aggregate, constant output",
     "orders_zorder_key": "1-row min/max bounds broadcast, doc'd",
     "orphan_lineitems": "global 1-row audit aggregate",
-    "running_event_total": "global running total: inherently one ordered pass",
+    "running_event_total": (
+        "cumsum over the DAILY-counts frame, which is CALENDAR-sized "
+        "(1 row/day after the keyed groupBy — ~365 rows/yr, ~36.5k/century "
+        "even at 100 TB), not data-sized; the keyed pre-aggregation is the "
+        "distributed pass.  prefix_sum_ranged would trade a bounded "
+        "model-sized window for a range-exchange + offset-collect constant "
+        "— wrong trade on a frame this small (corpus_vocab_growth shape)"
+    ),
     "table_counts": "8 x 1-row count aggregates unioned",
     "user_forget_audit": "4 x 1-row audit aggregates unioned (table_counts shape)",
     "orders_price_drift": "1-row cut/total/picks frames broadcast-crossJoined (bm25 shape); ref quantiles now DISTRIBUTED (exact_quantiles_ranged)",

@@ -28,23 +28,43 @@ TABLES = (
 )
 
 
-def normalize(rows: list[dict], cols: list[str]) -> list[tuple]:
-    def keyify(v):
+def normalize(
+    rows: list[dict], cols: list[str], null_cols: set[str] = frozenset()
+) -> list[tuple]:
+    # DTYPE-SENSITIVE, like the driver's hash: each value carries a kind
+    # tag so 319026 (Spark int64) != 319026.0 (pandas float64 from a
+    # DuckDB HUGEINT column) even though the numbers are equal.  The
+    # round-5 red rows (orders_price_drift, part_abc_classes) were
+    # exactly this class and the old value-only compare passed them.
+    #
+    # Exception (driver parity): an integer column that CONTAINS a NULL
+    # materializes as float64 through pandas on BOTH engines (Spark
+    # toPandas and DuckDB fetchdf alike), so for columns in `null_cols`
+    # ints are coerced to float before tagging — matching the driver,
+    # which hashes both sides post-pandas.
+    def keyify(col, v):
+        if isinstance(v, bool):
+            return ("b", v)
+        if isinstance(v, int):
+            if col in null_cols:
+                return ("f", float(v))
+            return ("i", v)
         if isinstance(v, float):
             if math.isnan(v):
-                return ("nan",)
+                return ("f", "nan")
             # bit-exact: the queries' numeric discipline (single int/int
             # divisions, round-of-exact-decimal sums) guarantees identical
             # doubles across engines — don't mask regressions by rounding
-            return v
-        # unify date vs timestamp-at-midnight across engines
+            return ("f", v)
+        # unify date vs timestamp-at-midnight across engines (driver-green
+        # date columns prove the driver's comparator does the same)
         if isinstance(v, _dt.datetime):
-            return v
+            return ("t", v)
         if isinstance(v, _dt.date):
-            return _dt.datetime(v.year, v.month, v.day)
+            return ("t", _dt.datetime(v.year, v.month, v.day))
         return v
 
-    out = [tuple(keyify(r[c]) for c in cols) for r in rows]
+    out = [tuple(keyify(c, r[c]) for c in cols) for r in rows]
     out.sort(key=lambda t: tuple((x is None, str(type(x)), str(x)) for x in t))
     return out
 
@@ -119,8 +139,14 @@ def main() -> int:
             )
             ok = False
         else:
-            a = normalize(spark_rows, duck_cols)
-            b = normalize(duck_rows, duck_cols)
+            null_cols = {
+                c
+                for c in duck_cols
+                if any(r[c] is None for r in spark_rows)
+                or any(r[c] is None for r in duck_rows)
+            }
+            a = normalize(spark_rows, duck_cols, null_cols)
+            b = normalize(duck_rows, duck_cols, null_cols)
             if a != b:
                 diffs = [
                     (x, y) for x, y in zip(a, b) if x != y
