@@ -4,10 +4,11 @@ Images/audio/video are carried as opaque ``binary`` columns with typed
 metadata.  The Spark-side plumbing — schemas, per-row metadata
 extraction, Arrow-batched ``mapInPandas`` decode/feature stages — is real
 and tested.  Formats that need no codec library are decoded FOR REAL
-in pure numpy: ``decode_real_features`` (netpbm P5/P6 + uncompressed
-24-bit BMP -> exact integer luma stats + 8x8 perceptual aHash) and
-``resize_real`` (integer box-average downsample + netpbm re-encode).
-Library-needing formats (JPEG/PNG/video) remain honestly stubbed:
+in pure numpy: ``decode_real_features`` (netpbm P5/P6, uncompressed
+24-bit BMP, and PNG via stdlib zlib -> exact integer luma stats + 8x8
+perceptual aHash) and ``resize_real`` (integer box-average downsample +
+netpbm re-encode).
+Library-needing formats (JPEG/video) remain honestly stubbed:
 ``decode_stub_features``/``frame_sample_stub``/``resize_stub`` derive
 deterministic pseudo-features so batch shape / schema / partitioning
 are exercised end-to-end, and raise ``NotImplementedError`` when asked
@@ -74,7 +75,7 @@ def decode_stub_features(df: DataFrame, real_decode: bool = False) -> DataFrame:
     """
     if real_decode:
         raise NotImplementedError(
-            "real media decode of library-needing formats (JPEG/PNG/...) "
+            "real media decode of library-needing formats (JPEG/video/...) "
             "is unavailable in this environment; use decode_real_features "
             "for netpbm/BMP payloads, or wire PIL/torchaudio here on a "
             "real cluster"
@@ -367,6 +368,134 @@ def _decode_bmp(b: bytes):
     return "bmp", px[:, :, ::-1]
 
 
+def _decode_png(b: bytes):
+    """Pure-stdlib PNG decode (zlib IDAT inflate + scanline
+    unfiltering, PNG spec §9 and §13) -> ("png", 8-bit pixel array:
+    HxW gray or HxWx3 RGB, int64), or None.
+
+    Scope: non-interlaced, bit depth 8 or 16 for gray (0), RGB (2),
+    gray+alpha (4) and RGBA (6), bit depth 8 for palette (3); alpha is
+    dropped (feature extraction wants the color planes), 16-bit
+    normalizes to 8-bit via //257 like the netpbm path.  Interlaced or
+    sub-byte-depth payloads return None and quarantine as NULL-codec
+    rows — never an error.  Filters: Sub is an exact per-lane cumsum
+    mod 256, Up is a vectorized previous-row add; Average/Paeth take
+    the sequential per-pixel path (both neighbors feed back)."""
+    import zlib
+
+    import numpy as np
+
+    if len(b) < 45 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, n = 8, len(b)
+    ihdr, idat, plte = None, [], None
+    while pos + 8 <= n:
+        ln = int.from_bytes(b[pos : pos + 4], "big")
+        typ = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            return None
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # len + type + data + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color, comp, filt, interlace = ihdr[8:13]
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if (
+        w <= 0
+        or h <= 0
+        or channels is None
+        or comp != 0
+        or filt != 0
+        or interlace != 0
+        or depth not in (8, 16)
+        or (color == 3 and (depth != 8 or plte is None))
+    ):
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    bps = depth // 8  # bytes per sample
+    bpp = channels * bps  # filter stride (bytes per pixel)
+    stride = w * bpp
+    if len(raw) < h * (1 + stride):
+        return None
+    recon = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        off = y * (1 + stride)
+        ftype = raw[off]
+        line = np.frombuffer(raw, np.uint8, count=stride, offset=off + 1)
+        if ftype == 0:
+            cur = line.copy()
+        elif ftype == 1:  # Sub: exact per-lane cumsum mod 256
+            cur = (
+                np.cumsum(
+                    line.reshape(-1, bpp).astype(np.int64), axis=0
+                )
+                % 256
+            ).astype(np.uint8).reshape(-1)
+        elif ftype == 2:  # Up
+            cur = line + prev  # uint8 wraparound IS mod-256
+        elif ftype in (3, 4):  # Average / Paeth: left+up feedback
+            cur = np.empty(stride, dtype=np.uint8)
+            li, pi = line.astype(np.int64), prev.astype(np.int64)
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                up = int(pi[x])
+                if ftype == 3:
+                    cur[x] = (li[x] + (a + up) // 2) % 256
+                else:
+                    c = int(recon[y - 1, x - bpp]) if (
+                        x >= bpp and y > 0
+                    ) else 0
+                    p = a + up - c
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        up if pb <= pc else c
+                    )
+                    cur[x] = (li[x] + pred) % 256
+        else:
+            return None
+        recon[y] = cur
+        prev = cur
+    if depth == 16:
+        px = (
+            recon.reshape(h, w, channels, 2).astype(np.int64)
+        )
+        px = (px[:, :, :, 0] * 256 + px[:, :, :, 1]) // 257
+    else:
+        px = recon.reshape(h, w, channels).astype(np.int64)
+    if color == 3:  # palette lookup
+        pal = np.frombuffer(plte, dtype=np.uint8)
+        if len(pal) % 3 or px.max() >= len(pal) // 3:
+            return None
+        px = pal.reshape(-1, 3).astype(np.int64)[px[:, :, 0]]
+    elif color == 4:  # gray+alpha -> gray
+        px = px[:, :, :1]
+    elif color == 6:  # RGBA -> RGB
+        px = px[:, :, :3]
+    if px.shape[2] == 1:
+        px = px[:, :, 0]
+    return "png", px
+
+
+def _decode_image(b: bytes):
+    """Format-sniffing dispatch over every pure-Python codec:
+    netpbm (P5/P6), uncompressed 24-bit BMP, PNG.  None = quarantine."""
+    return _decode_netpbm(b) or _decode_bmp(b) or _decode_png(b)
+
+
 def _luma(px):
     """8-bit pixel array (HxW gray or HxWx3 RGB) -> integer Rec.601
     luma plane in milli-units."""
@@ -406,14 +535,15 @@ def _ahash64(luma) -> str:
 def decode_real_features(
     df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
 ) -> DataFrame:
-    """REAL decode + feature extraction for netpbm (P5/P6) and
-    uncompressed 24-bit BMP payloads — Arrow-batched ``mapInPandas``,
+    """REAL decode + feature extraction for netpbm (P5/P6),
+    uncompressed 24-bit BMP, and PNG payloads (stdlib-zlib decode, no
+    codec library) — Arrow-batched ``mapInPandas``,
     same plumbing shape as ``decode_stub_features`` but producing true
     pixel statistics: (codec, width, height, exact integer mean
     luminance in milli-units, 8x8 aHash hex).  Payloads in any other
     format (or corrupt) yield a NULL-codec row rather than an error —
     the quarantine-not-crash ingest contract.  Formats needing codec
-    libraries (JPEG/PNG/video) remain out of scope in this
+    libraries (JPEG/video) remain out of scope in this
     environment; on a real cluster the PIL branch plugs into the same
     batch loop.
     """
@@ -430,7 +560,7 @@ def decode_real_features(
             }
             for media_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = b"" if payload is None else bytes(payload)
-                got = _decode_netpbm(b) or _decode_bmp(b)
+                got = _decode_image(b)
                 out["media_id"].append(media_id)
                 if got is None:
                     out["codec"].append(None)
@@ -515,7 +645,7 @@ def resize_real(
                 pdf["media_id"], pdf["payload"], pdf["media_type"]
             ):
                 b = b"" if payload is None else bytes(payload)
-                got = _decode_netpbm(b) or _decode_bmp(b)
+                got = _decode_image(b)
                 if got is None:
                     out, ow, oh = b, None, None
                 else:
@@ -569,7 +699,7 @@ def phash_real(
             ids, hashes = [], []
             for media_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = b"" if payload is None else bytes(payload)
-                got = _decode_netpbm(b) or _decode_bmp(b)
+                got = _decode_image(b)
                 ids.append(media_id)
                 if got is None:
                     hashes.append(hashlib.md5(b).hexdigest()[:16])
