@@ -112,16 +112,18 @@ def bpe_train(
     text_col: str = "text",
     num_merges: int = 50,
     min_pair_count: int = 2,
-) -> list[tuple[str, str]]:
+    with_counts: bool = False,
+) -> list[tuple[str, str]] | list[tuple[str, str, int]]:
     """The learned merge table: ``num_merges`` (a, b) pairs in training
-    order.  Stops early when no pair reaches ``min_pair_count``
-    (merging singleton pairs memorizes the corpus).  Deterministic:
-    ties break lexicographically on (a, b), and every count is exact
-    integer arithmetic — the same corpus always learns the same table,
-    on any partitioning.
+    order (``with_counts=True`` appends each chosen pair's exact corpus
+    count: (a, b, total)).  Stops early when no pair reaches
+    ``min_pair_count`` (merging singleton pairs memorizes the corpus).
+    Deterministic: ties break lexicographically on (a, b), and every
+    count is exact integer arithmetic — the same corpus always learns
+    the same table, on any partitioning.
     """
     vocab = _word_table(df, text_col).localCheckpoint(eager=True)
-    merges: list[tuple[str, str]] = []
+    merges: list = []
     for _ in range(num_merges):
         top = (
             _pair_counts(vocab)
@@ -132,7 +134,9 @@ def bpe_train(
         if not top or top[0]["total"] < min_pair_count:
             break
         a, b = top[0]["a"], top[0]["b"]
-        merges.append((a, b))
+        merges.append(
+            (a, b, int(top[0]["total"])) if with_counts else (a, b)
+        )
         vocab = _apply_merge(vocab, a, b).localCheckpoint(eager=True)
     return merges
 

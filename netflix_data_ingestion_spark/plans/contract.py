@@ -795,3 +795,20 @@ REGISTRY = {
         if name not in _VERIFY_ORDER6
     },
 }
+
+# ---------------------------------------------------------------------------
+# ROUND-7 ROTATION DRAFT (apply at the START of round 7: make this the
+# registry head).  The two r6-window spillovers first, then the round-6
+# additions (registered at the tail this round so the frozen r6 window
+# stayed byte-identical to the drafted plan), then the next-oldest
+# driver rows for re-verification.
+# ---------------------------------------------------------------------------
+_VERIFY_ROUND7: list[str] = [
+    # rolled out of the 50-slot r6 window (positions 51-52)
+    "dedup_simhash",
+    "ann_lsh_topk",
+    # round-6 additions, never driver-sampled
+    "corpus_bpe_merges",
+    "label_hard_negatives",
+    "order_price_gk_quantiles",
+]

@@ -2617,7 +2617,99 @@ FROM s
 """
 
 
+# ---------------------------------------------------------------------------
+# GK-sketch quantiles with a bounded-error contract: the mergeable
+# approximate-quantile sketch (Greenwald-Khanna, SIGMOD 2001 — Spark's
+# percentile_approx) proven against exact distributed ground truth.
+# Same oracle pattern as approx_distinct_users_daily: the contract
+# output is the EXACT quantile (oracle-reproducible nearest-rank pick)
+# plus a boolean asserting the sketch's pick lands within its published
+# rank-error guarantee (eps = 1/accuracy), which absorbs the sketch's
+# merge-order nondeterminism while still failing on a broken sketch.
+# ---------------------------------------------------------------------------
+
+
+def q_order_price_gk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/profile.exact_quantiles_ranged (distributed exact
+    ranks) + percentile_approx(accuracy=100): per quantile the exact
+    nearest-rank value in cents and whether the GK pick's rank span is
+    within eps*n of the target rank."""
+    import math
+
+    from netflix_data_ingestion_spark.operators.profile import (
+        exact_quantiles_ranged,
+    )
+
+    qs = (0.25, 0.5, 0.75, 0.9)
+    prices = (
+        read_table(spark, sf_dir, "orders")
+        .select(
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("v")
+        )
+        .where(F.col("v").isNotNull())
+    )
+    exact_row = exact_quantiles_ranged(prices, "v", qs).first()
+    avs = prices.agg(
+        F.percentile_approx("v", list(qs), 100).alias("av")
+    ).first()["av"]
+    spans = prices.agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum((F.col("v") <= int(a)).cast("long")).alias(f"le{i}")
+            for i, a in enumerate(avs)
+        ],
+        *[
+            F.sum((F.col("v") < int(a)).cast("long")).alias(f"lt{i}")
+            for i, a in enumerate(avs)
+        ],
+    ).first()
+    n = spans["n"]
+    tol = n // 100 + 1  # >= ceil(eps * n) at accuracy=100
+    rows = []
+    for i, q in enumerate(qs):
+        target = max(1, math.ceil(q * n))
+        lo, hi = spans[f"lt{i}"] + 1, spans[f"le{i}"]
+        rows.append(
+            (
+                int(round(q * 100)),
+                int(exact_row[f"p{int(round(q * 100))}"]),
+                bool(lo - tol <= target <= hi + tol),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "q_pct int, exact_cents long, gk_within_bound boolean"
+    ).orderBy("q_pct")
+
+
+ORACLE_GK_QUANTILES = """
+WITH p AS (
+  SELECT ROUND(o_totalprice * 100)::BIGINT AS v
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+r AS (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn, COUNT(*) OVER () AS n
+  FROM p
+)
+SELECT q_pct::INT AS q_pct, exact_cents, TRUE AS gk_within_bound
+FROM (
+  SELECT 25 AS q_pct,
+         MAX(CASE WHEN rn = CEIL(0.25 * n) THEN v END) AS exact_cents FROM r
+  UNION ALL
+  SELECT 50, MAX(CASE WHEN rn = CEIL(0.5 * n) THEN v END) FROM r
+  UNION ALL
+  SELECT 75, MAX(CASE WHEN rn = CEIL(0.75 * n) THEN v END) FROM r
+  UNION ALL
+  SELECT 90, MAX(CASE WHEN rn = CEIL(0.9 * n) THEN v END) FROM r
+) q
+ORDER BY q_pct
+"""
+
+
 REGISTRY_EXTRA = {
+    "order_price_gk_quantiles": (
+        q_order_price_gk_quantiles,
+        ORACLE_GK_QUANTILES,
+    ),
     "orders_join_delta": (q_orders_join_delta, ORACLE_JOIN_DELTA),
     "part_skyline_by_brand": (q_part_skyline_by_brand, ORACLE_SKYLINE),
     "customer_k_anonymous": (q_customer_k_anonymous, ORACLE_K_ANONYMOUS),

@@ -3754,7 +3754,204 @@ ORDER BY id_a, id_b
 """
 
 
+# ---------------------------------------------------------------------------
+# BPE merge training (operators/bpetrain.bpe_train): the tokenizer-
+# training loop itself, driver-provable.  The oracle re-derives the
+# same K greedy merge rounds in pure SQL: per round, weighted adjacent-
+# pair counts over the word-frequency table, deterministic argmax
+# (count DESC, pair ASC), and merge application via gaps-and-islands
+# position parity — within a maximal run of consecutive matching
+# positions, greedy left-to-right non-overlapping merging fires at even
+# offsets from the run start, which is exactly the pend-fold semantics
+# of operators/bpetrain._apply_merge.
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 5
+
+
+def q_corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/bpetrain.bpe_train: learned merge table over the
+    documents corpus — (merge_idx, lhs, rhs, merged, pair_count) in
+    training order.  Corpus touched once (word-frequency table); each
+    round is an explode+groupBy over the vocab-sized frame plus a
+    1-row argmax collect (kmeans' model-sized parameter-server
+    license)."""
+    from netflix_data_ingestion_spark.operators.bpetrain import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(
+        docs, "text", num_merges=_BPE_ROUNDS, with_counts=True
+    )
+    return spark.createDataFrame(
+        [
+            (i + 1, a, b, a + b, int(t))
+            for i, (a, b, t) in enumerate(merges)
+        ],
+        "merge_idx int, lhs string, rhs string, merged string, "
+        "pair_count long",
+    ).orderBy("merge_idx")
+
+
+def _bpe_oracle(rounds: int) -> str:
+    ctes = [
+        r"""w0 AS (
+  SELECT w, COUNT(*)::BIGINT AS cnt
+  FROM (SELECT unnest(regexp_extract_all(lower(text),
+          '''[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS w
+        FROM documents) u
+  GROUP BY w
+),
+v1 AS (
+  SELECT w, cnt,
+         list_append(list_transform(range(1, len(w) + 1),
+                                    i -> substr(w, i::INT, 1)),
+                     '</w>') AS sym
+  FROM w0
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""b{r} AS (
+  SELECT sym[i] AS a, sym[i + 1] AS b, SUM(cnt)::BIGINT AS total
+  FROM v{r}, unnest(range(1, len(sym))) AS t(i)
+  GROUP BY 1, 2
+  ORDER BY total DESC, a ASC, b ASC LIMIT 1
+),
+m{r} AS (
+  SELECT w, list(i ORDER BY i) AS ms
+  FROM (SELECT w, i, i - MIN(i) OVER (PARTITION BY w, grp) AS off
+        FROM (SELECT v.w, t.i,
+                     t.i - ROW_NUMBER() OVER (PARTITION BY v.w
+                                              ORDER BY t.i) AS grp
+              FROM v{r} v, b{r} bb,
+                   unnest(range(1, len(v.sym))) AS t(i)
+              WHERE v.sym[i] = bb.a AND v.sym[i + 1] = bb.b) pos) par
+  WHERE off % 2 = 0
+  GROUP BY w
+),
+v{r + 1} AS (
+  SELECT v.w, v.cnt,
+         list_filter(
+           list_transform(range(1, len(v.sym) + 1),
+             j -> CASE
+                    WHEN list_contains(coalesce(m.ms, CAST([] AS BIGINT[])), j)
+                      THEN v.sym[j] || v.sym[j + 1]
+                    WHEN list_contains(coalesce(m.ms, CAST([] AS BIGINT[])), j - 1)
+                      THEN NULL
+                    ELSE v.sym[j]
+                  END),
+           x -> x IS NOT NULL) AS sym
+  FROM v{r} v LEFT JOIN m{r} m USING (w)
+)"""
+        )
+    unions = "\n  UNION ALL ".join(
+        f"SELECT {r} AS merge_idx, a AS lhs, b AS rhs, a || b AS merged, "
+        f"total AS pair_count FROM b{r}"
+        for r in range(1, rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT merge_idx::INT AS merge_idx, lhs, rhs, merged,"
+        f" pair_count\nFROM ({unions}) out\nORDER BY merge_idx"
+    )
+
+
+ORACLE_BPE_MERGES = _bpe_oracle(_BPE_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive-training data prep): for every
+# class label, the corpus vectors OUTSIDE the class that sit closest to
+# the class centroid — the negatives a contrastive loss learns most
+# from.  Composes group_centroids' order-free fixed-point mean with the
+# brute-force-cosine ranking discipline (round(sim, 6) ranking key,
+# id tie-break).
+# ---------------------------------------------------------------------------
+
+
+def q_label_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """functions/vectors.group_centroids + cosine: top-10 other-label
+    vectors per label centroid.  Plan: |labels|-row centroid frame
+    broadcast against the corpus (bNLJ on label <>), narrow cosine map,
+    rank window PARTITIONED by label — no data-sized single-task
+    stage; corpus side scales linearly."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings").where(
+        F.col("label").isNotNull() & F.col("embedding").isNotNull()
+    )
+    cents = vectors.group_centroids(emb, "label", "embedding").select(
+        "label", "centroid"
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        "embedding",
+    )
+    scored = (
+        F.broadcast(cents)
+        .join(cand, F.col("label") != F.col("neighbor_label"))
+        .withColumn(
+            "cosine_sim",
+            F.round(
+                vectors.cosine(F.col("centroid"), F.col("embedding")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 10)
+        .select("label", "neighbor_id", "neighbor_label", "cosine_sim", "rank")
+        .orderBy("label", "rank")
+    )
+
+
+ORACLE_HARD_NEGATIVES = """
+WITH comp AS (
+  SELECT label, i AS pos,
+         SUM(ROUND(embedding[i]::DOUBLE * 1000000.0)::BIGINT)::BIGINT AS sq,
+         COUNT(*)::BIGINT AS n
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i)
+  WHERE label IS NOT NULL AND embedding IS NOT NULL
+  GROUP BY 1, 2
+),
+cent AS (
+  SELECT label, list(sq::DOUBLE / (n * 1000000.0) ORDER BY pos) AS c
+  FROM comp GROUP BY label
+),
+pairs AS (
+  SELECT cent.label, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+         ROUND(
+           list_sum(list_transform(range(1, len(e.embedding) + 1),
+                                   i -> cent.c[i] * e.embedding[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(range(1, len(cent.c) + 1),
+                                           i -> cent.c[i] * cent.c[i])))
+              * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))),
+           6) AS cosine_sim
+  FROM cent, embeddings e
+  WHERE e.label IS NOT NULL AND e.embedding IS NOT NULL
+    AND e.label <> cent.label
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                               ORDER BY cosine_sim DESC,
+                                        neighbor_id ASC)::INT AS rank
+  FROM pairs
+)
+SELECT label, neighbor_id, neighbor_label, cosine_sim, rank
+FROM ranked WHERE rank <= 10
+ORDER BY label, rank
+"""
+
+
 REGISTRY_LLM = {
+    "corpus_bpe_merges": (q_corpus_bpe_merges, ORACLE_BPE_MERGES),
+    "label_hard_negatives": (q_label_hard_negatives, ORACLE_HARD_NEGATIVES),
     "user_heavy_hitters": (q_user_heavy_hitters, ORACLE_HEAVY_HITTERS),
     "dedup_prefix_jaccard": (q_dedup_prefix_jaccard, ORACLE_PREFIX_JACCARD),
     "events_throttled_daily": (q_events_throttled_daily, ORACLE_THROTTLED),

@@ -34,15 +34,22 @@ def test_rotation_lists_reference_real_queries():
         REGISTRY,
         _VERIFY_FIRST,
         _VERIFY_ORDER,
+        _VERIFY_ORDER6,
         _VERIFY_ROUND5,
+        _VERIFY_ROUND6,
     )
 
     assert set(_VERIFY_FIRST) <= set(REGISTRY)
     assert set(_VERIFY_ROUND5) <= set(REGISTRY)
     assert set(_VERIFY_ORDER) <= set(REGISTRY)
+    assert set(_VERIFY_ROUND6) <= set(REGISTRY)
+    assert set(_VERIFY_ORDER6) <= set(REGISTRY)
     assert len(set(_VERIFY_FIRST)) == len(_VERIFY_FIRST)
     assert len(set(_VERIFY_ROUND5)) == len(_VERIFY_ROUND5)
     assert len(set(_VERIFY_ORDER)) == len(_VERIFY_ORDER)
-    # the rotated head IS the driver's sample window (round 5: the fixed
-    # red/err rows first, then the never-driver-sampled backlog)
-    assert list(REGISTRY)[: len(_VERIFY_ORDER)] == _VERIFY_ORDER
+    assert len(set(_VERIFY_ROUND6)) == len(_VERIFY_ROUND6)
+    assert len(set(_VERIFY_ORDER6)) == len(_VERIFY_ORDER6)
+    # the rotated head IS the driver's sample window (round 6: the two
+    # fixed HUGEINT red rows first, then the never-driver-sampled
+    # backlog, then the oldest r1/r2-era greens)
+    assert list(REGISTRY)[: len(_VERIFY_ORDER6)] == _VERIFY_ORDER6

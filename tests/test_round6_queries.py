@@ -1,0 +1,50 @@
+"""Round-6 contract additions: hard negatives, GK quantile bounds, BPE
+merge-table contract shape (oracle parity is covered by the driver gate
+and tools/check_correctness.py; these pin the operator semantics)."""
+
+from __future__ import annotations
+
+from netflix_data_ingestion_spark.plans.contract import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hard_negatives_excludes_own_label_and_ranks(spark):
+    fn, _ = REGISTRY["label_hard_negatives"]
+    rows = fn(spark, SF).collect()
+    assert rows, "expected at least one labeled embedding group"
+    per_label: dict[int, list] = {}
+    for r in rows:
+        assert r["neighbor_label"] != r["label"]
+        per_label.setdefault(r["label"], []).append(r)
+    for label, grp in per_label.items():
+        ranks = [r["rank"] for r in grp]
+        assert ranks == list(range(1, len(grp) + 1))
+        sims = [r["cosine_sim"] for r in grp]
+        assert sims == sorted(sims, reverse=True)
+        assert len(grp) <= 10
+
+
+def test_gk_quantiles_within_bound_and_ordered(spark):
+    fn, _ = REGISTRY["order_price_gk_quantiles"]
+    rows = fn(spark, SF).collect()
+    assert [r["q_pct"] for r in rows] == [25, 50, 75, 90]
+    # exact nearest-rank picks are monotone in q
+    vals = [r["exact_cents"] for r in rows]
+    assert vals == sorted(vals)
+    # the GK guarantee must hold on every quantile
+    assert all(r["gk_within_bound"] for r in rows)
+
+
+def test_bpe_merges_contract_shape(spark):
+    fn, _ = REGISTRY["corpus_bpe_merges"]
+    rows = fn(spark, SF).collect()
+    assert [r["merge_idx"] for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert r["merged"] == r["lhs"] + r["rhs"]
+        assert r["pair_count"] >= 2
+    # merge counts never increase between rounds IF a later round's best
+    # pair existed unchanged earlier -- not a theorem for all corpora, so
+    # pin only the invariant that counts stay positive and the table is
+    # deduplicated
+    assert len({(r["lhs"], r["rhs"]) for r in rows}) == len(rows)

@@ -105,6 +105,7 @@ SANCTIONED: dict[str, str] = {
     "doc_inverted_index": "1-row corpus-total broadcast (max_df cut)",
     "doc_tfidf_top_terms": "1-row n_docs broadcast, doc'd",
     "embedding_cosine_topk": "bNLJ: 5 query rows x corpus, exact baseline",
+    "label_hard_negatives": "bNLJ: |labels| centroid rows x corpus (broadcast model side), linear in corpus",
     "events_pit_state": "1-row validity-cap bound broadcast, doc'd",
     "join_drop_accounting": "global 1-row audit aggregate",
     "lineitem_skew_report": "1-row total broadcast only; top-k rank now DISTRIBUTED (global_rank over counts)",
