@@ -198,6 +198,27 @@ def ops(spark, sf_dir: str, copies: int):
         # calibration on synthetic text
         return curate_corpus(docs, min_quality=0.0).count()
 
+    def bpe():
+        # tokenizer training: cost should be bounded by the VOCAB curve
+        # (distinct pretokens saturate as copies grow — the per-copy
+        # word salt adds some new types, but far fewer than 16x), so
+        # the fitted exponent should sit well below 1
+        from netflix_data_ingestion_spark.operators.bpetrain import (
+            bpe_train,
+        )
+
+        return len(bpe_train(docs, "text", num_merges=3))
+
+    def skew():
+        # the r6 rewrite: top-k via global_rank over the per-key counts
+        # frame — one keyed groupBy over the fact plus rank machinery
+        # over |distinct keys| rows; should stay linear
+        from netflix_data_ingestion_spark.operators.profile import (
+            skew_report,
+        )
+
+        return skew_report(li, ["l_orderkey"], top=10).count()
+
     return {
         "scan_agg(lineitem)": (copies * 600_000, scan_agg),
         "join_agg(orders*cust)": (copies * 150_000, join_agg),
@@ -208,6 +229,8 @@ def ops(spark, sf_dir: str, copies: int):
         "exact_dedup(documents)": (copies * 5_000, exact_dd),
         "cosine_lsh_dedup(embeddings)": (copies * 2_000, cosine_dd),
         "curate_corpus(documents)": (copies * 5_000, curate),
+        "bpe_train(documents)": (copies * 5_000, bpe),
+        "skew_report(lineitem)": (copies * 600_000, skew),
     }
 
 
