@@ -202,13 +202,20 @@ def skew_report(
     (a skewed key over a 100 TB fact, distinct keys in the billions)
     would funnel every distinct key through one task to cut 10 rows.
 
-    The total is a 1-row aggregate FRAME crossJoined (broadcast) onto
-    the top-k rows — not an eager ``df.count()`` — so the operator stays
-    one lazy plan and an expensive derived input is computed once, not
-    twice (same pattern as tfidf_top_terms's __n_docs).  The total still
-    sums per-key counts, not the top-k cut, because it aggregates the
-    pre-cut counts frame."""
-    counts = df.groupBy(*key_cols).agg(F.count("*").alias("n"))
+    The counts frame is eager-pinned (localCheckpoint) because THREE
+    consumers read it — global_rank's frequency/offset pass (which runs
+    at build time to collect its O(#partitions) offsets), the ranked
+    main pass, and the 1-row total aggregate.  Unpinned, each would
+    re-scan the input: the pin guarantees the (possibly 100 TB) input
+    is scanned exactly once, at build, and everything downstream reads
+    the |distinct keys|-sized pin (test_skew_report_is_lazy_single_plan
+    asserts the exactly-once property with an accumulator).  The total
+    sums the per-key counts, not the top-k cut."""
+    counts = (
+        df.groupBy(*key_cols)
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
     total = counts.agg(F.sum("n").cast("double").alias("__total"))
     ranked = global_rank(
         counts.withColumn("__negn", -F.col("n")).withColumn(

