@@ -809,6 +809,7 @@ _VERIFY_ROUND7: list[str] = [
     "ann_lsh_topk",
     # round-6 additions, never driver-sampled
     "corpus_bpe_merges",
+    "doc_bpe_segmented",
     "label_hard_negatives",
     "order_price_gk_quantiles",
 ]

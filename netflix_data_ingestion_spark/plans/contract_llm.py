@@ -3792,11 +3792,15 @@ def q_corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("merge_idx")
 
 
-def _bpe_oracle(rounds: int) -> str:
+def _bpe_oracle(rounds: int, mode: str = "merges") -> str:
+    """The shared K-round SQL reconstruction of greedy BPE training.
+    ``mode='merges'`` outputs the merge table; ``mode='segment'``
+    applies the final vocabulary back to every document and outputs
+    per-doc pretoken/BPE-token counts (the tokenizer APPLY side)."""
     ctes = [
         r"""w0 AS (
   SELECT w, COUNT(*)::BIGINT AS cnt
-  FROM (SELECT unnest(regexp_extract_all(lower(text),
+  FROM (SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
           '''[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS w
         FROM documents) u
   GROUP BY w
@@ -3844,6 +3848,21 @@ v{r + 1} AS (
   FROM v{r} v LEFT JOIN m{r} m USING (w)
 )"""
         )
+    if mode == "segment":
+        tail = rf"""
+SELECT d.doc_id,
+       COALESCE(COUNT(t.w), 0)::BIGINT AS n_pretokens,
+       COALESCE(SUM(f.n_sym), 0)::BIGINT AS n_bpe_tokens
+FROM documents d
+LEFT JOIN (SELECT doc_id,
+                  unnest(regexp_extract_all(lower(coalesce(text, '')),
+                    '''[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS w
+           FROM documents) t ON d.doc_id = t.doc_id
+LEFT JOIN (SELECT w, len(sym)::BIGINT AS n_sym
+           FROM v{rounds + 1}) f ON t.w = f.w
+GROUP BY d.doc_id
+ORDER BY d.doc_id"""
+        return "WITH " + ",\n".join(ctes) + tail
     unions = "\n  UNION ALL ".join(
         f"SELECT {r} AS merge_idx, a AS lhs, b AS rhs, a || b AS merged, "
         f"total AS pair_count FROM b{r}"
@@ -3858,6 +3877,40 @@ v{r + 1} AS (
 
 
 ORACLE_BPE_MERGES = _bpe_oracle(_BPE_ROUNDS)
+ORACLE_BPE_SEGMENTED = _bpe_oracle(_BPE_ROUNDS, mode="segment")
+
+
+def q_doc_bpe_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/bpetrain.bpe_segment: the APPLY side of the tokenizer
+    loop — train the _BPE_ROUNDS-merge table, then segment every
+    document with it (each merge is one narrow JVM fold; the whole
+    application is a chain of expressions over one corpus pass).
+    Output is the per-doc token-budget contract: pretoken count and
+    post-merge BPE token count (EOW markers included, one per word)."""
+    from netflix_data_ingestion_spark.operators.bpetrain import (
+        bpe_segment,
+        bpe_train,
+    )
+    from netflix_data_ingestion_spark.operators.textstats import (
+        bpe_pretokenize,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.coalesce(F.col("text"), F.lit(""))
+    )
+    merges = bpe_train(docs, "text", num_merges=_BPE_ROUNDS)
+    seg = bpe_segment(docs, merges, "doc_id", "text")
+    pre = docs.select(
+        "doc_id",
+        F.size(bpe_pretokenize(F.lower(F.col("text"))))
+        .cast("long")
+        .alias("n_pretokens"),
+    )
+    return (
+        pre.join(seg.select("doc_id", "n_bpe_tokens"), "doc_id")
+        .select("doc_id", "n_pretokens", "n_bpe_tokens")
+        .orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3951,6 +4004,7 @@ ORDER BY label, rank
 
 REGISTRY_LLM = {
     "corpus_bpe_merges": (q_corpus_bpe_merges, ORACLE_BPE_MERGES),
+    "doc_bpe_segmented": (q_doc_bpe_segmented, ORACLE_BPE_SEGMENTED),
     "label_hard_negatives": (q_label_hard_negatives, ORACLE_HARD_NEGATIVES),
     "user_heavy_hitters": (q_user_heavy_hitters, ORACLE_HEAVY_HITTERS),
     "dedup_prefix_jaccard": (q_dedup_prefix_jaccard, ORACLE_PREFIX_JACCARD),

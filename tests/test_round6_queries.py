@@ -36,6 +36,21 @@ def test_gk_quantiles_within_bound_and_ordered(spark):
     assert all(r["gk_within_bound"] for r in rows)
 
 
+def test_bpe_segmented_counts_consistent(spark):
+    fn, _ = REGISTRY["doc_bpe_segmented"]
+    rows = fn(spark, SF).collect()
+    assert len(rows) == 500  # one row per document
+    for r in rows:
+        # merging only ever shrinks a word's symbol count, and every
+        # pretoken contributes at least one token; the char+EOW upper
+        # bound holds before any merge
+        assert 0 <= r["n_pretokens"]
+        if r["n_pretokens"]:
+            assert r["n_bpe_tokens"] >= r["n_pretokens"]
+        else:
+            assert r["n_bpe_tokens"] == 0
+
+
 def test_bpe_merges_contract_shape(spark):
     fn, _ = REGISTRY["corpus_bpe_merges"]
     rows = fn(spark, SF).collect()
