@@ -712,12 +712,12 @@ REGISTRY = {
 }
 
 # ---------------------------------------------------------------------------
-# ROUND-6 ROTATION PLAN (apply at the START of round 6: make this the
-# registry head).  The 30 queries with no driver CORRECTNESS row after
+# ROUND-6 ROTATION PLAN — APPLIED below (registry head =
+# _VERIFY_ORDER6).  The 30 queries with no driver CORRECTNESS row after
 # the round-5 window, oldest-registered-first, then the oldest
 # r1/r2-era greens for re-verification (code unchanged since unless
-# noted).  After round 6 every registry query will have a driver row
-# and the verification lag the round-4 verdict flagged is fully paid.
+# noted).  After the round-6 window every pre-r6 registry query has a
+# driver row; the round-6 tail additions queue in _VERIFY_ROUND7.
 # ---------------------------------------------------------------------------
 _VERIFY_ROUND6: list[str] = [
     # never driver-sampled (rolled out of the r5 window)
