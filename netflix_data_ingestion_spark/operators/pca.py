@@ -1,0 +1,135 @@
+"""Distributed PCA (top principal component) by power iteration.
+
+The scale split every distributed eigen-solver uses: the DATA pass
+computes exact second moments — per-(i, j) sums of fixed-point
+quantized component products, one combinable groupBy whose output is
+dim^2 rows no matter the corpus size — and the ITERATION runs on the
+driver over the dim x dim covariance (the parameter-server license:
+model-sized state only, like kmeans centroids / PQ codebooks).
+
+Determinism contract (oracle-provable): moments are exact int64 sums of
+``round(x * scale)`` products (order-free, partition-invariant);
+covariance entries, every matvec, every normalization, and the final
+Rayleigh quotient are IEEE-double expressions evaluated in EXPLICIT
+left-to-right index order — the same order DuckDB's
+``list_sum(list_transform(...))`` evaluates — so an 8-iteration power
+iterate is bit-identical across engines and the contract can hash it
+after one final round(6).
+
+Overflow headroom: |q| <= scale * max|x|; the pair sums cap the corpus
+at ~9e18 / (scale * max|x|)^2 rows (2.5e6 at scale=1e6, |x|<=2 — at
+real 100 TB corpus sizes, switch the moment sums to DECIMAL(38,0), the
+documented exact-moment convention).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from netflix_data_ingestion_spark.operators.util import ensure_parallelism
+
+
+def _matvec(cov: list[list[float]], v: list[float], dim: int) -> list[float]:
+    """C @ v with EXPLICIT sequential accumulation (j ascending) — the
+    op order DuckDB's list_sum(list_transform(...)) evaluates."""
+    w = []
+    for i in range(dim):
+        acc = 0.0
+        for j in range(dim):
+            acc = acc + cov[i][j] * v[j]
+        w.append(acc)
+    return w
+
+
+def _normalize(w: list[float]) -> list[float]:
+    s = 0.0
+    for x in w:
+        s = s + x * x
+    norm = math.sqrt(s)
+    return [x / norm for x in w]
+
+
+def _power_iterate(
+    cov: list[list[float]], dim: int, iters: int
+) -> tuple[list[float], float]:
+    """Driver-side deterministic power iteration, spec mirrored 1:1 by
+    the SQL oracle: v0 = ones; K times (w = C v; v = w/||w||); then
+    eig = v . (C v) — the Rayleigh quotient of the unit-norm iterate."""
+    v = [1.0] * dim
+    for _ in range(iters):
+        v = _normalize(_matvec(cov, v, dim))
+    u = _matvec(cov, v, dim)
+    eig = 0.0
+    for i in range(dim):
+        eig = eig + v[i] * u[i]
+    return v, eig
+
+
+def top_principal_component(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iters: int = 8,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """(pos, loading, eigval) — the `iters`-step power iterate of the
+    exact covariance of the quantized vectors: 64 rows, loadings of the
+    (unit-norm) top principal direction plus the Rayleigh-quotient
+    eigenvalue estimate, both rounded to 6 decimals at the very end."""
+    spark = df.sparkSession
+    q = (
+        ensure_parallelism(df)
+        .where(F.col(vec_col).isNotNull())
+        .select(
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.round(x.cast("double") * scale).cast("long"),
+            ).alias("qv")
+        )
+    )
+    pair_expr = f"""flatten(transform(sequence(1, {dim}), i ->
+        transform(sequence(1, {dim}), j ->
+          struct(i as i, j as j,
+                 element_at(qv, i) * element_at(qv, j) as p))))"""
+    s2 = {
+        (r["i"], r["j"]): r["s"]
+        for r in q.select(F.explode(F.expr(pair_expr)).alias("x"))
+        .groupBy(F.col("x.i").alias("i"), F.col("x.j").alias("j"))
+        .agg(F.sum("x.p").alias("s"))
+        .collect()
+    }
+    s1n = (
+        q.select(F.posexplode("qv").alias("pos", "qx"))
+        .groupBy("pos")
+        .agg(F.sum("qx").alias("s"), F.count("*").alias("n"))
+        .collect()
+    )
+    s1 = {r["pos"] + 1: r["s"] for r in s1n}
+    n = s1n[0]["n"]
+    d2 = float(n * scale * scale)
+    d1 = float(n * scale)
+    cov = [
+        [
+            s2[(i, j)] / d2 - (s1[i] / d1) * (s1[j] / d1)
+            for j in range(1, dim + 1)
+        ]
+        for i in range(1, dim + 1)
+    ]
+    v, eig = _power_iterate(cov, dim, iters)
+    # round JVM-side (F.round = HALF_UP, matching DuckDB ROUND) — Python
+    # round() is banker's and could diverge on an exact tie
+    return (
+        spark.createDataFrame(
+            [(i + 1, v[i], eig) for i in range(dim)],
+            "pos int, loading double, eigval double",
+        )
+        .select(
+            "pos",
+            F.round("loading", 6).alias("loading"),
+            F.round("eigval", 6).alias("eigval"),
+        )
+        .orderBy("pos")
+    )

@@ -810,6 +810,7 @@ _VERIFY_ROUND7: list[str] = [
     # round-6 additions, never driver-sampled
     "corpus_bpe_merges",
     "doc_bpe_segmented",
+    "embedding_top_pc",
     "label_hard_negatives",
     "order_price_gk_quantiles",
 ]

@@ -4002,8 +4002,104 @@ ORDER BY label, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# Distributed PCA (top principal component) by power iteration: exact
+# int64 second moments from ONE combinable data pass (dim^2 rows out,
+# corpus-size-free), covariance + 8 deterministic power steps on the
+# driver (parameter-server license), every float op in explicit
+# left-to-right index order so the SQL twin reproduces the iterate
+# bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_PCA_ITERS = 8
+
+
+def q_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/pca.top_principal_component over the embeddings table:
+    (pos, loading, eigval) for the unit-norm 8-step power iterate of
+    the exact quantized covariance."""
+    from netflix_data_ingestion_spark.operators.pca import (
+        top_principal_component,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return top_principal_component(
+        emb, "embedding", dim=64, iters=_PCA_ITERS
+    )
+
+
+def _pca_oracle(iters: int) -> str:
+    ctes = [
+        """q AS (
+  SELECT list_transform(embedding,
+                        x -> round(x::DOUBLE * 1000000.0)::BIGINT) AS qv
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+nn AS (SELECT COUNT(*)::BIGINT AS n FROM q),
+s1 AS (
+  SELECT i, SUM(qv[i])::BIGINT AS s
+  FROM q, unnest(range(1, 65)) AS t(i) GROUP BY i
+),
+s2 AS (
+  SELECT t.i, u.j, SUM(qv[t.i] * qv[u.j])::BIGINT AS s
+  FROM q, unnest(range(1, 65)) AS t(i), unnest(range(1, 65)) AS u(j)
+  GROUP BY t.i, u.j
+),
+covr AS (
+  SELECT s2.i,
+         list(s2.s::DOUBLE / (nn.n * 1000000.0 * 1000000.0)
+              - (a.s::DOUBLE / (nn.n * 1000000.0))
+                * (b.s::DOUBLE / (nn.n * 1000000.0))
+              ORDER BY s2.j) AS cl
+  FROM s2
+  JOIN s1 a ON a.i = s2.i
+  JOIN s1 b ON b.i = s2.j
+  CROSS JOIN nn
+  GROUP BY s2.i
+),
+cm0 AS (SELECT list(cl ORDER BY i) AS cm FROM covr),
+v0 AS (SELECT cm, list_transform(range(1, 65), i -> 1.0) AS v FROM cm0)"""
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""w{k} AS (
+  SELECT cm, list_transform(range(1, 65), i ->
+    list_sum(list_transform(range(1, 65), j -> cm[i][j] * v[j]))) AS w
+  FROM v{k - 1}
+),
+v{k} AS (
+  SELECT cm, list_transform(w, x ->
+    x / sqrt(list_sum(list_transform(w, y -> y * y)))) AS v
+  FROM w{k}
+)"""
+        )
+    ctes.append(
+        f"""uu AS (
+  SELECT v, list_transform(range(1, 65), i ->
+    list_sum(list_transform(range(1, 65), j -> cm[i][j] * v[j]))) AS u
+  FROM v{iters}
+),
+ee AS (
+  SELECT v, list_sum(list_transform(range(1, 65), i -> v[i] * u[i])) AS eig
+  FROM uu
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT i::INT AS pos, ROUND(v[i], 6) AS loading, ROUND(eig, 6) AS eigval
+FROM ee, unnest(range(1, 65)) AS t(i)
+ORDER BY pos"""
+    )
+
+
+ORACLE_TOP_PC = _pca_oracle(_PCA_ITERS)
+
+
 REGISTRY_LLM = {
     "corpus_bpe_merges": (q_corpus_bpe_merges, ORACLE_BPE_MERGES),
+    "embedding_top_pc": (q_embedding_top_pc, ORACLE_TOP_PC),
     "doc_bpe_segmented": (q_doc_bpe_segmented, ORACLE_BPE_SEGMENTED),
     "label_hard_negatives": (q_label_hard_negatives, ORACLE_HARD_NEGATIVES),
     "user_heavy_hitters": (q_user_heavy_hitters, ORACLE_HEAVY_HITTERS),

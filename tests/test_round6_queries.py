@@ -51,6 +51,41 @@ def test_bpe_segmented_counts_consistent(spark):
             assert r["n_bpe_tokens"] == 0
 
 
+def test_top_pc_unit_norm_and_dominant(spark):
+    import math
+
+    fn, _ = REGISTRY["embedding_top_pc"]
+    rows = fn(spark, SF).collect()
+    assert [r["pos"] for r in rows] == list(range(1, 65))
+    loadings = [r["loading"] for r in rows]
+    # unit norm (up to the 1e-6 output rounding)
+    assert abs(math.sqrt(sum(x * x for x in loadings)) - 1.0) < 1e-4
+    eig = rows[0]["eigval"]
+    assert all(r["eigval"] == eig for r in rows)
+    # the top eigenvalue of a covariance is at least the max diagonal
+    # variance share it explains must be positive
+    assert eig > 0
+
+
+def test_power_iterate_matches_numpy_eig():
+    """The deterministic 8-step iterate must be numerically close to the
+    true dominant eigenpair on a well-separated matrix (numpy is the
+    independent oracle; exact SQL parity is the driver gate's job)."""
+    import numpy as np
+
+    from netflix_data_ingestion_spark.operators.pca import _power_iterate
+
+    rng = np.random.default_rng(42)
+    a = rng.normal(size=(6, 6))
+    cov = (a @ a.T).tolist()  # SPD with generically separated spectrum
+    v, eig = _power_iterate(cov, 6, 60)
+    w, vecs = np.linalg.eigh(np.array(cov))
+    assert abs(eig - w[-1]) < 1e-8 * max(1.0, abs(w[-1]))
+    top = vecs[:, -1]
+    cosang = abs(float(np.dot(top, np.array(v))))
+    assert cosang > 1 - 1e-10
+
+
 def test_bpe_merges_contract_shape(spark):
     fn, _ = REGISTRY["corpus_bpe_merges"]
     rows = fn(spark, SF).collect()
