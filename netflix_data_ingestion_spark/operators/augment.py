@@ -1,0 +1,116 @@
+"""Deterministic data augmentation for text corpora.
+
+The augmentation family every contrastive / denoising training recipe
+needs (char-level noise, BERT-style token masking), made
+PARTITION-INVARIANT and engine-portable: every random choice is an
+md5-derived decision keyed on (salt, id, position) — the same
+convention as operators/sample.py — so an augmented corpus is exactly
+reproducible on any partitioning, any engine, any retry.  That matters
+operationally: a resumed 100 TB augmentation job must not produce a
+different corpus for the shards it re-runs.
+
+Plan shape: both operators are ONE narrow map (per-position JVM
+expressions — sequence/transform/filter folds and md5), zero shuffle,
+zero Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from netflix_data_ingestion_spark.operators.textstats import (
+    bpe_pretokenize,
+)
+from netflix_data_ingestion_spark.operators.util import ensure_parallelism
+
+
+def _hash_mod(salt: str, id_col: Column, pos: Column, mod: int) -> Column:
+    """First 8 md5 hex digits of 'salt|id|pos' as int64, mod `mod` —
+    the portable per-position coin (DuckDB twin:
+    ('0x' || substr(md5(...), 1, 8))::BIGINT % mod)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.lit(salt),
+                        id_col.cast("string"),
+                        pos.cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % mod
+    )
+
+
+def char_dropout(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    drop_den: int = 13,
+    salt: str = "aug1",
+    out_col: str = "aug_text",
+) -> DataFrame:
+    """Input + ``out_col``: the text with ~1/``drop_den`` of its
+    characters deterministically removed (position p drops iff the
+    md5 coin on (salt, id, p) lands on 0 mod drop_den).  1-based
+    positions, char-semantics substring — identical in Spark and
+    DuckDB for the ASCII corpus contract."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    kept = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.length(txt)),
+            lambda p: F.when(
+                _hash_mod(salt, F.col(id_col), p, drop_den) != 0,
+                txt.substr(p, F.lit(1)),
+            ),
+        ),
+        lambda c: c.isNotNull(),
+    )
+    return ensure_parallelism(df).withColumn(
+        out_col, F.array_join(kept, "")
+    )
+
+
+def token_mask(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mask_den: int = 8,
+    salt: str = "mask1",
+    mask_token: str = "<mask>",
+    out_col: str = "masked_tokens",
+) -> DataFrame:
+    """Input + ``out_col`` (array<string>) + ``n_masked``: BERT-style
+    deterministic masking over the BPE pretokenization — token i is
+    replaced by ``mask_token`` iff the md5 coin on (salt, id, i) lands
+    on 0 mod mask_den (~12.5% at the default).  Masking is keyed on
+    the token POSITION, not content, so identical texts under
+    different ids mask differently — the property MLM batching wants."""
+    toks = bpe_pretokenize(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    masked = F.zip_with(
+        toks,
+        F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1))),
+        lambda t, p: F.when(
+            t.isNotNull()
+            & (_hash_mod(salt, F.col(id_col), p, mask_den) == 0),
+            F.lit(mask_token),
+        ).otherwise(t),
+    )
+    # zip_with pads the shorter side with NULL tokens when size==0;
+    # filter them so empty docs yield empty arrays
+    masked = F.filter(masked, lambda t: t.isNotNull())
+    out = ensure_parallelism(df).withColumn(out_col, masked)
+    return out.withColumn(
+        "n_masked",
+        F.size(
+            F.filter(F.col(out_col), lambda t: t == F.lit(mask_token))
+        ).cast("long"),
+    )

@@ -813,4 +813,6 @@ _VERIFY_ROUND7: list[str] = [
     "embedding_top_pc",
     "label_hard_negatives",
     "order_price_gk_quantiles",
+    "doc_char_augment",
+    "doc_token_mask",
 ]

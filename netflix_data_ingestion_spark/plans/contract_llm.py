@@ -4097,9 +4097,96 @@ ORDER BY pos"""
 ORACLE_TOP_PC = _pca_oracle(_PCA_ITERS)
 
 
+# ---------------------------------------------------------------------------
+# Deterministic augmentation (operators/augment.py): char dropout and
+# BERT-style token masking with md5-positional coins — reproducible on
+# any partitioning/engine/retry.  Contracts hash the augmented payloads
+# so the oracle proves EXACT string equality without shipping text.
+# ---------------------------------------------------------------------------
+
+
+def q_doc_char_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/augment.char_dropout: ~1/13 of characters removed by
+    the (salt, id, position) md5 coin; contract output is the before/
+    after lengths and the md5 of the augmented text."""
+    from netflix_data_ingestion_spark.operators import augment
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = augment.char_dropout(docs, "doc_id", "text")
+    return aug.select(
+        "doc_id",
+        F.length(F.coalesce(F.col("text"), F.lit("")))
+        .cast("long")
+        .alias("orig_len"),
+        F.length("aug_text").cast("long").alias("aug_len"),
+        F.md5("aug_text").alias("aug_md5"),
+    ).orderBy("doc_id")
+
+
+ORACLE_CHAR_AUGMENT = """
+WITH t AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+a AS (
+  SELECT doc_id, t,
+    array_to_string(
+      list_filter(
+        list_transform(range(1, len(t) + 1),
+          p -> CASE WHEN ('0x' || substr(md5('aug1|' || doc_id::VARCHAR
+                              || '|' || p::VARCHAR), 1, 8))::BIGINT % 13
+                         <> 0
+                    THEN substr(t, p::INT, 1) END),
+        x -> x IS NOT NULL),
+      '') AS aug
+  FROM t
+)
+SELECT doc_id, len(t)::BIGINT AS orig_len, len(aug)::BIGINT AS aug_len,
+       md5(aug) AS aug_md5
+FROM a ORDER BY doc_id
+"""
+
+
+def q_doc_token_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/augment.token_mask: ~1/8 of BPE pretokens replaced by
+    <mask> (position-keyed md5 coin); contract hashes the
+    space-joined masked stream."""
+    from netflix_data_ingestion_spark.operators import augment
+
+    docs = _t(spark, sf_dir, "documents")
+    masked = augment.token_mask(docs, "doc_id", "text")
+    return masked.select(
+        "doc_id",
+        F.size("masked_tokens").cast("long").alias("n_tokens"),
+        "n_masked",
+        F.md5(F.array_join("masked_tokens", " ")).alias("masked_md5"),
+    ).orderBy("doc_id")
+
+
+ORACLE_TOKEN_MASK = r"""
+WITH tk AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')),
+           '''[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, toks,
+         list_transform(range(1, len(toks) + 1),
+           p -> CASE WHEN ('0x' || substr(md5('mask1|' || doc_id::VARCHAR
+                               || '|' || p::VARCHAR), 1, 8))::BIGINT % 8 = 0
+                     THEN '<mask>' ELSE toks[p] END) AS mt
+  FROM tk
+)
+SELECT doc_id, len(mt)::BIGINT AS n_tokens,
+       len(list_filter(mt, x -> x = '<mask>'))::BIGINT AS n_masked,
+       md5(array_to_string(mt, ' ')) AS masked_md5
+FROM m ORDER BY doc_id
+"""
+
+
 REGISTRY_LLM = {
     "corpus_bpe_merges": (q_corpus_bpe_merges, ORACLE_BPE_MERGES),
     "embedding_top_pc": (q_embedding_top_pc, ORACLE_TOP_PC),
+    "doc_char_augment": (q_doc_char_augment, ORACLE_CHAR_AUGMENT),
+    "doc_token_mask": (q_doc_token_mask, ORACLE_TOKEN_MASK),
     "doc_bpe_segmented": (q_doc_bpe_segmented, ORACLE_BPE_SEGMENTED),
     "label_hard_negatives": (q_label_hard_negatives, ORACLE_HARD_NEGATIVES),
     "user_heavy_hitters": (q_user_heavy_hitters, ORACLE_HEAVY_HITTERS),
