@@ -797,11 +797,17 @@ REGISTRY = {
 }
 
 # ---------------------------------------------------------------------------
-# ROUND-7 ROTATION DRAFT (apply at the START of round 7: make this the
-# registry head).  The two r6-window spillovers first, then the round-6
-# additions (registered at the tail this round so the frozen r6 window
-# stayed byte-identical to the drafted plan), then the next-oldest
-# driver rows for re-verification.
+# ROUND-7 ROTATION PLAN — APPLIED below (registry head =
+# _VERIFY_ROUND7).  The two r6-window spillovers first, then the round-6
+# additions (registered at the tail last round so the frozen r6 window
+# stayed byte-identical to the drafted plan), then the 41 queries whose
+# driver CORRECTNESS rows are oldest (latest sampling r3, then r4,
+# ordered by registration) for re-verification.  After this window every
+# registry query's most recent driver row is r6 or r7.  Notables in the
+# re-verification block: `lineitem_skew_report` (rebuilt on global_rank
+# in r6 — this samples the NEW code), and `events_gapfill` /
+# `events_trailing_hour` (the r6 bench-doubling pair — fresh rows prove
+# the results unchanged while COVERAGE.md adjudicates the timing).
 # ---------------------------------------------------------------------------
 _VERIFY_ROUND7: list[str] = [
     # rolled out of the 50-slot r6 window (positions 51-52)
@@ -815,4 +821,56 @@ _VERIFY_ROUND7: list[str] = [
     "order_price_gk_quantiles",
     "doc_char_augment",
     "doc_token_mask",
+    # oldest driver rows (latest sampling r3), registration order
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_near_dup_scale",
+    "dedup_embedding_cosine",
+    "dedup_cosine_scale",
+    "embedding_cosine_topk",
+    "ann_ivf_topk",
+    "doc_token_stats",
+    "doc_quality_score",
+    "doc_lang_id",
+    "doc_fingerprint",
+    "doc_tfidf_top_terms",
+    "doc_pii_redact",
+    "embedding_group_centroid",
+    "curate_corpus",
+    "kmeans_clusters",
+    "doc_repetition_ratio",
+    "doc_quota_sample",
+    "doc_bernoulli_mix",
+    "doc_contamination",
+    "doc_pack_chunks",
+    "events_tumbling_window",
+    "multimodal_meta",
+    "multimodal_frame_sample",
+    "event_transitions",
+    "orders_profile",
+    "orders_price_histogram",
+    "lineitem_skew_report",
+    "events_gapfill",
+    "events_trailing_hour",
+    # next-oldest (latest sampling r4), registration order
+    "doc_line_dedup",
+    "embedding_l2_normalize",
+    "user_hll_registers",
+    "dedup_semantic",
+    "doc_inverted_index",
+    "doc_chunk_text",
+    "doc_stratified_sample",
+    "user_event_cms",
+    "events_sliding_window",
+    "user_retention_cohorts",
+    "events_ewma",
 ]
+
+REGISTRY = {
+    **{name: REGISTRY[name] for name in _VERIFY_ROUND7},
+    **{
+        name: spec
+        for name, spec in REGISTRY.items()
+        if name not in _VERIFY_ROUND7
+    },
+}
