@@ -421,14 +421,25 @@ def _decode_png(b: bytes):
         or (color == 3 and (depth != 8 or plte is None))
     ):
         return None
-    try:
-        raw = zlib.decompress(b"".join(idat))
-    except zlib.error:
+    if w * h > 64_000_000:
+        # Untrusted-payload guard: a crafted IHDR can declare absurd
+        # dimensions and OOM the executor at buffer allocation; cap at
+        # 64M pixels (far above any training-corpus image) and
+        # quarantine, never crash.
         return None
     bps = depth // 8  # bytes per sample
     bpp = channels * bps  # filter stride (bytes per pixel)
     stride = w * bpp
-    if len(raw) < h * (1 + stride):
+    need = h * (1 + stride)
+    try:
+        # Bounded inflate: never produce more than the geometry implies
+        # (+1 sentinel byte to detect overflow) so a decompression bomb
+        # in IDAT cannot balloon past the declared dimensions.
+        dec = zlib.decompressobj()
+        raw = dec.decompress(b"".join(idat), need + 1)
+    except zlib.error:
+        return None
+    if len(raw) != need or dec.unconsumed_tail:
         return None
     recon = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)

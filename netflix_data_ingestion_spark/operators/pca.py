@@ -16,10 +16,12 @@ left-to-right index order — the same order DuckDB's
 iterate is bit-identical across engines and the contract can hash it
 after one final round(6).
 
-Overflow headroom: |q| <= scale * max|x|; the pair sums cap the corpus
-at ~9e18 / (scale * max|x|)^2 rows (2.5e6 at scale=1e6, |x|<=2 — at
-real 100 TB corpus sizes, switch the moment sums to DECIMAL(38,0), the
-documented exact-moment convention).
+Overflow headroom: |q| <= scale * max|x|; per-row pair products stay in
+int64 (<= (scale * max|x|)^2 ~ 4e12 at scale=1e6, |x|<=2) and the
+cross-row moment SUMS accumulate as DECIMAL(38,0) — the exact-moment
+convention (DuckDB twin: ``::HUGEINT``) — so the corpus cap is ~1e38 /
+(scale * max|x|)^2 rows (~2.5e25 at scale=1e6): effectively unbounded
+at 100 TB.  ANSI mode raises rather than wraps past 38 digits.
 """
 
 from __future__ import annotations
@@ -80,9 +82,15 @@ def top_principal_component(
     (unit-norm) top principal direction plus the Rayleigh-quotient
     eigenvalue estimate, both rounded to 6 decimals at the very end."""
     spark = df.sparkSession
+    out_schema = "pos int, loading double, eigval double"
     q = (
         ensure_parallelism(df)
         .where(F.col(vec_col).isNotNull())
+        # Ragged or null-component vectors would make element_at yield
+        # NULLs and silently skew per-(i,j) counts — exclude them up
+        # front so every surviving row contributes to every moment.
+        .where(F.size(vec_col) == dim)
+        .where(~F.exists(vec_col, lambda x: x.isNull()))
         .select(
             F.transform(
                 F.col(vec_col),
@@ -95,20 +103,33 @@ def top_principal_component(
           struct(i as i, j as j,
                  element_at(qv, i) * element_at(qv, j) as p))))"""
     s2 = {
-        (r["i"], r["j"]): r["s"]
+        (r["i"], r["j"]): int(r["s"])
         for r in q.select(F.explode(F.expr(pair_expr)).alias("x"))
         .groupBy(F.col("x.i").alias("i"), F.col("x.j").alias("j"))
-        .agg(F.sum("x.p").alias("s"))
+        .agg(F.sum(F.col("x.p").cast("decimal(38,0)")).alias("s"))
         .collect()
     }
     s1n = (
         q.select(F.posexplode("qv").alias("pos", "qx"))
         .groupBy("pos")
-        .agg(F.sum("qx").alias("s"), F.count("*").alias("n"))
+        .agg(
+            F.sum(F.col("qx").cast("decimal(38,0)")).alias("s"),
+            F.count("*").alias("n"),
+        )
         .collect()
     )
-    s1 = {r["pos"] + 1: r["s"] for r in s1n}
-    n = s1n[0]["n"]
+    if not s1n:
+        return spark.createDataFrame([], out_schema)
+    s1 = {r["pos"] + 1: int(r["s"]) for r in s1n}
+    counts = {r["n"] for r in s1n}
+    if len(counts) != 1 or len(s1) != dim or len(s2) != dim * dim:
+        raise ValueError(
+            "top_principal_component: inconsistent moment frame "
+            f"(per-pos counts {sorted(counts)}, |s1|={len(s1)}, "
+            f"|s2|={len(s2)}, dim={dim}) — input vectors violate the "
+            "fixed-dim contract despite the size filter"
+        )
+    n = counts.pop()
     d2 = float(n * scale * scale)
     d1 = float(n * scale)
     cov = [
@@ -124,7 +145,7 @@ def top_principal_component(
     return (
         spark.createDataFrame(
             [(i + 1, v[i], eig) for i in range(dim)],
-            "pos int, loading double, eigval double",
+            out_schema,
         )
         .select(
             "pos",

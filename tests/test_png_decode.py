@@ -160,6 +160,50 @@ def test_png_rejects_unsupported_and_corrupt():
     assert _decode_png(bytes(broken)) is None
 
 
+def test_png_quarantines_decompression_bombs():
+    """Untrusted-payload guard: crafted payloads that would OOM the
+    executor must quarantine (None), never allocate or crash."""
+    # 1) Huge declared dimensions (100k x 100k = 1e10 px) with a tiny
+    #    IDAT: the 64M-pixel cap must fire before any buffer allocation.
+    ihdr = struct.pack(">IIBBBBB", 100_000, 100_000, 8, 2, 0, 0, 0)
+    bomb_dims = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+        + _chunk(b"IEND", b"")
+    )
+    assert _decode_png(bomb_dims) is None
+    # 2) Plausible dimensions but an IDAT that inflates far past the
+    #    declared geometry (4x4 RGB needs 52 bytes; this yields 10 MB):
+    #    bounded inflate must stop at need+1 and quarantine.
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    bomb_data = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 10_000_000))
+        + _chunk(b"IEND", b"")
+    )
+    assert _decode_png(bomb_data) is None
+    # 3) Off-by-a-little excess output (need + a few bytes) is also a
+    #    malformed payload -> quarantine, while exact-length decodes.
+    px = _rng(12).integers(0, 256, size=(4, 4, 3), dtype=np.int64)
+    raw = _filter_rows(px.astype(np.uint8), 3, 0)
+    good = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    excess = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw + b"\x00\x00\x00"))
+        + _chunk(b"IEND", b"")
+    )
+    assert _decode_png(good) is not None
+    assert _decode_png(excess) is None
+
+
 def test_png_matches_netpbm_cross_codec():
     """Same pixels via PNG and via P6 netpbm must decode identically —
     the independent in-repo oracle for the PNG filter inversion."""
