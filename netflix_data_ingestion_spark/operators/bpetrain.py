@@ -11,11 +11,19 @@ model-sized parameter-server license as kmeans' centroid update), and
 apply the merge to every word's symbol array with a greedy
 left-to-right fold (one narrow pass, no Python).
 
-Scale shape: corpus is touched ONCE; each of the ``num_merges`` rounds
-costs one explode+groupBy over |vocab| rows (bounded by distinct
-pretokens, not corpus size) plus a 1-row collect.  State between
-rounds is the symbol-array column, eager-checkpointed per round
-(lineage would otherwise stack num_merges folds deep).
+Scale shape: corpus is touched ONCE; the word-frequency table is
+MODEL-sized (bounded by distinct pretokens, not corpus rows), so after
+that single pass the merge loop itself needs no cluster.  A real
+tokenizer trains 30k-50k merges — running each round as a Spark job
+would be O(num_merges) scheduling (hours of pure overhead on ANY
+corpus) — so when the vocab fits ``driver_vocab_cap`` the trainer
+collects it once and runs every round in-process with incremental
+pair-count maintenance (the subword-nmt discipline: only words
+containing the merged pair are touched per round).  Only when the
+vocab exceeds the cap does it fall back to the distributed round path:
+per round one explode+groupBy over the vocab frame plus a 1-row argmax
+collect, symbol arrays eager-checkpointed between rounds (lineage
+would otherwise stack num_merges folds deep).
 """
 
 from __future__ import annotations
@@ -107,12 +115,100 @@ def _apply_merge(vocab: DataFrame, a: str, b: str) -> DataFrame:
     )
 
 
+#: distinct-pretoken count under which the merge loop runs in-process.
+#: 2M words x ~60 bytes of symbols is ~120 MB of driver heap — far
+#: under any real driver budget, and real-corpus vocabularies (even
+#: web-scale, after pretokenization) sit in the single-digit millions.
+DRIVER_VOCAB_CAP = 2_000_000
+
+
+def _merge_word(
+    syms: list[str], a: str, b: str, ab: str
+) -> list[str]:
+    """Greedy left-to-right non-overlapping (a, b) -> ab: the exact
+    pend-fold semantics of _apply_merge, in-process."""
+    out: list[str] = []
+    i, n = 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(ab)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _count_pairs(syms: list[str], cnt: int, into: dict) -> None:
+    for i in range(len(syms) - 1):
+        k = (syms[i], syms[i + 1])
+        into[k] = into.get(k, 0) + cnt
+
+
+def _train_local(
+    words: list[tuple[list[str], int]],
+    num_merges: int,
+    min_pair_count: int,
+    with_counts: bool,
+) -> list:
+    """All ``num_merges`` rounds over the collected word-frequency
+    table: ZERO Spark jobs.  Incremental maintenance (subword-nmt):
+    a pair->word-set index means each round touches only the words
+    that contain the chosen pair, so total work is proportional to
+    actual merge activity, not rounds x vocab."""
+    counts: dict[tuple[str, str], int] = {}
+    index: dict[tuple[str, str], set[int]] = {}
+    for wi, (syms, cnt) in enumerate(words):
+        for i in range(len(syms) - 1):
+            k = (syms[i], syms[i + 1])
+            counts[k] = counts.get(k, 0) + cnt
+            index.setdefault(k, set()).add(wi)
+    merges: list = []
+    for _ in range(num_merges):
+        if not counts:
+            break
+        # deterministic argmax: highest total, then lexicographic
+        # (a, b) — Python's str compare is code-point order, which
+        # UTF-8 binary order (Spark/DuckDB ORDER BY) preserves
+        (a, b), total = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if total < min_pair_count:
+            break
+        merges.append((a, b, total) if with_counts else (a, b))
+        ab = a + b
+        for wi in sorted(index.get((a, b), ())):
+            syms, cnt = words[wi]
+            merged = _merge_word(syms, a, b, ab)
+            if merged == syms:
+                continue
+            old: dict = {}
+            new: dict = {}
+            _count_pairs(syms, cnt, old)
+            _count_pairs(merged, cnt, new)
+            words[wi] = (merged, cnt)
+            for k, c in old.items():
+                left = counts.get(k, 0) - c
+                if left > 0:
+                    counts[k] = left
+                else:
+                    counts.pop(k, None)
+                s = index.get(k)
+                if s is not None:
+                    s.discard(wi)
+                    if not s:
+                        del index[k]
+            for k, c in new.items():
+                counts[k] = counts.get(k, 0) + c
+                index.setdefault(k, set()).add(wi)
+    return merges
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str = "text",
     num_merges: int = 50,
     min_pair_count: int = 2,
     with_counts: bool = False,
+    driver_vocab_cap: int = DRIVER_VOCAB_CAP,
 ) -> list[tuple[str, str]] | list[tuple[str, str, int]]:
     """The learned merge table: ``num_merges`` (a, b) pairs in training
     order (``with_counts=True`` appends each chosen pair's exact corpus
@@ -120,9 +216,28 @@ def bpe_train(
     ``min_pair_count`` (merging singleton pairs memorizes the corpus).
     Deterministic: ties break lexicographically on (a, b), and every
     count is exact integer arithmetic — the same corpus always learns
-    the same table, on any partitioning.
+    the same table, on any partitioning, on EITHER execution path:
+
+    - vocab <= ``driver_vocab_cap`` distinct pretokens: ONE Spark
+      action total (the corpus pass + vocab collect); the whole merge
+      loop runs in-process (_train_local), so job count does not
+      scale with ``num_merges``.
+    - above the cap (or ``driver_vocab_cap=0``): the distributed
+      round path — per round a combinable pair-count groupBy over the
+      vocab frame and a 1-row argmax collect (the same model-sized
+      parameter-server license as kmeans' centroid update).
     """
-    vocab = _word_table(df, text_col).localCheckpoint(eager=True)
+    vocab_src = _word_table(df, text_col)
+    if driver_vocab_cap:
+        head = vocab_src.limit(driver_vocab_cap + 1).collect()
+        if len(head) <= driver_vocab_cap:
+            words = [
+                (list(r["symbols"]), int(r["cnt"])) for r in head
+            ]
+            return _train_local(
+                words, num_merges, min_pair_count, with_counts
+            )
+    vocab = vocab_src.localCheckpoint(eager=True)
     merges: list = []
     for _ in range(num_merges):
         top = (

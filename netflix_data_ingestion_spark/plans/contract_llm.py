@@ -3779,8 +3779,15 @@ def q_corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from netflix_data_ingestion_spark.operators.bpetrain import bpe_train
 
     docs = _t(spark, sf_dir, "documents")
+    # min_pair_count=1: the SQL oracle unconditionally runs
+    # _BPE_ROUNDS rounds (it will merge a count-1 pair); the only
+    # shared stop condition is no adjacent pairs at all (empty b{r})
     merges = bpe_train(
-        docs, "text", num_merges=_BPE_ROUNDS, with_counts=True
+        docs,
+        "text",
+        num_merges=_BPE_ROUNDS,
+        min_pair_count=1,
+        with_counts=True,
     )
     return spark.createDataFrame(
         [
@@ -3898,7 +3905,10 @@ def q_doc_bpe_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").withColumn(
         "text", F.coalesce(F.col("text"), F.lit(""))
     )
-    merges = bpe_train(docs, "text", num_merges=_BPE_ROUNDS)
+    # min_pair_count=1 for oracle parity (see q_corpus_bpe_merges)
+    merges = bpe_train(
+        docs, "text", num_merges=_BPE_ROUNDS, min_pair_count=1
+    )
     seg = bpe_segment(docs, merges, "doc_id", "text")
     pre = docs.select(
         "doc_id",

@@ -86,3 +86,54 @@ def test_bpe_train_is_partition_invariant(spark):
 def test_bpe_train_min_count_stops_early(spark):
     df = _corpus(spark, {"xy": 1})
     assert bpe_train(df, num_merges=10, min_pair_count=2) == []
+    # min_pair_count=1 (the oracle-parity contract setting) keeps
+    # merging singleton pairs until no adjacent pairs remain
+    all_merges = bpe_train(df, num_merges=10, min_pair_count=1)
+    assert all_merges == [("x", "y"), ("xy", EOW)]
+
+
+def test_bpe_local_and_distributed_paths_agree(spark):
+    """The in-process merge loop (vocab under driver_vocab_cap) and the
+    distributed round path (cap=0 forces it) must learn the identical
+    table, counts included."""
+    words = {
+        "low": 5, "lower": 2, "newest": 6, "widest": 3,
+        "aaab": 4, "abab": 3, "bbba": 2, "zq": 1,
+    }
+    df = _corpus(spark, words)
+    local = bpe_train(df, num_merges=12, min_pair_count=1, with_counts=True)
+    dist = bpe_train(
+        df,
+        num_merges=12,
+        min_pair_count=1,
+        with_counts=True,
+        driver_vocab_cap=0,
+    )
+    assert local == dist
+    assert len(local) >= 8  # the corpus supports a real merge sequence
+
+
+def test_bpe_train_job_count_does_not_scale_with_merges(spark):
+    """num_merges=50 on an in-cap vocab must run exactly ONE Spark
+    action (the corpus pass + vocab collect) — the merge loop is
+    in-process, so scheduling cost is O(1) in num_merges."""
+    df = _corpus(
+        spark, {f"w{i}ab{i % 7}xy": i % 5 + 1 for i in range(200)}
+    )
+    # patch the concrete class (Spark 4: pyspark.sql.classic.DataFrame,
+    # not the abstract pyspark.sql.DataFrame base)
+    cls = type(df)
+    calls = {"n": 0}
+    orig = cls.collect
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    cls.collect = counting
+    try:
+        merges = bpe_train(df, num_merges=50, min_pair_count=1)
+    finally:
+        cls.collect = orig
+    assert calls["n"] == 1
+    assert len(merges) >= 40  # the loop really ran ~50 rounds

@@ -92,7 +92,9 @@ def test_bpe_merges_contract_shape(spark):
     assert [r["merge_idx"] for r in rows] == list(range(1, len(rows) + 1))
     for r in rows:
         assert r["merged"] == r["lhs"] + r["rhs"]
-        assert r["pair_count"] >= 2
+        # contract runs min_pair_count=1 (oracle parity: the SQL twin
+        # merges whatever pair wins the round, even a count-1 pair)
+        assert r["pair_count"] >= 1
     # merge counts never increase between rounds IF a later round's best
     # pair existed unchanged earlier -- not a theorem for all corpora, so
     # pin only the invariant that counts stay positive and the table is

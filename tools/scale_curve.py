@@ -202,12 +202,15 @@ def ops(spark, sf_dir: str, copies: int):
         # tokenizer training: cost should be bounded by the VOCAB curve
         # (distinct pretokens saturate as copies grow — the per-copy
         # word salt adds some new types, but far fewer than 16x), so
-        # the fitted exponent should sit well below 1
+        # the fitted exponent should sit well below 1.  num_merges=50:
+        # since the r7 in-process merge loop, rounds cost zero Spark
+        # jobs — the curve measures the one corpus pass + local loop,
+        # which is the real-trainer workload shape
         from netflix_data_ingestion_spark.operators.bpetrain import (
             bpe_train,
         )
 
-        return len(bpe_train(docs, "text", num_merges=3))
+        return len(bpe_train(docs, "text", num_merges=50))
 
     def skew():
         # the r6 rewrite: top-k via global_rank over the per-key counts
@@ -243,9 +246,14 @@ def main() -> int:
     spark = build_session(app_name="scale-curve")
     shutil.rmtree(WORK, ignore_errors=True)
 
+    only = [
+        s for s in os.environ.get("SCALE_FAMILIES", "").split(",") if s
+    ]
     results: dict[str, dict] = {}
     for copies in SCALES:
         for name, (n, thunk) in ops(spark, sf_dir, copies).items():
+            if only and not any(s in name for s in only):
+                continue
             # warm-up once at the smallest scale so JIT/codegen cold cost
             # doesn't masquerade as the 1x time
             if copies == SCALES[0]:
