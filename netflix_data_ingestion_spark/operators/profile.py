@@ -186,7 +186,10 @@ def exact_quantiles_ranged(
 
 
 def skew_report(
-    df: DataFrame, key_cols: list[str], top: int = 10
+    df: DataFrame,
+    key_cols: list[str],
+    top: int = 10,
+    reliable: bool = False,
 ) -> DataFrame:
     """(key..., n, share, rank) — the `top` heaviest keys and their share
     of the table: the diagnosis step before operators/skew.py's salting
@@ -210,12 +213,26 @@ def skew_report(
     is scanned exactly once, at build, and everything downstream reads
     the |distinct keys|-sized pin (test_skew_report_is_lazy_single_plan
     asserts the exactly-once property with an accumulator).  The total
-    sums the per-key counts, not the top-k cut."""
-    counts = (
-        df.groupBy(*key_cols)
-        .agg(F.count("*").alias("n"))
-        .localCheckpoint(eager=True)
-    )
+    sums the per-key counts, not the top-k cut.
+
+    Recovery caveat: ``localCheckpoint`` is NOT fault-tolerant — it
+    truncates lineage, so losing an executor after the pin fails the
+    job unrecoverably.  For long-running production diagnoses (hours
+    over a 100 TB fact, where an executor loss is expected, and where
+    the pin itself can be data-sized at billions of distinct keys) pass
+    ``reliable=True``: the counts frame is instead persisted at
+    ``MEMORY_AND_DISK_2`` (2x-replicated, spillable) with lineage kept,
+    so a lost replica recomputes from the input rather than killing the
+    job — the exactly-once scan becomes at-least-once only in the
+    failure path."""
+    counts = df.groupBy(*key_cols).agg(F.count("*").alias("n"))
+    if reliable:
+        from pyspark import StorageLevel
+
+        counts = counts.persist(StorageLevel.MEMORY_AND_DISK_2)
+        counts.count()  # materialize now: one input scan, replicated pin
+    else:
+        counts = counts.localCheckpoint(eager=True)
     total = counts.agg(F.sum("n").cast("double").alias("__total"))
     ranked = global_rank(
         counts.withColumn("__negn", -F.col("n")).withColumn(

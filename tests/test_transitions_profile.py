@@ -78,6 +78,34 @@ def test_skew_report_ranks_heavy_keys(spark):
     assert abs(out[0]["share"] - 0.6) < 1e-12
 
 
+def test_skew_report_reliable_mode_same_output(spark):
+    """reliable=True swaps the localCheckpoint pin for a replicated
+    persist (fault-tolerant: lineage kept) — results must be identical
+    and the input still scanned exactly once on the success path."""
+    from pyspark.sql import functions as F
+
+    from netflix_data_ingestion_spark.operators.profile import skew_report
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(k):
+        acc.add(1)
+        return k
+
+    bump_udf = F.udf(bump, "string")
+    base = spark.createDataFrame(
+        [("hot",)] * 60 + [("warm",)] * 30 + [("cold",)] * 10, "k string"
+    ).select(bump_udf("k").alias("k"))
+    out = skew_report(base, ["k"], top=2, reliable=True)
+    assert acc.value == 100  # materialized once at build
+    rows = out.collect()
+    assert acc.value == 100  # downstream reads the pin, not the input
+    assert [(r["k"], r["n"], r["rank"]) for r in rows] == [
+        ("hot", 60, 1), ("warm", 30, 2),
+    ]
+    assert abs(rows[0]["share"] - 0.6) < 1e-12
+
+
 def test_skew_report_is_lazy_single_plan(spark):
     """The input must be scanned EXACTLY ONCE, no matter how many
     downstream consumers the operator wires up (the counts pin feeds
