@@ -70,19 +70,13 @@ def _power_iterate(
     return v, eig
 
 
-def top_principal_component(
-    df: DataFrame,
-    vec_col: str = "embedding",
-    dim: int = 64,
-    iters: int = 8,
-    scale: int = 1_000_000,
-) -> DataFrame:
-    """(pos, loading, eigval) — the `iters`-step power iterate of the
-    exact covariance of the quantized vectors: 64 rows, loadings of the
-    (unit-norm) top principal direction plus the Rayleigh-quotient
-    eigenvalue estimate, both rounded to 6 decimals at the very end."""
-    spark = df.sparkSession
-    out_schema = "pos int, loading double, eigval double"
+def _collect_moments(
+    df: DataFrame, vec_col: str, dim: int, scale: int
+):
+    """The single data pass shared by every PCA entry point: exact
+    DECIMAL(38,0) first/second moments of the quantized vectors.
+    Returns (s2 dict, s1 dict, n) or None when no vector survives the
+    fixed-dim filter."""
     q = (
         ensure_parallelism(df)
         .where(F.col(vec_col).isNotNull())
@@ -119,26 +113,49 @@ def top_principal_component(
         .collect()
     )
     if not s1n:
-        return spark.createDataFrame([], out_schema)
+        return None
     s1 = {r["pos"] + 1: int(r["s"]) for r in s1n}
     counts = {r["n"] for r in s1n}
     if len(counts) != 1 or len(s1) != dim or len(s2) != dim * dim:
         raise ValueError(
-            "top_principal_component: inconsistent moment frame "
+            "pca moments: inconsistent moment frame "
             f"(per-pos counts {sorted(counts)}, |s1|={len(s1)}, "
             f"|s2|={len(s2)}, dim={dim}) — input vectors violate the "
             "fixed-dim contract despite the size filter"
         )
-    n = counts.pop()
+    return s2, s1, counts.pop()
+
+
+def _covariance(s2, s1, n: int, dim: int, scale: int):
     d2 = float(n * scale * scale)
     d1 = float(n * scale)
-    cov = [
+    return [
         [
             s2[(i, j)] / d2 - (s1[i] / d1) * (s1[j] / d1)
             for j in range(1, dim + 1)
         ]
         for i in range(1, dim + 1)
     ]
+
+
+def top_principal_component(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iters: int = 8,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """(pos, loading, eigval) — the `iters`-step power iterate of the
+    exact covariance of the quantized vectors: 64 rows, loadings of the
+    (unit-norm) top principal direction plus the Rayleigh-quotient
+    eigenvalue estimate, both rounded to 6 decimals at the very end."""
+    spark = df.sparkSession
+    out_schema = "pos int, loading double, eigval double"
+    moments = _collect_moments(df, vec_col, dim, scale)
+    if moments is None:
+        return spark.createDataFrame([], out_schema)
+    s2, s1, n = moments
+    cov = _covariance(s2, s1, n, dim, scale)
     v, eig = _power_iterate(cov, dim, iters)
     # round JVM-side (F.round = HALF_UP, matching DuckDB ROUND) — Python
     # round() is banker's and could diverge on an exact tie
@@ -153,4 +170,56 @@ def top_principal_component(
             F.round("eigval", 6).alias("eigval"),
         )
         .orderBy("pos")
+    )
+
+
+def top_principal_components(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 3,
+    iters: int = 8,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """(component, pos, loading, eigval) — the top-``k`` principal
+    directions by HOTELLING DEFLATION over the same single-pass exact
+    covariance as top_principal_component: component 1 is the plain
+    ``iters``-step power iterate; each next component power-iterates
+    C' = C - eig_c * v_c v_c^T (rank-one deflation), which annihilates
+    the found direction so the iteration converges to the next one.
+
+    Scale shape is unchanged: ONE combinable data pass (dim^2 moment
+    rows, corpus-size-free) and k * iters driver-side dim x dim matvecs
+    (parameter-server license).  Every float op — deflation entries
+    included (``cov[i][j] - eig * v[i] * v[j]``, left-to-right) — is
+    sequenced exactly like the SQL twin, so the full k-component table
+    is bit-identical across engines after the final round(6)."""
+    spark = df.sparkSession
+    out_schema = "component int, pos int, loading double, eigval double"
+    moments = _collect_moments(df, vec_col, dim, scale)
+    if moments is None:
+        return spark.createDataFrame([], out_schema)
+    s2, s1, n = moments
+    cov = _covariance(s2, s1, n, dim, scale)
+    rows = []
+    for c in range(1, k + 1):
+        v, eig = _power_iterate(cov, dim, iters)
+        rows.extend((c, i + 1, v[i], eig) for i in range(dim))
+        if c < k:
+            cov = [
+                [
+                    cov[i][j] - eig * v[i] * v[j]
+                    for j in range(dim)
+                ]
+                for i in range(dim)
+            ]
+    return (
+        spark.createDataFrame(rows, out_schema)
+        .select(
+            "component",
+            "pos",
+            F.round("loading", 6).alias("loading"),
+            F.round("eigval", 6).alias("eigval"),
+        )
+        .orderBy("component", "pos")
     )

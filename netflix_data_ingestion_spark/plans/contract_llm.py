@@ -3803,7 +3803,11 @@ def _bpe_oracle(rounds: int, mode: str = "merges") -> str:
     """The shared K-round SQL reconstruction of greedy BPE training.
     ``mode='merges'`` outputs the merge table; ``mode='segment'``
     applies the final vocabulary back to every document and outputs
-    per-doc pretoken/BPE-token counts (the tokenizer APPLY side)."""
+    per-doc pretoken/BPE-token counts (the tokenizer APPLY side);
+    ``mode='encode'`` is the full text-to-tensor hop — assign ids to
+    the final symbol inventory (1-based, binary-collation order) and
+    emit each document's ordered token-id stream (md5-hashed) plus its
+    length."""
     ctes = [
         r"""w0 AS (
   SELECT w, COUNT(*)::BIGINT AS cnt
@@ -3855,6 +3859,42 @@ v{r + 1} AS (
   FROM v{r} v LEFT JOIN m{r} m USING (w)
 )"""
         )
+    if mode == "encode":
+        tail = rf"""
+,
+vocab AS (
+  SELECT sym_t, ROW_NUMBER() OVER (ORDER BY sym_t)::BIGINT AS tok_id
+  FROM (SELECT DISTINCT u.s AS sym_t
+        FROM v{rounds + 1}, unnest(sym) AS u(s))
+),
+docws AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')),
+           '''[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+') AS ws
+  FROM documents
+),
+seq AS (
+  SELECT d.doc_id, t.i AS wpos, f.sym AS sym
+  FROM docws d, unnest(range(1, len(d.ws) + 1)) AS t(i)
+  JOIN v{rounds + 1} f ON f.w = d.ws[t.i]
+),
+tok AS (
+  SELECT s.doc_id, s.wpos, u.j AS spos, vb.tok_id
+  FROM seq s, unnest(range(1, len(s.sym) + 1)) AS u(j)
+  JOIN vocab vb ON vb.sym_t = s.sym[u.j]
+),
+enc AS (
+  SELECT doc_id,
+         COUNT(*)::BIGINT AS n_tokens,
+         string_agg(tok_id::VARCHAR, ' ' ORDER BY wpos, spos) AS ids
+  FROM tok GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(e.n_tokens, 0)::BIGINT AS n_tokens,
+       md5(COALESCE(e.ids, '')) AS ids_md5
+FROM documents d LEFT JOIN enc e ON d.doc_id = e.doc_id
+ORDER BY d.doc_id"""
+        return "WITH " + ",\n".join(ctes) + tail
     if mode == "segment":
         tail = rf"""
 SELECT d.doc_id,
@@ -3919,6 +3959,81 @@ def q_doc_bpe_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pre.join(seg.select("doc_id", "n_bpe_tokens"), "doc_id")
         .select("doc_id", "n_pretokens", "n_bpe_tokens")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_BPE_ENCODE = _bpe_oracle(_BPE_ROUNDS, mode="encode")
+
+
+def q_doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END tokenizer contract: train the merge table
+    (bpe_train), segment every document with it (bpe_segment), assign
+    token ids over the learned inventory, and emit each document's
+    ordered id stream — the full text-to-tensor hop one operator chain,
+    where r6 verified train and apply only independently.
+
+    Id assignment: the final symbol inventory (union of post-merge
+    word symbols — model-sized, the same parameter-server license as
+    the merge table) sorted in binary order, ids 1..V.  The contract
+    hashes the space-joined per-doc id sequence so the oracle proves
+    EXACT stream equality without shipping token arrays.
+
+    Plan shape: one corpus pass to train (in-process merge loop), one
+    segmentation pass (chained narrow folds), one posexplode +
+    broadcast-join on the vocab frame, one per-doc groupBy; the
+    struct(pos, tok_id) array_sort keys the stream order, so the
+    result is partition-invariant."""
+    from netflix_data_ingestion_spark.operators.bpetrain import (
+        bpe_segment,
+        bpe_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.coalesce(F.col("text"), F.lit(""))
+    )
+    merges = bpe_train(
+        docs, "text", num_merges=_BPE_ROUNDS, min_pair_count=1
+    )
+    seg = bpe_segment(docs, merges, "doc_id", "text")
+    toks = sorted(
+        r["tok"]
+        for r in seg.select(
+            F.explode("bpe_tokens").alias("tok")
+        )
+        .distinct()
+        .collect()
+    )
+    vocab_df = spark.createDataFrame(
+        [(t, i + 1) for i, t in enumerate(toks)], "tok string, tok_id long"
+    )
+    ex = seg.select(
+        "doc_id", F.posexplode("bpe_tokens").alias("pos", "tok")
+    )
+    enc = (
+        ex.join(F.broadcast(vocab_df), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "tok_id"))
+                    ),
+                    lambda s: s["tok_id"].cast("string"),
+                ),
+                " ",
+            ).alias("ids"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(enc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.md5(F.coalesce("ids", F.lit(""))).alias("ids_md5"),
+        )
         .orderBy("doc_id")
     )
 
@@ -4105,6 +4220,117 @@ ORDER BY pos"""
 
 
 ORACLE_TOP_PC = _pca_oracle(_PCA_ITERS)
+
+
+_PCA_COMPONENTS = 3
+
+
+def q_embedding_top_pcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/pca.top_principal_components over the embeddings
+    table: the top-3 principal directions by Hotelling deflation —
+    (component, pos, loading, eigval), same single-pass exact moments,
+    k * 8 driver-side power steps, bit-exact against the SQL twin."""
+    from netflix_data_ingestion_spark.operators.pca import (
+        top_principal_components,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return top_principal_components(
+        emb, "embedding", dim=64, k=_PCA_COMPONENTS, iters=_PCA_ITERS
+    )
+
+
+def _pca_multi_oracle(k: int, iters: int) -> str:
+    """K-component deflation twin: the c=1 chain is _pca_oracle's; each
+    d{c+1} deflates cm by the found (v, eig) with the same
+    left-to-right float sequencing as the Python loop
+    (cm[i][j] - eig * v[i] * v[j])."""
+    ctes = [
+        """q AS (
+  SELECT list_transform(embedding,
+                        x -> round(x::DOUBLE * 1000000.0)::BIGINT) AS qv
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+nn AS (SELECT COUNT(*)::BIGINT AS n FROM q),
+s1 AS (
+  SELECT i, SUM(qv[i])::BIGINT AS s
+  FROM q, unnest(range(1, 65)) AS t(i) GROUP BY i
+),
+s2 AS (
+  SELECT t.i, u.j, SUM(qv[t.i] * qv[u.j])::BIGINT AS s
+  FROM q, unnest(range(1, 65)) AS t(i), unnest(range(1, 65)) AS u(j)
+  GROUP BY t.i, u.j
+),
+covr AS (
+  SELECT s2.i,
+         list(s2.s::DOUBLE / (nn.n * 1000000.0 * 1000000.0)
+              - (a.s::DOUBLE / (nn.n * 1000000.0))
+                * (b.s::DOUBLE / (nn.n * 1000000.0))
+              ORDER BY s2.j) AS cl
+  FROM s2
+  JOIN s1 a ON a.i = s2.i
+  JOIN s1 b ON b.i = s2.j
+  CROSS JOIN nn
+  GROUP BY s2.i
+),
+d1 AS (SELECT list(cl ORDER BY i) AS cm FROM covr)"""
+    ]
+    for c in range(1, k + 1):
+        ctes.append(
+            f"""c{c}v0 AS (
+  SELECT cm, list_transform(range(1, 65), i -> 1.0) AS v FROM d{c}
+)"""
+        )
+        for s in range(1, iters + 1):
+            ctes.append(
+                f"""c{c}w{s} AS (
+  SELECT cm, list_transform(range(1, 65), i ->
+    list_sum(list_transform(range(1, 65), j -> cm[i][j] * v[j]))) AS w
+  FROM c{c}v{s - 1}
+),
+c{c}v{s} AS (
+  SELECT cm, list_transform(w, x ->
+    x / sqrt(list_sum(list_transform(w, y -> y * y)))) AS v
+  FROM c{c}w{s}
+)"""
+            )
+        ctes.append(
+            f"""c{c}u AS (
+  SELECT cm, v, list_transform(range(1, 65), i ->
+    list_sum(list_transform(range(1, 65), j -> cm[i][j] * v[j]))) AS u
+  FROM c{c}v{iters}
+),
+c{c}e AS (
+  SELECT cm, v,
+         list_sum(list_transform(range(1, 65), i -> v[i] * u[i])) AS eig
+  FROM c{c}u
+)"""
+        )
+        if c < k:
+            ctes.append(
+                f"""d{c + 1} AS (
+  SELECT list_transform(range(1, 65), i ->
+    list_transform(range(1, 65), j ->
+      cm[i][j] - eig * v[i] * v[j])) AS cm
+  FROM c{c}e
+)"""
+            )
+    unions = "\n  UNION ALL ".join(
+        f"SELECT {c} AS component, i::INT AS pos, ROUND(v[i], 6) AS loading,"
+        f" ROUND(eig, 6) AS eigval FROM c{c}e, unnest(range(1, 65)) AS t(i)"
+        for c in range(1, k + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT component::INT AS component, pos, loading, eigval
+FROM ({unions}) out
+ORDER BY component, pos"""
+    )
+
+
+ORACLE_TOP_PCS = _pca_multi_oracle(_PCA_COMPONENTS, _PCA_ITERS)
 
 
 # ---------------------------------------------------------------------------
@@ -4309,4 +4535,8 @@ REGISTRY_LLM = {
     "multimodal_meta": (q_multimodal_meta, ORACLE_MULTIMODAL),
     "multimodal_frame_sample": (q_multimodal_frame_sample, ORACLE_FRAME_SAMPLE),
     "multimodal_phash_pairs": (q_multimodal_phash_pairs, ORACLE_PHASH_PAIRS),
+    # round-7 additions (registry tail: the frozen r7 window stays
+    # byte-identical to the drafted plan; these queue in _VERIFY_ROUND8)
+    "embedding_top_pcs": (q_embedding_top_pcs, ORACLE_TOP_PCS),
+    "doc_bpe_encode": (q_doc_bpe_encode, ORACLE_BPE_ENCODE),
 }
