@@ -5,10 +5,12 @@ metadata.  The Spark-side plumbing — schemas, per-row metadata
 extraction, Arrow-batched ``mapInPandas`` decode/feature stages — is real
 and tested.  Formats that need no codec library are decoded FOR REAL
 in pure numpy: ``decode_real_features`` (netpbm P5/P6, uncompressed
-24-bit BMP, and PNG via stdlib zlib -> exact integer luma stats + 8x8
+24-bit BMP, PNG via stdlib zlib, and baseline-sequential JPEG via
+operators/jpeg.py's own Huffman+IDCT -> integer luma stats + 8x8
 perceptual aHash) and ``resize_real`` (integer box-average downsample +
 netpbm re-encode).
-Library-needing formats (JPEG/video) remain honestly stubbed:
+Library-needing formats (video codecs; progressive JPEG) remain
+honestly stubbed:
 ``decode_stub_features``/``frame_sample_stub``/``resize_stub`` derive
 deterministic pseudo-features so batch shape / schema / partitioning
 are exercised end-to-end, and raise ``NotImplementedError`` when asked
@@ -75,10 +77,10 @@ def decode_stub_features(df: DataFrame, real_decode: bool = False) -> DataFrame:
     """
     if real_decode:
         raise NotImplementedError(
-            "real media decode of library-needing formats (JPEG/video/...) "
-            "is unavailable in this environment; use decode_real_features "
-            "for netpbm/BMP payloads, or wire PIL/torchaudio here on a "
-            "real cluster"
+            "real media decode of library-needing formats (video, "
+            "progressive JPEG, ...) is unavailable in this environment; "
+            "use decode_real_features for netpbm/BMP/PNG/baseline-JPEG "
+            "payloads, or wire PIL/torchaudio here on a real cluster"
         )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -503,8 +505,16 @@ def _decode_png(b: bytes):
 
 def _decode_image(b: bytes):
     """Format-sniffing dispatch over every pure-Python codec:
-    netpbm (P5/P6), uncompressed 24-bit BMP, PNG.  None = quarantine."""
-    return _decode_netpbm(b) or _decode_bmp(b) or _decode_png(b)
+    netpbm (P5/P6), uncompressed 24-bit BMP, PNG, baseline JPEG.
+    None = quarantine."""
+    from netflix_data_ingestion_spark.operators.jpeg import decode_jpeg
+
+    return (
+        _decode_netpbm(b)
+        or _decode_bmp(b)
+        or _decode_png(b)
+        or decode_jpeg(b)
+    )
 
 
 def _luma(px):

@@ -1,0 +1,326 @@
+"""Baseline JPEG decode (operators/jpeg.py) — pure-stdlib path.
+
+The test encoder writes spec-compliant baseline JPEGs (T.81: canonical
+Huffman tables, zigzag RLE, byte stuffing, optional restart markers)
+using its OWN forward DCT; decoding must invert it to within the
+quantization error bound.  With all-ones quant tables the only loss is
+coefficient rounding (|err| per coef <= 0.5), so pixel error is
+tightly bounded — the in-repo independent oracle for the entropy
+decode + dequant + IDCT + color pipeline.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+import pytest
+
+from netflix_data_ingestion_spark.operators.jpeg import (
+    ZIGZAG,
+    _build_huffman,
+    decode_jpeg,
+)
+
+# --- minimal spec-compliant baseline encoder (test-only) ---------------
+
+# all 12 DC magnitude symbols at code length 4 (Kraft 12/16 <= 1,
+# all-ones length-4 code unused), all 162 AC symbols at length 8
+_DC_BITS = bytes([0, 0, 0, 12] + [0] * 12)
+_DC_VALS = bytes(range(12))
+_AC_VALS = bytes(
+    [0x00, 0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_AC_BITS = bytes([0, 0, 0, 0, 0, 0, 0, len(_AC_VALS)] + [0] * 8)
+
+
+def _enc_table(bits: bytes, vals: bytes) -> dict:
+    """symbol -> (length, code), inverted from the decoder's builder
+    so encoder and decoder share one canonical-code definition."""
+    return {v: lc for lc, v in _build_huffman(bits, vals).items()}
+
+
+_DC_ENC = _enc_table(_DC_BITS, _DC_VALS)
+_AC_ENC = _enc_table(_AC_BITS, _AC_VALS)
+
+
+def _dct_matrix():
+    a = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            a[u, x] = cu * math.cos((2 * x + 1) * u * math.pi / 16.0) / 2.0
+    return a
+
+
+_M = _dct_matrix()
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        while self.n:
+            self.write(1, 1)  # pad with 1-bits
+        return bytes(self.out)
+
+
+def _mag(v: int) -> tuple[int, int]:
+    """DC/AC magnitude category + value bits per T.81 F.1.2.1."""
+    s = 0 if v == 0 else v.bit_length() if v > 0 else (-v).bit_length()
+    bitsv = v if v >= 0 else v + (1 << s) - 1
+    return s, bitsv
+
+
+def _encode_block(w: _BitWriter, block: np.ndarray, pred: int) -> int:
+    f = _M @ (block.astype(np.float64) - 128.0) @ _M.T
+    q = np.round(f).astype(np.int64)  # all-ones quant table
+    zz = [int(q.flat[ZIGZAG[k]]) for k in range(64)]
+    s, bitsv = _mag(zz[0] - pred)
+    ln, code = _DC_ENC[s]
+    w.write(code, ln)
+    if s:
+        w.write(bitsv, s)
+    run = 0
+    for k in range(1, 64):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            ln, code = _AC_ENC[0xF0]
+            w.write(code, ln)
+            run -= 16
+        s, bitsv = _mag(zz[k])
+        ln, code = _AC_ENC[(run << 4) | s]
+        w.write(code, ln)
+        w.write(bitsv, s)
+        run = 0
+    if run:
+        ln, code = _AC_ENC[0x00]
+        w.write(code, ln)
+    return zz[0]
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+def _plane_blocks(plane: np.ndarray, bw: int, bh: int) -> np.ndarray:
+    """Pad a component plane (edge-replicate) to bh x bw blocks."""
+    h, w = plane.shape
+    out = np.empty((bh * 8, bw * 8), dtype=np.float64)
+    out[:h, :w] = plane
+    out[h:, :w] = plane[h - 1 : h, :]
+    out[:, w:] = out[:, w - 1 : w]
+    return out
+
+
+def encode_jpeg(
+    px: np.ndarray, luma_hv: tuple[int, int] = (1, 1), restart: int = 0
+) -> bytes:
+    """Baseline JPEG: all-ones quant table, shared canonical Huffman
+    tables, single interleaved scan; luma_hv=(2,2) emits 4:2:0 with
+    box-averaged chroma."""
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if gray:
+        planes = [px.astype(np.float64)]
+        hv = [(1, 1)]
+    else:
+        r = px[:, :, 0].astype(np.float64)
+        g = px[:, :, 1].astype(np.float64)
+        b = px[:, :, 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        lh, lv = luma_hv
+        if (lh, lv) != (1, 1):
+            # box-average chroma downsample to the sampling grid
+            ch = (h + lv - 1) // lv
+            cw = (w + lh - 1) // lh
+            def down(p):
+                pad = np.empty((ch * lv, cw * lh))
+                pad[:h, :w] = p
+                pad[h:, :w] = p[h - 1 : h, :]
+                pad[:, w:] = pad[:, w - 1 : w]
+                return pad.reshape(ch, lv, cw, lh).mean(axis=(1, 3))
+            cb, cr = down(cb), down(cr)
+        planes = [y, cb, cr]
+        hv = [luma_hv, (1, 1), (1, 1)]
+
+    hmax = max(x for x, _ in hv)
+    vmax = max(v for _, v in hv)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    padded = [
+        _plane_blocks(p, mcux * ch, mcuy * cv)
+        for p, (ch, cv) in zip(planes, hv)
+    ]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # DQT: all ones
+    ncomp = 1 if gray else 3
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for c in range(ncomp):
+        ch, cv = hv[c]
+        sof += bytes([c + 1, (ch << 4) | cv, 0])
+    out += _seg(0xC0, sof)
+    out += _seg(0xC4, bytes([0x00]) + _DC_BITS + _DC_VALS)
+    out += _seg(0xC4, bytes([0x10]) + _AC_BITS + _AC_VALS)
+    if restart:
+        out += _seg(0xDD, struct.pack(">H", restart))
+    sos = bytes([ncomp])
+    for c in range(ncomp):
+        sos += bytes([c + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, sos)
+
+    preds = [0] * ncomp
+    writer = _BitWriter()
+    mcu_count = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_count and mcu_count % restart == 0:
+                out += writer.flush()
+                out += bytes([0xFF, 0xD0 + rst % 8])
+                rst += 1
+                writer = _BitWriter()
+                preds = [0] * ncomp
+            for c in range(ncomp):
+                ch, cv = hv[c]
+                for by in range(cv):
+                    for bx in range(ch):
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        preds[c] = _encode_block(
+                            writer,
+                            padded[c][y0 : y0 + 8, x0 : x0 + 8],
+                            preds[c],
+                        )
+            mcu_count += 1
+    out += writer.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --- tests --------------------------------------------------------------
+
+
+def _rng(seed=7):
+    return np.random.default_rng(seed)
+
+
+def test_jpeg_gray_roundtrip_tight_bound():
+    px = _rng(1).integers(0, 256, size=(24, 17), dtype=np.int64)
+    got = decode_jpeg(encode_jpeg(px))
+    assert got is not None and got[0] == "jpeg"
+    assert got[1].shape == (24, 17)
+    # all-ones quant: only coefficient rounding (<=0.5/coef) survives
+    assert np.abs(got[1] - px).max() <= 4
+    assert np.abs(got[1] - px).mean() <= 1.0
+
+
+def test_jpeg_rgb_444_roundtrip():
+    px = _rng(2).integers(0, 256, size=(16, 16, 3), dtype=np.int64)
+    got = decode_jpeg(encode_jpeg(px))
+    assert got is not None
+    assert got[1].shape == (16, 16, 3)
+    # color round trip adds YCbCr forward/inverse rounding
+    assert np.abs(got[1] - px).max() <= 6
+    assert np.abs(got[1] - px).mean() <= 1.5
+
+
+def test_jpeg_420_constant_chroma_exact_subsampling():
+    """4:2:0: with spatially CONSTANT chroma the box-average downsample
+    and replication upsample are mutually inverse, so the only error is
+    the luma path's coefficient rounding."""
+    h, w = 21, 19
+    y = _rng(3).integers(40, 216, size=(h, w)).astype(np.float64)
+    # constant color cast: fixed (cb, cr) => r-g-b from one luma plane
+    cb, cr = 140.0, 110.0
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    px = np.clip(np.stack([r, g, b], axis=2), 16, 239).astype(np.int64)
+    got = decode_jpeg(encode_jpeg(px, luma_hv=(2, 2)))
+    assert got is not None
+    assert got[1].shape == (h, w, 3)
+    assert np.abs(got[1] - px).max() <= 8
+    assert np.abs(got[1] - px).mean() <= 2.0
+
+
+def test_jpeg_restart_markers():
+    px = _rng(4).integers(0, 256, size=(32, 24), dtype=np.int64)
+    plain = decode_jpeg(encode_jpeg(px))
+    rst = decode_jpeg(encode_jpeg(px, restart=3))
+    assert plain is not None and rst is not None
+    # restart segmentation must not change the decoded image at all
+    assert np.array_equal(plain[1], rst[1])
+
+
+def test_jpeg_quarantines_out_of_scope_and_corrupt():
+    px = _rng(5).integers(0, 256, size=(8, 8), dtype=np.int64)
+    good = encode_jpeg(px)
+    assert decode_jpeg(good) is not None
+    assert decode_jpeg(b"") is None
+    assert decode_jpeg(b"\xff\xd8\xff") is None
+    assert decode_jpeg(good[:40]) is None  # truncated mid-header
+    # progressive: flip SOF0 -> SOF2
+    prog = bytearray(good)
+    sof_at = good.find(b"\xff\xc0")
+    prog[sof_at + 1] = 0xC2
+    assert decode_jpeg(bytes(prog)) is None
+    # dimension bomb: SOF declares 65000 x 65000 (> 64M pixel cap)
+    bomb = bytearray(good)
+    struct.pack_into(">HH", bomb, sof_at + 5, 65000, 65000)
+    assert decode_jpeg(bytes(bomb)) is None
+    # corrupt entropy data: truncate right after SOS
+    sos_at = good.find(b"\xff\xda")
+    assert decode_jpeg(good[: sos_at + 14]) is None
+
+
+def test_jpeg_in_decode_real_features(spark):
+    """The JPEG codec must ride the same Arrow mapInPandas stage as
+    netpbm/BMP/PNG, with near-equal luma features for the same pixels
+    (lossy codec: equality up to the rounding bound, not bit-exact)."""
+    from netflix_data_ingestion_spark.operators import multimodal
+
+    px = _rng(6).integers(0, 256, size=(12, 10, 3), dtype=np.int64)
+    ppm = (
+        f"P6 {px.shape[1]} {px.shape[0]} 255\n".encode()
+        + bytes(px.astype(np.uint8).reshape(-1))
+    )
+    jpg = encode_jpeg(px)
+    rows = [
+        (1, ppm, "image", len(ppm), None),
+        (2, jpg, "image", len(jpg), None),
+        (3, b"\xff\xd8 bogus", "image", 7, None),
+    ]
+    df = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    out = {
+        r["media_id"]: r
+        for r in multimodal.decode_real_features(df).collect()
+    }
+    assert out[1]["codec"] == "ppm" and out[2]["codec"] == "jpeg"
+    assert out[2]["width"] == 10 and out[2]["height"] == 12
+    assert (
+        abs(out[1]["mean_luma_milli"] - out[2]["mean_luma_milli"]) <= 3000
+    )
+    assert out[3]["codec"] is None  # quarantined, not crashed
