@@ -173,6 +173,76 @@ def top_principal_component(
     )
 
 
+def project_principal_components(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    k: int = 2,
+    iters: int = 8,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """(id, pc1..pck) — every (valid, fixed-dim) vector projected onto
+    the top-``k`` deflation components: the dimensionality-reduction /
+    whitening-prep primitive (proj_c = sum_i (x_i - mean_i) * v_c[i]).
+
+    The model side (means + k loading vectors) is computed exactly as
+    in top_principal_components and embedded as LITERAL arrays, so the
+    projection itself is a pure narrow JVM map over the corpus — no
+    join, no shuffle, no Python; the single F.aggregate fold per
+    component evaluates left-to-right, matching the SQL twin's
+    list_sum(list_transform(...)) bit-for-bit before the final
+    round(6)."""
+    spark = df.sparkSession
+    cols = ", ".join(f"pc{c} double" for c in range(1, k + 1))
+    out_schema = f"{id_col} long, {cols}"
+    moments = _collect_moments(df, vec_col, dim, scale)
+    if moments is None:
+        return spark.createDataFrame([], out_schema)
+    s2, s1, n = moments
+    cov = _covariance(s2, s1, n, dim, scale)
+    d1 = float(n * scale)
+    mean = [s1[i] / d1 for i in range(1, dim + 1)]
+    comps = []
+    for c in range(k):
+        v, eig = _power_iterate(cov, dim, iters)
+        comps.append(v)
+        if c < k - 1:
+            cov = [
+                [cov[i][j] - eig * v[i] * v[j] for j in range(dim)]
+                for i in range(dim)
+            ]
+    base = (
+        df.where(F.col(vec_col).isNotNull())
+        .where(F.size(vec_col) == dim)
+        .where(~F.exists(vec_col, lambda x: x.isNull()))
+    )
+    mean_arr = F.array(*[F.lit(m) for m in mean])
+
+    def _terms(v_arr):
+        # closure, NOT a defaulted lambda parameter: PySpark reads a
+        # second lambda param as the (element, index) form
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: (
+                F.element_at(F.col(vec_col), i).cast("double")
+                - F.element_at(mean_arr, i)
+            )
+            * F.element_at(v_arr, i),
+        )
+
+    projs = []
+    for c, v in enumerate(comps, 1):
+        v_arr = F.array(*[F.lit(x) for x in v])
+        projs.append(
+            F.round(
+                F.aggregate(_terms(v_arr), F.lit(0.0), lambda a, x: a + x),
+                6,
+            ).alias(f"pc{c}")
+        )
+    return base.select(F.col(id_col).cast("long").alias(id_col), *projs)
+
+
 def top_principal_components(
     df: DataFrame,
     vec_col: str = "embedding",

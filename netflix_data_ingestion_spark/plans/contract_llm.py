@@ -4333,6 +4333,210 @@ ORDER BY component, pos"""
 ORACLE_TOP_PCS = _pca_multi_oracle(_PCA_COMPONENTS, _PCA_ITERS)
 
 
+_PCA_PROJECT_K = 2
+
+
+def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/pca.project_principal_components: every embedding
+    projected onto the top-2 deflation components — the dimensionality
+    reduction / whitening-prep hop.  Model side (mean + loadings) is
+    LITERAL arrays from the exact-moment pass; the projection is a pure
+    narrow JVM map (no join, no shuffle), left-to-right folds matching
+    the SQL twin bit-for-bit."""
+    from netflix_data_ingestion_spark.operators.pca import (
+        project_principal_components,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return project_principal_components(
+        emb, "embedding", "vec_id", dim=64, k=_PCA_PROJECT_K,
+        iters=_PCA_ITERS,
+    ).orderBy("vec_id")
+
+
+def _pca_project_oracle(k: int, iters: int) -> str:
+    """Projection twin: the k-component deflation chain of
+    _pca_multi_oracle (with the operator's full validity filter in the
+    moment pass), then one row per vector with the centered dot
+    product against each component, round(6)."""
+    filt = (
+        "embedding IS NOT NULL AND len(embedding) = 64 "
+        "AND len(list_filter(embedding, x -> x IS NULL)) = 0"
+    )
+    ctes = [
+        f"""q AS (
+  SELECT list_transform(embedding,
+                        x -> round(x::DOUBLE * 1000000.0)::BIGINT) AS qv
+  FROM embeddings WHERE {filt}
+),
+nn AS (SELECT COUNT(*)::BIGINT AS n FROM q),
+s1 AS (
+  SELECT i, SUM(qv[i])::BIGINT AS s
+  FROM q, unnest(range(1, 65)) AS t(i) GROUP BY i
+),
+s2 AS (
+  SELECT t.i, u.j, SUM(qv[t.i] * qv[u.j])::BIGINT AS s
+  FROM q, unnest(range(1, 65)) AS t(i), unnest(range(1, 65)) AS u(j)
+  GROUP BY t.i, u.j
+),
+covr AS (
+  SELECT s2.i,
+         list(s2.s::DOUBLE / (nn.n * 1000000.0 * 1000000.0)
+              - (a.s::DOUBLE / (nn.n * 1000000.0))
+                * (b.s::DOUBLE / (nn.n * 1000000.0))
+              ORDER BY s2.j) AS cl
+  FROM s2
+  JOIN s1 a ON a.i = s2.i
+  JOIN s1 b ON b.i = s2.j
+  CROSS JOIN nn
+  GROUP BY s2.i
+),
+d1 AS (SELECT list(cl ORDER BY i) AS cm FROM covr),
+mn AS (
+  SELECT list(s::DOUBLE / (nn.n * 1000000.0) ORDER BY i) AS mean
+  FROM s1 CROSS JOIN nn
+)"""
+    ]
+    for c in range(1, k + 1):
+        ctes.append(
+            f"""c{c}v0 AS (
+  SELECT cm, list_transform(range(1, 65), i -> 1.0) AS v FROM d{c}
+)"""
+        )
+        for s in range(1, iters + 1):
+            ctes.append(
+                f"""c{c}w{s} AS (
+  SELECT cm, list_transform(range(1, 65), i ->
+    list_sum(list_transform(range(1, 65), j -> cm[i][j] * v[j]))) AS w
+  FROM c{c}v{s - 1}
+),
+c{c}v{s} AS (
+  SELECT cm, list_transform(w, x ->
+    x / sqrt(list_sum(list_transform(w, y -> y * y)))) AS v
+  FROM c{c}w{s}
+)"""
+            )
+        ctes.append(
+            f"""c{c}u AS (
+  SELECT cm, v, list_transform(range(1, 65), i ->
+    list_sum(list_transform(range(1, 65), j -> cm[i][j] * v[j]))) AS u
+  FROM c{c}v{iters}
+),
+c{c}e AS (
+  SELECT cm, v,
+         list_sum(list_transform(range(1, 65), i -> v[i] * u[i])) AS eig
+  FROM c{c}u
+)"""
+        )
+        if c < k:
+            ctes.append(
+                f"""d{c + 1} AS (
+  SELECT list_transform(range(1, 65), i ->
+    list_transform(range(1, 65), j ->
+      cm[i][j] - eig * v[i] * v[j])) AS cm
+  FROM c{c}e
+)"""
+            )
+    proj_cols = ",\n       ".join(
+        f"""ROUND(list_sum(list_transform(range(1, 65), i ->
+         (e.embedding[i]::DOUBLE - mn.mean[i]) * c{c}.v[i])), 6)
+         AS pc{c}"""
+        for c in range(1, k + 1)
+    )
+    froms = " ".join(f"CROSS JOIN c{c}e c{c}" for c in range(1, k + 1))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT e.vec_id::BIGINT AS vec_id,
+       {proj_cols}
+FROM (SELECT vec_id, embedding FROM embeddings WHERE {filt}) e
+CROSS JOIN mn {froms}
+ORDER BY vec_id"""
+    )
+
+
+ORACLE_PCA_PROJECT = _pca_project_oracle(_PCA_PROJECT_K, _PCA_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# Per-document perplexity under the corpus bigram LM (the CCNet
+# quality-filter recipe, Wenzek et al. 2020): absolute-discount bigram
+# probabilities, per-bigram log rounded to exact integer micro-nats so
+# partition order can never flip a score, one exp at the end.
+# ---------------------------------------------------------------------------
+
+
+def q_doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/lm.doc_perplexity over the documents corpus, self-
+    trained (the CCNet shape scores a target corpus under a reference
+    LM; the contract uses the corpus's own bigram table so the whole
+    chain is driver-provable)."""
+    from netflix_data_ingestion_spark.operators.lm import doc_perplexity
+
+    docs = _t(spark, sf_dir, "documents")
+    return doc_perplexity(docs, "doc_id", "text").orderBy("doc_id")
+
+
+ORACLE_LM_PERPLEXITY = f"""
+WITH {_DUCK_TOKS},
+bg AS (
+  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+  FROM toks, unnest(range(1, len(tk))) AS u(i)
+),
+counts AS (
+  SELECT w1, w2, COUNT(*)::BIGINT AS cnt FROM bg GROUP BY 1, 2
+),
+succ AS (
+  SELECT w1, COUNT(*)::BIGINT AS n_succ, SUM(cnt)::BIGINT AS ctx_total
+  FROM counts GROUP BY 1
+),
+cont AS (SELECT w2, COUNT(*)::BIGINT AS cont_w2 FROM counts GROUP BY 1),
+stats AS (
+  SELECT COUNT(*)::BIGINT AS n_types,
+         COUNT(DISTINCT w2)::BIGINT AS v_size
+  FROM counts
+),
+scored AS (
+  SELECT b.doc_id,
+    round(ln(
+      CASE WHEN s.ctx_total IS NOT NULL THEN
+        GREATEST(COALESCE(c.cnt, 0) * 100 - 75, 0)::DOUBLE
+          / (s.ctx_total::DOUBLE * 100.0)
+        + (75.0 * s.n_succ::DOUBLE) / (s.ctx_total::DOUBLE * 100.0)
+          * (CASE WHEN COALESCE(k.cont_w2, 0) > 0
+                  THEN ((k.cont_w2 * 1000000000) / t.n_types) / 1e9
+                  ELSE 1.0 / (t.v_size::DOUBLE + 1.0) END)
+      ELSE
+        CASE WHEN COALESCE(k.cont_w2, 0) > 0
+             THEN ((k.cont_w2 * 1000000000) / t.n_types) / 1e9
+             ELSE 1.0 / (t.v_size::DOUBLE + 1.0) END
+      END
+    ) * 1e6)::BIGINT AS log_micro
+  FROM bg b
+  LEFT JOIN counts c ON c.w1 = b.w1 AND c.w2 = b.w2
+  LEFT JOIN succ s ON s.w1 = b.w1
+  LEFT JOIN cont k ON k.w2 = b.w2
+  CROSS JOIN stats t
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+         SUM(log_micro)::BIGINT AS sum_logprob_micro
+  FROM scored GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(p.n_bigrams, 0)::BIGINT AS n_bigrams,
+       p.sum_logprob_micro,
+       CASE WHEN p.n_bigrams > 0
+            THEN ROUND(EXP(-(p.sum_logprob_micro::DOUBLE / 1e6)
+                           / p.n_bigrams::DOUBLE), 6)
+       END AS perplexity
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+ORDER BY d.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Deterministic augmentation (operators/augment.py): char dropout and
 # BERT-style token masking with md5-positional coins — reproducible on
@@ -4539,4 +4743,6 @@ REGISTRY_LLM = {
     # byte-identical to the drafted plan; these queue in _VERIFY_ROUND8)
     "embedding_top_pcs": (q_embedding_top_pcs, ORACLE_TOP_PCS),
     "doc_bpe_encode": (q_doc_bpe_encode, ORACLE_BPE_ENCODE),
+    "embedding_pca_project": (q_embedding_pca_project, ORACLE_PCA_PROJECT),
+    "doc_lm_perplexity": (q_doc_lm_perplexity, ORACLE_LM_PERPLEXITY),
 }

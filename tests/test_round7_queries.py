@@ -77,6 +77,65 @@ def test_top_pcs_deflation_matches_numpy_eigh():
         assert cosang > 1 - 1e-8
 
 
+def test_pca_project_matches_manual_dot(spark):
+    """Projection = centered dot product against the deflation
+    loadings: recompute one vector's pc1/pc2 from the top_pcs output
+    and the exact moment-pass mean, and match round(6)."""
+    from pyspark.sql import functions as F
+
+    from netflix_data_ingestion_spark.operators.pca import (
+        _collect_moments,
+        _power_iterate,
+        _covariance,
+    )
+    from netflix_data_ingestion_spark.plans.contract import REGISTRY
+    from netflix_data_ingestion_spark.sources.readers import read_table
+
+    fn, _ = REGISTRY["embedding_pca_project"]
+    got = {r["vec_id"]: r for r in fn(spark, SF).collect()}
+    emb = read_table(spark, SF, "embeddings")
+    s2, s1, n = _collect_moments(emb, "embedding", 64, 1_000_000)
+    cov = _covariance(s2, s1, n, 64, 1_000_000)
+    d1 = float(n * 1_000_000)
+    mean = [s1[i] / d1 for i in range(1, 65)]
+    v1, e1 = _power_iterate(cov, 64, 8)
+    cov2 = [
+        [cov[i][j] - e1 * v1[i] * v1[j] for j in range(64)]
+        for i in range(64)
+    ]
+    v2, _ = _power_iterate(cov2, 64, 8)
+    row = emb.orderBy("vec_id").limit(1).collect()[0]
+    x = [float(c) for c in row["embedding"]]
+    for vc, key in ((v1, "pc1"), (v2, "pc2")):
+        acc = 0.0
+        for i in range(64):
+            acc = acc + (x[i] - mean[i]) * vc[i]
+        import decimal
+
+        expected = float(
+            decimal.Decimal(acc).quantize(
+                decimal.Decimal("0.000001"),
+                rounding=decimal.ROUND_HALF_UP,
+            )
+        )
+        assert got[row["vec_id"]][key] == expected
+    # projection emits one row per valid vector
+    assert len(got) == emb.where(F.col("embedding").isNotNull()).count()
+
+
+def test_lm_perplexity_short_docs_null(spark):
+    from netflix_data_ingestion_spark.operators.lm import doc_perplexity
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha beta gamma"), (2, "single"), (3, None)],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in doc_perplexity(df).collect()}
+    assert rows[1]["n_bigrams"] == 4 and rows[1]["perplexity"] > 0
+    assert rows[2]["n_bigrams"] == 0 and rows[2]["perplexity"] is None
+    assert rows[3]["n_bigrams"] == 0 and rows[3]["perplexity"] is None
+
+
 def test_bpe_encode_consistent_with_segmented(spark):
     """The encode contract's per-doc token counts must equal the
     segment contract's (same learned table, same corpus), ids must be
