@@ -874,3 +874,68 @@ REGISTRY = {
         if name not in _VERIFY_ROUND7
     },
 }
+
+# ---------------------------------------------------------------------------
+# ROUND-8 ROTATION DRAFT (apply at the START of round 8: make this the
+# registry head).  The four round-7 tail additions first (registered at
+# the tail this round so the frozen r7 window stayed byte-identical to
+# the drafted plan; all four bit-exact at sf0.01 AND sf0.1 locally),
+# then the remaining latest-sampling-r4 rows, then the oldest r5 rows —
+# after this window every registry query's most recent driver row is
+# r6, r7 or r8.
+# ---------------------------------------------------------------------------
+_VERIFY_ROUND8: list[str] = [
+    # round-7 additions, never driver-sampled
+    "embedding_top_pcs",
+    "doc_bpe_encode",
+    "embedding_pca_project",
+    "doc_lm_perplexity",
+    # oldest remaining driver rows (latest sampling r4), registration order
+    "weekly_active_users",
+    "user_funnel",
+    "events_asof_view_attribution",
+    "error_context_range_join",
+    "part_revenue_rank_in_brand",
+    "running_event_total",
+    "events_sessionization",
+    "pivot_event_types",
+    "orders_rollup",
+    "order_price_mad_outliers",
+    "customer_busy_periods",
+    "part_name_fuzzy_pairs",
+    "customer_supplier_pagerank",
+    "orders_expectations",
+    "orders_zorder_key",
+    "order_price_outliers",
+    "lineitem_bloom_semi",
+    "customer_merge_upsert",
+    "customer_snapshot_diff",
+    "daily_summary_incremental",
+    "brand_quantity_salted",
+    "order_price_quantiles",
+    "regional_revenue",
+    "user_event_gaps",
+    "retained_customers_intersect",
+    "orders_cube",
+    "lineitem_grouping_sets",
+    "customers_with_urgent_orders",
+    "lapsed_customers_except",
+    "brand_priciest_part",
+    "median_order_by_segment",
+    "orders_above_customer_avg",
+    # next-oldest (latest sampling r5), registration order
+    "user_state_history",
+    "approx_distinct_users_daily",
+    "customer_balance_quartiles",
+    "order_price_equidepth",
+    "user_decile_lift",
+    "customer_rfm_segments",
+    "order_price_auc",
+    "doc_bpe_token_stats",
+    "doc_pps_sample",
+    "user_context_window",
+    "events_pit_state",
+    "user_heavy_hitters",
+    "events_throttled_daily",
+    "customer_part_negatives",
+]

@@ -3995,7 +3995,12 @@ def q_doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = bpe_train(
         docs, "text", num_merges=_BPE_ROUNDS, min_pair_count=1
     )
-    seg = bpe_segment(docs, merges, "doc_id", "text")
+    # pin: TWO consumers (vocab collect + the id explode) would each
+    # recompute the chained merge-fold segmentation otherwise — the
+    # multiply-referenced-derived-frame rule (halved prefix-Jaccard)
+    seg = bpe_segment(docs, merges, "doc_id", "text").localCheckpoint(
+        eager=True
+    )
     toks = sorted(
         r["tok"]
         for r in seg.select(
