@@ -939,3 +939,25 @@ _VERIFY_ROUND8: list[str] = [
     "events_throttled_daily",
     "customer_part_negatives",
 ]
+
+# ---------------------------------------------------------------------------
+# Round-8 rotation APPLIED: _VERIFY_ROUND8 becomes the registry head (the
+# driver samples the first 50 names).  After this window every registry
+# query's most recent driver row is r6, r7 or r8.
+#
+# _APPLIED_ROTATION is the single source of truth for "which window is the
+# current registry head" — tests assert the head against THIS name so the
+# assertion can never go stale when a future round advances the window
+# (round-7 lesson: tests/test_entry_contract.py pinned the r6 list by name
+# and went red when 422ad6f applied the r7 head).
+# ---------------------------------------------------------------------------
+_APPLIED_ROTATION: list[str] = _VERIFY_ROUND8
+
+REGISTRY = {
+    **{name: REGISTRY[name] for name in _APPLIED_ROTATION},
+    **{
+        name: spec
+        for name, spec in REGISTRY.items()
+        if name not in _APPLIED_ROTATION
+    },
+}

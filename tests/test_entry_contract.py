@@ -32,24 +32,31 @@ def test_rotation_lists_reference_real_queries():
     query — a typo would silently starve a query of its driver row."""
     from netflix_data_ingestion_spark.plans.contract import (
         REGISTRY,
+        _APPLIED_ROTATION,
         _VERIFY_FIRST,
         _VERIFY_ORDER,
         _VERIFY_ORDER6,
         _VERIFY_ROUND5,
         _VERIFY_ROUND6,
+        _VERIFY_ROUND7,
+        _VERIFY_ROUND8,
     )
 
-    assert set(_VERIFY_FIRST) <= set(REGISTRY)
-    assert set(_VERIFY_ROUND5) <= set(REGISTRY)
-    assert set(_VERIFY_ORDER) <= set(REGISTRY)
-    assert set(_VERIFY_ROUND6) <= set(REGISTRY)
-    assert set(_VERIFY_ORDER6) <= set(REGISTRY)
-    assert len(set(_VERIFY_FIRST)) == len(_VERIFY_FIRST)
-    assert len(set(_VERIFY_ROUND5)) == len(_VERIFY_ROUND5)
-    assert len(set(_VERIFY_ORDER)) == len(_VERIFY_ORDER)
-    assert len(set(_VERIFY_ROUND6)) == len(_VERIFY_ROUND6)
-    assert len(set(_VERIFY_ORDER6)) == len(_VERIFY_ORDER6)
-    # the rotated head IS the driver's sample window (round 6: the two
-    # fixed HUGEINT red rows first, then the never-driver-sampled
-    # backlog, then the oldest r1/r2-era greens)
-    assert list(REGISTRY)[: len(_VERIFY_ORDER6)] == _VERIFY_ORDER6
+    historical = {
+        "_VERIFY_FIRST": _VERIFY_FIRST,
+        "_VERIFY_ROUND5": _VERIFY_ROUND5,
+        "_VERIFY_ORDER": _VERIFY_ORDER,
+        "_VERIFY_ROUND6": _VERIFY_ROUND6,
+        "_VERIFY_ORDER6": _VERIFY_ORDER6,
+        "_VERIFY_ROUND7": _VERIFY_ROUND7,
+        "_VERIFY_ROUND8": _VERIFY_ROUND8,
+    }
+    for label, names in historical.items():
+        assert set(names) <= set(REGISTRY), label
+        assert len(set(names)) == len(names), label
+    # The rotated head IS the driver's sample window.  Assert against the
+    # exported _APPLIED_ROTATION — the single name contract.py rebinds when
+    # a round advances the window — so this test can never pin a stale
+    # round-specific list (round-7 lesson: it pinned _VERIFY_ORDER6 and
+    # went red when the r7 head was applied).
+    assert list(REGISTRY)[: len(_APPLIED_ROTATION)] == _APPLIED_ROTATION
