@@ -263,11 +263,101 @@ def bpe_segment(
     text_col: str = "text",
 ) -> DataFrame:
     """(id, bpe_tokens array<string>, n_bpe_tokens) — segment each
-    document with a learned merge table: pretokenize, split pretokens
-    to characters + EOW, then apply every merge in training order
-    (the standard BPE apply; each merge is one narrow fold, so the
-    whole segmentation is a chain of JVM expressions over one pass).
-    """
+    document with a learned merge table: the broadcast-model
+    tokenizer-apply, ONE Arrow ``mapInPandas`` stage over one corpus
+    pass, no shuffle, no join.
+
+    Pretokenization and the character split stay JVM-side (the exact
+    expressions the trainer's ``_word_table`` uses, so train and apply
+    can never disagree on segmentation boundaries); the merge
+    application runs in the Arrow batch loop via ``_merge_word`` — the
+    in-process twin of ``_apply_merge`` already proven identical to
+    the JVM fold by the local/distributed trainer agreement test —
+    applied in training order (sequential semantics, NOT rank-priority
+    re-merge: a later merge can recreate an earlier pair, and
+    sequential apply must leave it unmerged) and memoized per distinct
+    symbol sequence, so each task pays O(num_merges x len) once per
+    DISTINCT pretoken and a dict hit per repeat.
+
+    Scale shape: this replaced a chain of ``num_merges`` nested
+    ``F.aggregate`` folds whose generated code compiled in
+    O(num_merges) (22s cold at 5 merges; a real 30k-merge table would
+    never JIT).  The broadcast model is merges-table-sized (the same
+    parameter-server license as the trainer's collect), per-doc work
+    is independent of corpus size, and the stage is embarrassingly
+    parallel — the shape every production tokenizer-apply uses.
+
+    ``bpe_segment_folds`` keeps the pure-JVM fold chain as the
+    equivalence twin (property-tested identical)."""
+    pre = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.transform(
+            bpe_pretokenize(F.lower(F.col(text_col))),
+            lambda w: F.concat(F.split(w, ""), F.array(F.lit(EOW))),
+        ).alias("__syms"),
+    )
+    merge_ops = [(a, b, a + b) for a, b in merges]
+    id_field = df.schema[id_col]
+
+    def batches(it):
+        import pandas as pd
+
+        memo: dict = {}
+
+        def seg(word_syms) -> list:
+            key = tuple(word_syms)
+            got = memo.get(key)
+            if got is None:
+                syms = list(word_syms)
+                for a, b, ab in merge_ops:
+                    syms = _merge_word(syms, a, b, ab)
+                memo[key] = got = syms
+            return got
+
+        for pdf in it:
+            ids, toks, ns = [], [], []
+            for doc_id, words in zip(pdf[id_col], pdf["__syms"]):
+                flat: list = []
+                for w in words:
+                    flat.extend(seg(w))
+                ids.append(doc_id)
+                toks.append(flat)
+                ns.append(len(flat))
+            yield pd.DataFrame(
+                {id_col: ids, "bpe_tokens": toks, "n_bpe_tokens": ns}
+            ).astype({"n_bpe_tokens": "int64"})
+
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField(id_col, id_field.dataType, id_field.nullable),
+            StructField("bpe_tokens", ArrayType(StringType())),
+            StructField("n_bpe_tokens", LongType()),
+        ]
+    )
+    return pre.mapInPandas(batches, schema)
+
+
+def bpe_segment_folds(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The pure-JVM fold-chain segmentation: pretokenize, split
+    pretokens to characters + EOW, then apply every merge in training
+    order as one narrow ``F.aggregate`` fold each.  Semantically THE
+    definition ``bpe_segment`` must match (property-tested); kept out
+    of the hot path because the generated code for the chained folds
+    compiles in O(num_merges) — prohibitive cold-start at real merge
+    counts."""
     syms = F.transform(
         bpe_pretokenize(F.lower(F.col(text_col))),
         lambda w: F.concat(F.split(w, ""), F.array(F.lit(EOW))),

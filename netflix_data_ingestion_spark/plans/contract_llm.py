@@ -3930,10 +3930,12 @@ ORACLE_BPE_SEGMENTED = _bpe_oracle(_BPE_ROUNDS, mode="segment")
 def q_doc_bpe_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/bpetrain.bpe_segment: the APPLY side of the tokenizer
     loop — train the _BPE_ROUNDS-merge table, then segment every
-    document with it (each merge is one narrow JVM fold; the whole
-    application is a chain of expressions over one corpus pass).
-    Output is the per-doc token-budget contract: pretoken count and
-    post-merge BPE token count (EOW markers included, one per word)."""
+    document with it (broadcast-model Arrow apply: one mapInPandas
+    stage over one corpus pass, memoized per distinct pretoken; the
+    pure-JVM fold chain survives as the property-tested
+    bpe_segment_folds twin).  Output is the per-doc token-budget
+    contract: pretoken count and post-merge BPE token count (EOW
+    markers included, one per word)."""
     from netflix_data_ingestion_spark.operators.bpetrain import (
         bpe_segment,
         bpe_train,
@@ -3980,10 +3982,11 @@ def q_doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACT stream equality without shipping token arrays.
 
     Plan shape: one corpus pass to train (in-process merge loop), one
-    segmentation pass (chained narrow folds), one posexplode +
-    broadcast-join on the vocab frame, one per-doc groupBy; the
-    struct(pos, tok_id) array_sort keys the stream order, so the
-    result is partition-invariant."""
+    segmentation pass (broadcast-model Arrow apply — see bpe_segment;
+    formerly chained narrow folds whose codegen dominated cold start),
+    one posexplode + broadcast-join on the vocab frame, one per-doc
+    groupBy; the struct(pos, tok_id) array_sort keys the stream order,
+    so the result is partition-invariant."""
     from netflix_data_ingestion_spark.operators.bpetrain import (
         bpe_segment,
         bpe_train,

@@ -137,3 +137,56 @@ def test_bpe_train_job_count_does_not_scale_with_merges(spark):
         cls.collect = orig
     assert calls["n"] == 1
     assert len(merges) >= 40  # the loop really ran ~50 rounds
+
+
+def test_bpe_segment_matches_fold_twin(spark):
+    """The Arrow broadcast-model apply must be byte-identical to the
+    pure-JVM fold chain (the defining semantics), including the
+    sequential-order subtlety: a later merge can recreate an earlier
+    pair, and neither path may re-merge it."""
+    import random
+
+    from netflix_data_ingestion_spark.operators.bpetrain import (
+        bpe_segment_folds,
+    )
+
+    rng = random.Random(8)
+    words = [
+        "".join(rng.choice("ab") for _ in range(rng.randint(1, 8)))
+        for _ in range(60)
+    ]
+    docs = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(0, 12))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    merges = bpe_train(df, num_merges=8, min_pair_count=1)
+    assert merges, "trainer must learn merges on this corpus"
+    fast = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in bpe_segment(df, merges).collect()
+    }
+    slow = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in bpe_segment_folds(df, merges).collect()
+    }
+    assert fast == slow
+
+
+def test_bpe_segment_recreated_pair_not_remerged(spark):
+    """Sequential apply semantics pinned directly: with merges
+    [(a,b), (b,c)] the word 'abc' becomes [ab, c, EOW] — merge 1 fuses
+    ab, merge 2 then sees no (b, c) adjacency.  A rank-priority
+    re-merge apply (the HuggingFace-style loop) would differ on words
+    where a later merge RECREATES an earlier pair; this corpus pins
+    one such case."""
+    df = spark.createDataFrame([(1, "xyz")], "doc_id long, text string")
+    # hand-built table: merge y+z first, then x+(yz) -- then a merge
+    # whose right side is the fused token, recreating nothing; and a
+    # pair (x, y) that EXISTED pre-merge-1 but is destroyed by it
+    merges = [("y", "z"), ("x", "yz")]
+    toks = bpe_segment(df, merges).collect()[0]["bpe_tokens"]
+    assert toks == ["xyz", EOW]
+    merges2 = [("x", "y"), ("z", EOW)]
+    toks2 = bpe_segment(df, merges2).collect()[0]["bpe_tokens"]
+    assert toks2 == ["xy", "z" + EOW]

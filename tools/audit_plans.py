@@ -134,6 +134,12 @@ SANCTIONED: dict[str, str] = {
     "order_class_report": "single 1-row confusion aggregate, constant output (orders_profile shape)",
     "part_abc_classes": "1-row grand-total broadcast crossJoin; cumulative revenue now DISTRIBUTED (prefix_sum_ranged)",
     "weekly_active_users": "date-spine min/max 1-row frame",
+    "doc_bpe_segmented": (
+        "Arrow broadcast-model tokenizer apply (bpe_segment): one "
+        "mapInPandas, merges-table-sized model, memoized per distinct "
+        "pretoken — replaced the O(num_merges) fold-chain codegen"
+    ),
+    "doc_bpe_encode": "Arrow tokenizer apply (bpe_segment shape, doc'd there)",
     "doc_lm_perplexity": (
         "1-row LM stats (n_types/v_size) broadcast crossJoin (bm25 "
         "corpus-stats shape); succ/cont sides are vocabulary-sized "
