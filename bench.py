@@ -36,6 +36,13 @@ AUDIT_TWINS = {
     # audit on a 1000-doc slice — its cost is the audit's, not a
     # production path's
     "dedup_lsh_recall",
+    # same shape for the vector side: each recall row re-runs the exact
+    # brute-force ground truth next to the production ANN path (whose
+    # own cost is benched under its ann_*_topk row)
+    "ann_ivf_recall",
+    "ann_pq_recall",
+    "ann_lsh_recall",
+    "ann_multiprobe_recall",
 }
 
 

@@ -89,6 +89,23 @@ def main() -> int:
 #: fails the audit until it is either fixed or sanctioned here
 SANCTIONED: dict[str, str] = {
     "ann_ivf_topk": "bNLJ: query-rows x centroid table, both model-sized",
+    "ann_ivf_recall": (
+        "composes embedding_cosine_topk (bNLJ exact baseline) + "
+        "ann_ivf_topk (sanctioned above); final 1-row metric crossJoin "
+        "(dedup_lsh_recall shape)"
+    ),
+    "ann_pq_recall": (
+        "composes embedding_cosine_topk + ann_pq_topk paths; final "
+        "1-row metric crossJoin (dedup_lsh_recall shape)"
+    ),
+    "ann_lsh_recall": (
+        "composes embedding_cosine_topk + ann_lsh_topk paths; final "
+        "1-row metric crossJoin (dedup_lsh_recall shape)"
+    ),
+    "ann_multiprobe_recall": (
+        "composes embedding_cosine_topk + ann_multiprobe_topk paths; "
+        "final 1-row metric crossJoin (dedup_lsh_recall shape)"
+    ),
     "calendar_dim": "1-task date-spine generator, 2.4k rows by design",
     "customer_part_negatives": "1-row n_items broadcast crossJoin, doc'd",
     "doc_class_balance": "1-row target-size broadcast crossJoin, doc'd",
@@ -112,6 +129,11 @@ SANCTIONED: dict[str, str] = {
     "lineitem_feature_corr": "single 1-row moment aggregate, constant output",
     "price_quantity_ols": "single 1-row moment aggregate, constant output",
     "multimodal_frame_sample": "Arrow 1-to-many frame stub, doc'd",
+    "multimodal_audio_stats": (
+        "two narrow Arrow stages (WAV synthesize + real decode), no "
+        "shuffle before the display orderBy; codec round-trip is the "
+        "point of the query"
+    ),
     "order_price_equidepth": "1-row total broadcast; rank offsets now DISTRIBUTED (prefix_sum_ranged inside global_rank)",
     "orders_expectations": "1-row report aggregates (constant output)",
     "orders_profile": "single 1-row profile aggregate, constant output",
