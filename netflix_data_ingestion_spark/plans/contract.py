@@ -961,3 +961,69 @@ REGISTRY = {
         if name not in _APPLIED_ROTATION
     },
 }
+
+# ---------------------------------------------------------------------------
+# ROUND-9 ROTATION DRAFT (apply at the START of round 9: rebind
+# _APPLIED_ROTATION to this list and re-run the head reorder).  The five
+# round-8 tail additions first (registered at the tail this round so the
+# frozen r8 window stayed byte-identical to the drafted plan; all five
+# oracle-checked at sf0.01 AND sf0.1 locally), then the oldest remaining
+# driver rows (latest sampling r5, then r6, in registration order) —
+# after this window every registry query's most recent driver row is
+# r7, r8 or r9.
+# ---------------------------------------------------------------------------
+_VERIFY_ROUND9: list[str] = [
+    # round-8 additions, never driver-sampled
+    "ann_ivf_recall",
+    "ann_pq_recall",
+    "ann_lsh_recall",
+    "ann_multiprobe_recall",
+    "multimodal_audio_stats",
+    # oldest remaining driver rows (latest sampling r5), registration order
+    "doc_class_balance",
+    "dedup_containment",
+    "ann_pq_topk",
+    "events_ohlc_hourly",
+    "brand_top_price_levels",
+    "orders_join_delta",
+    "corpus_bigram_lm",
+    "doc_quality_source_cut",
+    "corpus_vocab_growth",
+    "part_cooccurrence",
+    "purchase_view_attribution",
+    "embedding_random_projection",
+    "part_triangle_counts",
+    "part_kcore",
+    "user_churn_labels",
+    "part_skyline_by_brand",
+    "top_session_paths",
+    "orders_lineitem_join_size",
+    "doc_kfold",
+    "doc_token_ids",
+    "doc_padded_tokens",
+    "embedding_int8_quantize",
+    "doc_pack_windows",
+    "doc_model_scores",
+    "customer_pseudonymized",
+    "orders_unpivot",
+    "customer_balance_percentile",
+    "user_hll_by_type",
+    "order_price_winsorized",
+    "dedup_exact_canonical",
+    "customer_k_anonymous",
+    "doc_bm25_search",
+    "events_time_split",
+    "lineitem_feature_corr",
+    "orders_price_drift",
+    "part_abc_classes",
+    "price_quantity_ols",
+    "ann_multiprobe_topk",
+    # next-oldest (latest sampling r6), registration order
+    "dedup_simhash_pairs",
+    "dedup_lsh_recall",
+    "time_to_purchase_labels",
+    "dedup_prefix_jaccard",
+    "customer_supplier_communities",
+    "events_seasonal_anomaly",
+    "user_forget_audit",
+]

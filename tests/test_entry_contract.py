@@ -40,6 +40,7 @@ def test_rotation_lists_reference_real_queries():
         _VERIFY_ROUND6,
         _VERIFY_ROUND7,
         _VERIFY_ROUND8,
+        _VERIFY_ROUND9,
     )
 
     historical = {
@@ -50,6 +51,7 @@ def test_rotation_lists_reference_real_queries():
         "_VERIFY_ORDER6": _VERIFY_ORDER6,
         "_VERIFY_ROUND7": _VERIFY_ROUND7,
         "_VERIFY_ROUND8": _VERIFY_ROUND8,
+        "_VERIFY_ROUND9": _VERIFY_ROUND9,
     }
     for label, names in historical.items():
         assert set(names) <= set(REGISTRY), label
