@@ -173,6 +173,89 @@ def frame_sample_stub(df: DataFrame, real_decode: bool = False) -> DataFrame:
     return df.mapInPandas(batches, FRAME_SCHEMA)
 
 
+GIF_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("delay_cs", T.IntegerType(), True),
+        T.StructField("mean_luma_milli", T.LongType(), True),
+        T.StructField("ahash64", T.StringType(), True),
+    ]
+)
+
+
+def gif_frame_stats(
+    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL frame sampling: decode an animated GIF (operators/gif.py,
+    pure-stdlib LZW) and emit one row per COMPOSITED frame — exact
+    integer Rec.601 mean luma and the 8x8 aHash of each canvas, plus
+    the per-frame delay.  The genuine version of the one-row-in /
+    many-rows-out plumbing frame_sample_stub exercises for
+    library-needing containers: fan-out happens inside the Arrow
+    batch, no explode shuffle.  Non-GIF / corrupt payloads yield one
+    NULL-stats row (quarantine-not-crash)."""
+    from netflix_data_ingestion_spark.operators.gif import decode_gif
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "media_id": [],
+                "n_frames": [],
+                "frame_idx": [],
+                "width": [],
+                "height": [],
+                "delay_cs": [],
+                "mean_luma_milli": [],
+                "ahash64": [],
+            }
+            for media_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                got = decode_gif(b"" if payload is None else bytes(payload))
+                if got is None:
+                    out["media_id"].append(media_id)
+                    for k in (
+                        "n_frames",
+                        "frame_idx",
+                        "width",
+                        "height",
+                        "delay_cs",
+                        "mean_luma_milli",
+                        "ahash64",
+                    ):
+                        out[k].append(None)
+                    continue
+                n = len(got["frames"])
+                for i, (canvas, delay) in enumerate(
+                    zip(got["frames"], got["delays"])
+                ):
+                    luma = _luma(canvas)
+                    h, w = luma.shape
+                    out["media_id"].append(media_id)
+                    out["n_frames"].append(n)
+                    out["frame_idx"].append(i)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["delay_cs"].append(delay)
+                    out["mean_luma_milli"].append(int(luma.sum()) // (w * h))
+                    out["ahash64"].append(_ahash64(luma))
+            yield pd.DataFrame(out).astype(
+                {
+                    "media_id": "int64",
+                    "n_frames": "Int32",
+                    "frame_idx": "Int32",
+                    "width": "Int32",
+                    "height": "Int32",
+                    "delay_cs": "Int32",
+                    "mean_luma_milli": "Int64",
+                }
+            )
+
+    return df.mapInPandas(batches, GIF_FRAME_SCHEMA)
+
+
 RESIZE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -503,10 +586,22 @@ def _decode_png(b: bytes):
     return "png", px
 
 
+def _decode_gif_first_frame(b: bytes):
+    """GIF (operators/gif.py, pure-stdlib LZW) -> first composited
+    frame as ("gif", HxWx3 RGB); the full frame sequence is exposed by
+    gif_frame_stats below."""
+    from netflix_data_ingestion_spark.operators.gif import decode_gif
+
+    got = decode_gif(b)
+    if got is None:
+        return None
+    return "gif", got["frames"][0]
+
+
 def _decode_image(b: bytes):
     """Format-sniffing dispatch over every pure-Python codec:
-    netpbm (P5/P6), uncompressed 24-bit BMP, PNG, baseline JPEG.
-    None = quarantine."""
+    netpbm (P5/P6), uncompressed 24-bit BMP, PNG, baseline JPEG,
+    GIF87a/89a (first frame).  None = quarantine."""
     from netflix_data_ingestion_spark.operators.jpeg import decode_jpeg
 
     return (
@@ -514,12 +609,21 @@ def _decode_image(b: bytes):
         or _decode_bmp(b)
         or _decode_png(b)
         or decode_jpeg(b)
+        or _decode_gif_first_frame(b)
     )
 
 
 def _luma(px):
     """8-bit pixel array (HxW gray or HxWx3 RGB) -> integer Rec.601
-    luma plane in milli-units."""
+    luma plane in milli-units.
+
+    The int64 widening is load-bearing: numpy's weak promotion keeps
+    uint8 * python-int at a narrow dtype (uint16), and milli-luma
+    ranges to 255,000 — without the cast, bright pixels WRAP.  Caught
+    by the multimodal_gif_frames end-to-end oracle (round 8)."""
+    import numpy as np
+
+    px = np.asarray(px).astype(np.int64)
     if px.ndim == 3:
         return px[:, :, 0] * 299 + px[:, :, 1] * 587 + px[:, :, 2] * 114
     return px * 1000

@@ -979,6 +979,7 @@ _VERIFY_ROUND9: list[str] = [
     "ann_lsh_recall",
     "ann_multiprobe_recall",
     "multimodal_audio_stats",
+    "multimodal_gif_frames",
     # oldest remaining driver rows (latest sampling r5), registration order
     "doc_class_balance",
     "dedup_containment",
@@ -1025,5 +1026,4 @@ _VERIFY_ROUND9: list[str] = [
     "dedup_prefix_jaccard",
     "customer_supplier_communities",
     "events_seasonal_anomaly",
-    "user_forget_audit",
 ]

@@ -1942,6 +1942,103 @@ ORDER BY media_id
 """
 
 
+def q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multi-frame codec end-to-end, hash-checked: synthesize an
+    animated GIF per document (1 + doc_id%3 full-screen 8x8 grayscale
+    frames whose pixel indices cycle the text's code points, per-frame
+    delays varying by doc and frame), run operators/gif.encode_gif ->
+    decode_gif -> per-frame composited stats (gif_frame_stats), and
+    compare against a pure-SQL oracle computing the same integers from
+    the text directly.  The LZW codec (both directions), the
+    sub-block framing, the GCE delay parse and the compositing loop
+    all sit INSIDE the checked chain.
+
+    Plan: two narrow Arrow stages (synthesize, decode+fan-out inside
+    the batch), no shuffle until the display orderBy."""
+    import numpy as np
+
+    from netflix_data_ingestion_spark.operators.gif import encode_gif
+    from netflix_data_ingestion_spark.operators.multimodal import (
+        gif_frame_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    gray = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+
+    def synth(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                t = text or ""
+                n = len(t)
+                did = int(doc_id)
+                n_frames = 1 + did % 3
+                frames = []
+                for f in range(n_frames):
+                    if n:
+                        idx = [
+                            ord(t[(f * 64 + i) % n]) % 256 for i in range(64)
+                        ]
+                    else:
+                        idx = [0] * 64
+                    frames.append(
+                        np.array(idx, dtype=np.uint8).reshape(8, 8)
+                    )
+                delays = [4 * f + did % 5 for f in range(n_frames)]
+                ids.append(doc_id)
+                payloads.append(bytes(encode_gif(frames, gray, delays)))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(synth, "media_id long, payload binary")
+    return (
+        gif_frame_stats(media)
+        .select(
+            "media_id",
+            "n_frames",
+            "frame_idx",
+            "width",
+            "height",
+            "delay_cs",
+            "mean_luma_milli",
+        )
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+ORACLE_GIF_FRAMES = """
+WITH base AS (
+  SELECT doc_id,
+         (1 + doc_id % 3)::INT AS n_frames,
+         coalesce(text, '') AS t,
+         length(coalesce(text, '')) AS n
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, n_frames, t, n, f.f::INT AS frame_idx
+  FROM base, unnest(range(0, n_frames)) AS f(f)
+),
+px AS (
+  SELECT doc_id, n_frames, frame_idx,
+         list_sum(list_transform(range(0, 64),
+           i -> CASE WHEN n > 0
+                     THEN unicode(t[((frame_idx * 64 + i) % n) + 1]) % 256
+                     ELSE 0 END))::BIGINT AS s
+  FROM fr
+)
+SELECT doc_id::BIGINT AS media_id,
+       n_frames,
+       frame_idx,
+       8::INT AS width,
+       8::INT AS height,
+       (4 * frame_idx + doc_id % 5)::INT AS delay_cs,
+       ((1000 * s) // 64)::BIGINT AS mean_luma_milli
+FROM px
+ORDER BY media_id, frame_idx
+"""
+
+
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from netflix_data_ingestion_spark.operators.multimodal import (
         frame_sample_stub,
@@ -4973,4 +5070,5 @@ REGISTRY_LLM = {
         ORACLE_ANN_MULTIPROBE_RECALL,
     ),
     "multimodal_audio_stats": (q_multimodal_audio_stats, ORACLE_AUDIO_STATS),
+    "multimodal_gif_frames": (q_multimodal_gif_frames, ORACLE_GIF_FRAMES),
 }
