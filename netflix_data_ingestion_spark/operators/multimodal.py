@@ -5,10 +5,12 @@ metadata.  The Spark-side plumbing — schemas, per-row metadata
 extraction, Arrow-batched ``mapInPandas`` decode/feature stages — is real
 and tested.  Formats that need no codec library are decoded FOR REAL
 in pure numpy: ``decode_real_features`` (netpbm P5/P6, uncompressed
-24-bit BMP, PNG via stdlib zlib, and baseline-sequential JPEG via
-operators/jpeg.py's own Huffman+IDCT -> integer luma stats + 8x8
-perceptual aHash) and ``resize_real`` (integer box-average downsample +
-netpbm re-encode).
+24-bit BMP, PNG via stdlib zlib, baseline-sequential JPEG via
+operators/jpeg.py's own Huffman+IDCT, and animated GIF87a/89a via
+operators/gif.py's own LZW + frame compositing -> integer luma stats
++ 8x8 perceptual aHash), ``gif_frame_stats`` (REAL multi-frame
+sampling: one row per composited frame), and ``resize_real`` (integer
+box-average downsample + netpbm re-encode).
 Library-needing formats (video codecs; progressive JPEG) remain
 honestly stubbed:
 ``decode_stub_features``/``frame_sample_stub``/``resize_stub`` derive
@@ -79,7 +81,7 @@ def decode_stub_features(df: DataFrame, real_decode: bool = False) -> DataFrame:
         raise NotImplementedError(
             "real media decode of library-needing formats (video, "
             "progressive JPEG, ...) is unavailable in this environment; "
-            "use decode_real_features for netpbm/BMP/PNG/baseline-JPEG "
+            "use decode_real_features for netpbm/BMP/PNG/baseline-JPEG/GIF "
             "payloads, or wire PIL/torchaudio here on a real cluster"
         )
 
@@ -661,14 +663,15 @@ def decode_real_features(
     df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
 ) -> DataFrame:
     """REAL decode + feature extraction for netpbm (P5/P6),
-    uncompressed 24-bit BMP, and PNG payloads (stdlib-zlib decode, no
-    codec library) — Arrow-batched ``mapInPandas``,
+    uncompressed 24-bit BMP, PNG, baseline JPEG, and GIF (first
+    composited frame) payloads — no codec library, Arrow-batched
+    ``mapInPandas``,
     same plumbing shape as ``decode_stub_features`` but producing true
     pixel statistics: (codec, width, height, exact integer mean
     luminance in milli-units, 8x8 aHash hex).  Payloads in any other
     format (or corrupt) yield a NULL-codec row rather than an error —
     the quarantine-not-crash ingest contract.  Formats needing codec
-    libraries (JPEG/video) remain out of scope in this
+    libraries (video; progressive JPEG) remain out of scope in this
     environment; on a real cluster the PIL branch plugs into the same
     batch loop.
     """
@@ -752,14 +755,15 @@ def resize_real(
     max_width: int = 256,
     max_height: int = 256,
 ) -> DataFrame:
-    """REAL image resize for netpbm/BMP payloads — decode, exact
+    """REAL image resize for every codec ``_decode_image`` speaks
+    (netpbm/BMP/PNG/baseline-JPEG/GIF first frame) — decode, exact
     integer box-average downsample to fit (max_width, max_height)
-    preserving aspect (never upscales), re-encode as netpbm (P6/P5 —
-    BMP inputs come back as P6: the canonical-interchange choice a
-    real pipeline makes when normalizing formats).  Same RESIZE_SCHEMA
-    as ``resize_stub``; payloads that don't decode pass through
-    UNCHANGED with their original metadata (quarantine-not-crash), so
-    the operator is safe to run over a mixed-format corpus.
+    preserving aspect (never upscales), re-encode as netpbm (P6/P5:
+    the canonical-interchange choice a real pipeline makes when
+    normalizing formats).  Same RESIZE_SCHEMA as ``resize_stub``;
+    payloads that don't decode pass through UNCHANGED with their
+    original metadata (quarantine-not-crash), so the operator is safe
+    to run over a mixed-format corpus.
     """
     import hashlib
 

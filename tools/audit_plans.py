@@ -166,7 +166,9 @@ SANCTIONED: dict[str, str] = {
         "mapInPandas, merges-table-sized model, memoized per distinct "
         "pretoken — replaced the O(num_merges) fold-chain codegen"
     ),
-    "doc_bpe_encode": "Arrow tokenizer apply (bpe_segment shape, doc'd there)",
+    # (doc_bpe_encode carries the same Arrow bpe_segment stage, but its
+    # eager localCheckpoint cuts the lineage, so the audited plan never
+    # shows it — no sanction entry needed or allowed here)
     "doc_lm_perplexity": (
         "1-row LM stats (n_types/v_size) broadcast crossJoin (bm25 "
         "corpus-stats shape); succ/cont sides are vocabulary-sized "
