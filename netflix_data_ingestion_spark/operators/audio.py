@@ -147,6 +147,54 @@ def encode_wav(
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
+def resample_wav(b: bytes, target_rate: int):
+    """Nearest-neighbor integer resample of a PCM WAV payload to
+    ``target_rate``: output frame j copies input frame
+    (j * src_rate) // target_rate, preserving channels and bit depth —
+    the exact-arithmetic resampler (no filter, no floats), so results
+    are bit-stable and SQL-checkable.  Returns re-encoded WAV bytes,
+    or None if the payload doesn't decode (quarantine passthrough lives
+    in the caller)."""
+    got = decode_wav(b)
+    if got is None or target_rate < 1:
+        return None
+    ch = got["channels"]
+    src_rate = got["sample_rate"]
+    frames = got["num_frames"]
+    samples = got["samples"].reshape(frames, ch) if frames else got[
+        "samples"
+    ].reshape(0, ch)
+    out_frames = frames * target_rate // src_rate
+    idx = (np.arange(out_frames, dtype=np.int64) * src_rate) // target_rate
+    out = samples[idx].reshape(-1)
+    return encode_wav(out, ch, target_rate, got["bit_depth"])
+
+
+def resample_audio(
+    df: DataFrame,
+    target_rate: int,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(media_id, payload) -> (media_id, payload) with every decodable
+    WAV payload resampled to ``target_rate`` (nearest-neighbor,
+    channel- and depth-preserving); undecodable payloads pass through
+    UNCHANGED (quarantine-not-crash, the resize_real contract).  One
+    narrow Arrow stage."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for media_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = b"" if payload is None else bytes(payload)
+                out = resample_wav(b, target_rate)
+                ids.append(media_id)
+                payloads.append(b if out is None else out)
+            yield pd.DataFrame({id_col: ids, payload_col: payloads})
+
+    return df.mapInPandas(batches, f"{id_col} long, {payload_col} binary")
+
+
 AUDIO_FEATURES_SCHEMA = (
     "media_id bigint, codec string, channels int, sample_rate int, "
     "bit_depth int, num_frames bigint, duration_ms bigint, "

@@ -980,6 +980,7 @@ _VERIFY_ROUND9: list[str] = [
     "ann_multiprobe_recall",
     "multimodal_audio_stats",
     "multimodal_gif_frames",
+    "multimodal_audio_resample",
     # oldest remaining driver rows (latest sampling r5), registration order
     "doc_class_balance",
     "dedup_containment",
@@ -1025,5 +1026,4 @@ _VERIFY_ROUND9: list[str] = [
     "time_to_purchase_labels",
     "dedup_prefix_jaccard",
     "customer_supplier_communities",
-    "events_seasonal_anomaly",
 ]

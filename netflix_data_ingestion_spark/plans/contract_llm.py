@@ -1942,6 +1942,95 @@ ORDER BY media_id
 """
 
 
+def q_multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio codec exercised THREE times in one checked chain:
+    synthesize a WAV per document (multimodal_audio_stats' exact
+    recipe: code-point samples, bit depth cycling 8/16/24/32, source
+    rate 8/16/24 kHz), resample every payload to 8 kHz
+    (operators/audio.resample_audio — nearest-neighbor integer frame
+    mapping, decode -> re-encode), then decode the RESAMPLED payload
+    and emit its exact integer stats.  The oracle replays the index
+    arithmetic ((j * src_rate) // 8000) on the text directly, so the
+    resampler's frame math and both codec directions are hash-checked.
+
+    Plan: three narrow Arrow stages, no shuffle before the display
+    orderBy."""
+    import numpy as np
+
+    from netflix_data_ingestion_spark.operators.audio import (
+        decode_audio_features,
+        encode_wav,
+        resample_audio,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                t = text or ""
+                base = np.array(
+                    [(ord(c) % 256) - 128 for c in t], dtype=np.int64
+                )
+                bits = (8, 16, 24, 32)[int(doc_id) % 4]
+                rate = 8000 * (1 + int(doc_id) % 3)
+                ids.append(doc_id)
+                payloads.append(
+                    bytes(encode_wav(base << (bits - 8), 1, rate, bits))
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(synth, "media_id long, payload binary")
+    return decode_audio_features(resample_audio(media, 8000)).orderBy(
+        "media_id"
+    )
+
+
+ORACLE_AUDIO_RESAMPLE = """
+WITH base AS (
+  SELECT doc_id,
+         [8, 16, 24, 32][(doc_id % 4) + 1]::INT AS bits,
+         (8000 * (1 + doc_id % 3))::INT AS src_rate,
+         list_transform(range(1, length(coalesce(text, '')) + 1),
+                        i -> (unicode(text[i]) % 256) - 128) AS b
+  FROM documents
+),
+rs AS (
+  SELECT doc_id, bits,
+         list_transform(range(0, (len(b) * 8000 // src_rate)::BIGINT),
+                        j -> b[((j * src_rate) // 8000)::BIGINT + 1]) AS r
+  FROM base
+),
+m AS (
+  SELECT doc_id, bits,
+         len(r)::BIGINT AS n,
+         list_sum(list_transform(r, x -> abs(x)))::BIGINT AS abs_sum,
+         list_max(list_transform(r, x -> abs(x)))::BIGINT AS peak
+  FROM rs
+)
+SELECT doc_id::BIGINT AS media_id,
+       'wav' AS codec,
+       1::INT AS channels,
+       8000::INT AS sample_rate,
+       bits AS bit_depth,
+       n AS num_frames,
+       (n * 1000 // 8000)::BIGINT AS duration_ms,
+       CASE WHEN n > 0
+            THEN ((1000 * abs_sum * (1 << (bits - 8)))
+                  // (n * (1::BIGINT << (bits - 1))))::BIGINT
+       END AS mean_abs_milli,
+       CASE WHEN n > 0
+            THEN ((1000 * peak * (1 << (bits - 8)))
+                  // (1::BIGINT << (bits - 1)))::BIGINT
+       END AS peak_milli
+FROM m
+ORDER BY media_id
+"""
+
+
 def q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL multi-frame codec end-to-end, hash-checked: synthesize an
     animated GIF per document (1 + doc_id%3 full-screen 8x8 grayscale
@@ -5071,4 +5160,8 @@ REGISTRY_LLM = {
     ),
     "multimodal_audio_stats": (q_multimodal_audio_stats, ORACLE_AUDIO_STATS),
     "multimodal_gif_frames": (q_multimodal_gif_frames, ORACLE_GIF_FRAMES),
+    "multimodal_audio_resample": (
+        q_multimodal_audio_resample,
+        ORACLE_AUDIO_RESAMPLE,
+    ),
 }

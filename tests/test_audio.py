@@ -182,3 +182,51 @@ def test_decode_audio_features_exact_stats(spark):
             assert got[k] == v, (media_id, k)
     assert rows[99]["codec"] is None and rows[99]["mean_abs_milli"] is None
     assert rows[100]["codec"] is None
+
+
+def test_resample_wav_exact_mapping():
+    """Nearest-neighbor frame math pinned: out[j] = in[(j*src)//dst],
+    down AND up, preserving channels and depth."""
+    from netflix_data_ingestion_spark.operators.audio import resample_wav
+
+    samples = _sine_samples(100, 16, 2)
+    b = encode_wav(samples, 2, 16000, 16)
+    down = decode_wav(resample_wav(b, 8000))
+    assert down["num_frames"] == 50 and down["sample_rate"] == 8000
+    src = samples.reshape(100, 2)
+    want = src[[(j * 16000) // 8000 for j in range(50)]].reshape(-1)
+    assert np.array_equal(down["samples"], want)
+    up = decode_wav(resample_wav(b, 24000))
+    assert up["num_frames"] == 150
+    want_up = src[[(j * 16000) // 24000 for j in range(150)]].reshape(-1)
+    assert np.array_equal(up["samples"], want_up)
+    ident = decode_wav(resample_wav(b, 16000))
+    assert np.array_equal(ident["samples"], samples)
+
+
+def test_resample_wav_quarantines_and_empty():
+    from netflix_data_ingestion_spark.operators.audio import resample_wav
+
+    assert resample_wav(b"junk", 8000) is None
+    empty = encode_wav(np.zeros(0, dtype=np.int64), 1, 8000, 16)
+    out = decode_wav(resample_wav(empty, 4000))
+    assert out is not None and out["num_frames"] == 0
+
+
+def test_resample_audio_passthrough(spark):
+    """Undecodable payloads pass through byte-identical; decodable ones
+    come back at the target rate."""
+    from netflix_data_ingestion_spark.operators.audio import (
+        resample_audio,
+    )
+
+    wav = encode_wav(_sine_samples(64, 16, 1), 1, 32000, 16)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"not audio"))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: bytes(r["payload"])
+            for r in resample_audio(df, 8000).collect()}
+    assert rows[2] == b"not audio"
+    got = decode_wav(rows[1])
+    assert got["sample_rate"] == 8000 and got["num_frames"] == 16
