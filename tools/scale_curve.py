@@ -212,6 +212,66 @@ def ops(spark, sf_dir: str, copies: int):
 
         return len(bpe_train(docs, "text", num_merges=50))
 
+    def bpe_seg():
+        # the r8 broadcast-model Arrow apply: train once, then ONE
+        # mapInPandas over the corpus with the merge table in the
+        # closure (memoized per distinct pretoken) — should be linear
+        # in docs and flat in num_merges
+        from netflix_data_ingestion_spark.operators.bpetrain import (
+            bpe_segment,
+            bpe_train,
+        )
+
+        merges = bpe_train(docs, "text", num_merges=50, min_pair_count=1)
+        return (
+            bpe_segment(docs, merges)
+            .agg(F.sum("n_bpe_tokens"))
+            .collect()
+        )
+
+    def gif_codec():
+        # the r8 real-codec chain (multimodal_gif_frames shape):
+        # synthesize an animated GIF per doc, LZW-decode + composite +
+        # per-frame stats — two narrow Arrow stages, no shuffle;
+        # should be linear in docs
+        import numpy as np
+        import pandas as pd
+
+        from netflix_data_ingestion_spark.operators.gif import encode_gif
+        from netflix_data_ingestion_spark.operators.multimodal import (
+            gif_frame_stats,
+        )
+
+        gray = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+
+        def synth(it):
+            for pdf in it:
+                ids, payloads = [], []
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                    t = text or ""
+                    n = len(t)
+                    did = int(doc_id)
+                    frames = []
+                    for f in range(1 + did % 3):
+                        if n:
+                            idx = [
+                                ord(t[(f * 64 + i) % n]) % 256
+                                for i in range(64)
+                            ]
+                        else:
+                            idx = [0] * 64
+                        frames.append(
+                            np.array(idx, dtype=np.uint8).reshape(8, 8)
+                        )
+                    ids.append(doc_id)
+                    payloads.append(bytes(encode_gif(frames, gray)))
+                yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+        media = docs.select("doc_id", "text").mapInPandas(
+            synth, "media_id long, payload binary"
+        )
+        return gif_frame_stats(media).count()
+
     def skew():
         # the r6 rewrite: top-k via global_rank over the per-key counts
         # frame — one keyed groupBy over the fact plus rank machinery
@@ -233,6 +293,8 @@ def ops(spark, sf_dir: str, copies: int):
         "cosine_lsh_dedup(embeddings)": (copies * 2_000, cosine_dd),
         "curate_corpus(documents)": (copies * 5_000, curate),
         "bpe_train(documents)": (copies * 5_000, bpe),
+        "bpe_segment(documents)": (copies * 5_000, bpe_seg),
+        "gif_codec(documents)": (copies * 5_000, gif_codec),
         "skew_report(lineitem)": (copies * 600_000, skew),
     }
 
