@@ -258,6 +258,80 @@ def gif_frame_stats(
     return df.mapInPandas(batches, GIF_FRAME_SCHEMA)
 
 
+AVI_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_luma_milli", T.LongType(), True),
+        T.StructField("ahash64", T.StringType(), True),
+    ]
+)
+
+
+def avi_frame_stats(
+    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL video frame sampling: decode an AVI (operators/avi.py —
+    BI_RGB 24-bit DIB or MJPG-over-operators/jpeg.py) and emit one row
+    per frame with exact integer Rec.601 mean luma and the 8x8 aHash —
+    the video twin of gif_frame_stats, fan-out inside the Arrow batch.
+    Non-AVI / corrupt / unsupported-codec payloads yield one NULL-stats
+    row (quarantine-not-crash)."""
+    from netflix_data_ingestion_spark.operators.avi import decode_avi
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "media_id": [],
+                "n_frames": [],
+                "frame_idx": [],
+                "width": [],
+                "height": [],
+                "mean_luma_milli": [],
+                "ahash64": [],
+            }
+            for media_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                got = decode_avi(b"" if payload is None else bytes(payload))
+                if got is None:
+                    out["media_id"].append(media_id)
+                    for k in (
+                        "n_frames",
+                        "frame_idx",
+                        "width",
+                        "height",
+                        "mean_luma_milli",
+                        "ahash64",
+                    ):
+                        out[k].append(None)
+                    continue
+                n = len(got["frames"])
+                for i, frame in enumerate(got["frames"]):
+                    luma = _luma(frame)
+                    h, w = luma.shape
+                    out["media_id"].append(media_id)
+                    out["n_frames"].append(n)
+                    out["frame_idx"].append(i)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["mean_luma_milli"].append(int(luma.sum()) // (w * h))
+                    out["ahash64"].append(_ahash64(luma))
+            yield pd.DataFrame(out).astype(
+                {
+                    "media_id": "int64",
+                    "n_frames": "Int32",
+                    "frame_idx": "Int32",
+                    "width": "Int32",
+                    "height": "Int32",
+                    "mean_luma_milli": "Int64",
+                }
+            )
+
+    return df.mapInPandas(batches, AVI_FRAME_SCHEMA)
+
+
 RESIZE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

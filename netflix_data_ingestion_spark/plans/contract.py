@@ -981,6 +981,7 @@ _VERIFY_ROUND9: list[str] = [
     "multimodal_audio_stats",
     "multimodal_gif_frames",
     "multimodal_audio_resample",
+    "multimodal_avi_frames",
     # oldest remaining driver rows (latest sampling r5), registration order
     "doc_class_balance",
     "dedup_containment",
@@ -1025,5 +1026,4 @@ _VERIFY_ROUND9: list[str] = [
     "dedup_lsh_recall",
     "time_to_purchase_labels",
     "dedup_prefix_jaccard",
-    "customer_supplier_communities",
 ]

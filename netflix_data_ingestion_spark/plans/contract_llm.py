@@ -2128,6 +2128,107 @@ ORDER BY media_id, frame_idx
 """
 
 
+def q_multimodal_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video codec end-to-end, hash-checked: synthesize an AVI
+    per document (1 + doc_id%3 full-screen 8x8 BI_RGB frames whose
+    R/G/B channels are three distinct affine functions of the text's
+    code points — so a BGR-order or row-flip bug CANNOT cancel out),
+    run operators/avi.encode_avi -> decode_avi -> per-frame stats
+    (avi_frame_stats), and compare against a pure-SQL oracle computing
+    the same Rec.601 integers from the text directly.  The RIFF walk,
+    the DIB stride/bottom-up/BGR handling and the frame fan-out all
+    sit INSIDE the checked chain; the lossy MJPG profile is proven
+    separately by unit tests against the spec-compliant test encoder.
+
+    Plan: two narrow Arrow stages, no shuffle before the display
+    orderBy."""
+    import numpy as np
+
+    from netflix_data_ingestion_spark.operators.avi import encode_avi
+    from netflix_data_ingestion_spark.operators.multimodal import (
+        avi_frame_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                t = text or ""
+                n = len(t)
+                did = int(doc_id)
+                frames = []
+                for f in range(1 + did % 3):
+                    if n:
+                        cp = np.array(
+                            [
+                                ord(t[(f * 64 + i) % n]) % 256
+                                for i in range(64)
+                            ],
+                            dtype=np.int64,
+                        )
+                    else:
+                        cp = np.zeros(64, dtype=np.int64)
+                    px = np.empty((8, 8, 3), dtype=np.uint8)
+                    px[:, :, 0] = cp.reshape(8, 8)
+                    px[:, :, 1] = ((cp + 85) % 256).reshape(8, 8)
+                    px[:, :, 2] = ((cp + 170) % 256).reshape(8, 8)
+                    frames.append(px)
+                ids.append(doc_id)
+                payloads.append(bytes(encode_avi(frames)))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(synth, "media_id long, payload binary")
+    return (
+        avi_frame_stats(media)
+        .select(
+            "media_id",
+            "n_frames",
+            "frame_idx",
+            "width",
+            "height",
+            "mean_luma_milli",
+        )
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+ORACLE_AVI_FRAMES = """
+WITH base AS (
+  SELECT doc_id,
+         (1 + doc_id % 3)::INT AS n_frames,
+         coalesce(text, '') AS t,
+         length(coalesce(text, '')) AS n
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, n_frames, t, n, f.f::INT AS frame_idx
+  FROM base, unnest(range(0, n_frames)) AS f(f)
+),
+px AS (
+  SELECT doc_id, n_frames, frame_idx,
+         list_sum(list_transform(range(0, 64),
+           i -> CASE WHEN n > 0
+                     THEN 299 * (unicode(t[((frame_idx * 64 + i) % n) + 1]) % 256)
+                        + 587 * ((unicode(t[((frame_idx * 64 + i) % n) + 1]) % 256 + 85) % 256)
+                        + 114 * ((unicode(t[((frame_idx * 64 + i) % n) + 1]) % 256 + 170) % 256)
+                     ELSE 299 * 0 + 587 * 85 + 114 * 170 END))::BIGINT AS s
+  FROM fr
+)
+SELECT doc_id::BIGINT AS media_id,
+       n_frames,
+       frame_idx,
+       8::INT AS width,
+       8::INT AS height,
+       (s // 64)::BIGINT AS mean_luma_milli
+FROM px
+ORDER BY media_id, frame_idx
+"""
+
+
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from netflix_data_ingestion_spark.operators.multimodal import (
         frame_sample_stub,
@@ -5164,4 +5265,5 @@ REGISTRY_LLM = {
         q_multimodal_audio_resample,
         ORACLE_AUDIO_RESAMPLE,
     ),
+    "multimodal_avi_frames": (q_multimodal_avi_frames, ORACLE_AVI_FRAMES),
 }
