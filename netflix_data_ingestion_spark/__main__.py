@@ -133,6 +133,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     """
     from netflix_data_ingestion_spark.pipeline import StarPipeline
 
+    if argv is None:
+        # ``python -m netflix_data_ingestion_spark ...`` calls main()
+        # with no argv; resolve it here so the ``query`` dispatch below
+        # sees the real command line (argparse would have done this
+        # resolution itself, but only after the dispatch)
+        argv = sys.argv[1:]
     if argv and argv[0] == "query":
         return _run_query(argv[1:], spark)
 

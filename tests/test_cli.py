@@ -88,3 +88,19 @@ def test_cli_query_list_and_run(spark, capsys):
     assert "lineitem" in capsys.readouterr().out
     # unknown name: exit 1, session untouched
     assert main(["query", "no_such_query"], spark=spark) == 1
+
+
+def test_cli_query_dispatch_resolves_sys_argv(spark, capsys, monkeypatch):
+    """Regression (r8): ``python -m netflix_data_ingestion_spark query
+    list`` calls main() with argv=None — the query dispatch must
+    resolve sys.argv itself, not fall through to the pipeline parser
+    (which would error on the required --ratings/--warehouse args)."""
+    import sys as _sys
+
+    from netflix_data_ingestion_spark.__main__ import main
+
+    monkeypatch.setattr(
+        _sys, "argv", ["netflix_data_ingestion_spark", "query", "list"]
+    )
+    assert main(None, spark=spark) == 0
+    assert "pricing_summary" in capsys.readouterr().out
