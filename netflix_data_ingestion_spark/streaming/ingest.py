@@ -49,6 +49,34 @@ def stream_events(
     )
 
 
+MEDIA_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def stream_media(
+    spark: SparkSession, source_dir: str, fmt: str = "parquet"
+) -> DataFrame:
+    """File-source stream of opaque binary media payloads — the
+    streaming twin of the batch MEDIA_SCHEMA ingest.  The real codec
+    stages (multimodal.decode_real_features / gif_frame_stats /
+    avi_frame_stats, audio.decode_audio_features, audio.resample_audio)
+    are all STATELESS Arrow ``mapInPandas``, so they apply to this
+    stream unchanged — proven stream==batch by test
+    (tests/test_streaming.py::test_streaming_media_decode_matches_batch).
+    At scale the same plan reads from Kafka with payloads in the value
+    column; only this source function changes."""
+    return (
+        spark.readStream.format(fmt)
+        .schema(MEDIA_STREAM_SCHEMA)
+        .option("path", source_dir)
+        .load()
+    )
+
+
 def tumbling_counts(
     events: DataFrame,
     window: str = "1 hour",

@@ -896,3 +896,65 @@ def test_cooldown_stream_drops_null_event_times(spark, tmp_path_factory):
     # user 1: admit minute-0 only (minute-5 inside the gap, NULL-ts
     # dropped); user 2: its single valid event
     assert streamed == [0, 3]
+
+
+def test_streaming_media_decode_matches_batch(spark, tmp_path_factory):
+    """The real codec stages are stateless Arrow mapInPandas, so they
+    must run UNCHANGED on a readStream frame: a mixed corpus (WAV at
+    two depths, an animated GIF, an AVI, junk, NULL) decoded through
+    decode_audio_features and gif/avi frame stats in streaming mode
+    must equal the batch twin row for row."""
+    import numpy as np
+
+    from netflix_data_ingestion_spark.operators.audio import (
+        decode_audio_features,
+        encode_wav,
+    )
+    from netflix_data_ingestion_spark.operators.avi import encode_avi
+    from netflix_data_ingestion_spark.operators.gif import encode_gif
+    from netflix_data_ingestion_spark.operators.multimodal import (
+        avi_frame_stats,
+        gif_frame_stats,
+    )
+
+    rng = np.random.default_rng(5)
+    gray = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+    rows = [
+        (1, bytearray(encode_wav(
+            rng.integers(-128, 128, size=80, dtype=np.int64), 1, 8000, 8))),
+        (2, bytearray(encode_wav(
+            rng.integers(-30000, 30000, size=50, dtype=np.int64), 1, 16000, 16))),
+        (3, bytearray(encode_gif(
+            [rng.integers(0, 256, size=(6, 6), dtype=np.uint8)
+             for _ in range(3)], gray))),
+        (4, bytearray(encode_avi(
+            [rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+             for _ in range(2)]))),
+        (5, bytearray(b"junk payload")),
+        (6, None),
+    ]
+    src = str(tmp_path_factory.mktemp("media_stream"))
+    spark.createDataFrame(
+        rows, "media_id long, payload binary"
+    ).repartition(3).write.mode("overwrite").parquet(src)
+
+    stream = ingest.stream_media(spark, src)
+    assert stream.isStreaming
+    batch = spark.read.schema(ingest.MEDIA_STREAM_SCHEMA).parquet(src)
+
+    for name, op in (
+        ("m_audio", decode_audio_features),
+        ("m_gif", gif_frame_stats),
+        ("m_avi", avi_frame_stats),
+    ):
+        ingest.run_to_memory(op(stream), name, output_mode="append")
+        got = sorted(
+            tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()
+        )
+        want = sorted(tuple(r) for r in op(batch).collect())
+        assert got == want, name
+    # sanity: the streaming path really decoded (not all-NULL rows)
+    decoded = spark.sql(
+        "SELECT count(*) AS n FROM m_audio WHERE codec = 'wav'"
+    ).collect()[0]["n"]
+    assert decoded == 2
