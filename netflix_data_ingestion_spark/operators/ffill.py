@@ -64,6 +64,7 @@ def forward_fill_global(
     order_col: str,
     value_col: str,
     out_col: str,
+    deterministic_source: bool = False,
 ) -> DataFrame:
     """LOCF of ``value_col`` over the single global order ``order_col``.
 
@@ -71,19 +72,31 @@ def forward_fill_global(
     partitions (e.g. ``monotonically_increasing_id()`` on a file scan,
     where partition ids follow split order) — i.e. all rows of partition
     *p* order before all rows of partition *p+1*.
+
+    ``deterministic_source=True`` asserts that ``df`` recomputes with
+    IDENTICAL partition contents and order on every traversal — true for
+    a frame derived narrowly from a file scan (splits are a pure function
+    of file list + maxPartitionBytes; row order within a split is file
+    order), false after any shuffle (round-robin repartition, shuffle
+    fetch order).  When set, the partition-identity pin below is skipped:
+    the carry aggregate simply re-traverses the (cheap, filter-pruned)
+    scan instead of pinning the full-width frame in the block manager —
+    at 200M-row ingest scale the pin itself was the memory wall.
     """
     tagged = df.withColumn(_PART, F.spark_partition_id())
 
-    # deterministic double-traversal hazard: the tiny carry aggregate and
-    # the main pass must see identical partition tags.  Pin via an EAGER
-    # localCheckpoint, not persist(): checkpoint blocks are GC-scoped
-    # (freed when the caller drops the result — no CacheManager entry
-    # leaking until session end), and the truncated lineage freezes
-    # partition identity outright instead of hoping a recompute after
-    # cache eviction repartitions identically.  Trade-off: on executor
-    # loss the job fails fast instead of recomputing — callers
-    # (idempotent staged parquet writes) just re-run the stage.
-    tagged = tagged.localCheckpoint(eager=True)
+    if not deterministic_source:
+        # deterministic double-traversal hazard: the tiny carry aggregate
+        # and the main pass must see identical partition tags.  Pin via an
+        # EAGER localCheckpoint, not persist(): checkpoint blocks are
+        # GC-scoped (freed when the caller drops the result — no
+        # CacheManager entry leaking until session end), and the truncated
+        # lineage freezes partition identity outright instead of hoping a
+        # recompute after cache eviction repartitions identically.
+        # Trade-off: on executor loss the job fails fast instead of
+        # recomputing — callers (idempotent staged parquet writes) just
+        # re-run the stage.
+        tagged = tagged.localCheckpoint(eager=True)
 
     local_w = (
         Window.partitionBy(_PART)

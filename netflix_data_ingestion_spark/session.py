@@ -59,6 +59,15 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # Dynamic-partition parquet writes (fact_ratings partitionBy year)
+        # default to a per-task SORT on the partition columns
+        # (maxConcurrentOutputFileWriters=0) — at 200M rows that sort is
+        # the single-JVM spill wall (COVERAGE.md r8 bonus table: fact
+        # stage 30s -> 215s from 100M -> 200M).  The fact table has <=10
+        # distinct years, so a handful of concurrent writers per task
+        # removes the sort outright; Spark still falls back to sorted
+        # spill if a task ever sees more partitions than this.
+        .config("spark.sql.maxConcurrentOutputFileWriters", "16")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -58,8 +58,15 @@ def parse_rating_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
         )
     )
 
+    # deterministic_source: `lines` comes straight from a file scan (the
+    # documented contract above), so both ffill traversals see identical
+    # splits — no block-manager pin of the full-width raw lines needed.
     attributed = forward_fill_global(
-        tagged, order_col=_ORD, value_col="__header_movie_id", out_col="movie_id"
+        tagged,
+        order_col=_ORD,
+        value_col="__header_movie_id",
+        out_col="movie_id",
+        deterministic_source=True,
     )
 
     parts = F.split(v, ",")
