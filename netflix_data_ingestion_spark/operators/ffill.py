@@ -78,25 +78,39 @@ def forward_fill_global(
     a frame derived narrowly from a file scan (splits are a pure function
     of file list + maxPartitionBytes; row order within a split is file
     order), false after any shuffle (round-robin repartition, shuffle
-    fetch order).  When set, the partition-identity pin below is skipped:
-    the carry aggregate simply re-traverses the (cheap, filter-pruned)
-    scan instead of pinning the full-width frame in the block manager —
-    at 200M-row ingest scale the pin itself was the memory wall.
+    fetch order).  When set, two scale fixes apply:
+
+    * the partition-identity pin below is skipped — the carry aggregate
+      simply re-traverses the (cheap, filter-pruned) scan instead of
+      pinning the full-width frame in the block manager (at 200M-row
+      ingest scale the pin itself was the memory wall);
+    * the local LOCF runs as ONE NARROW Arrow pass (``mapInPandas``
+      carrying fill state across batches within each partition, with
+      the driver-computed partition carry-ins injected via closure)
+      instead of ``Window.partitionBy(spark_partition_id())`` — the
+      window form forces a FULL Exchange + Sort of the input because
+      Catalyst cannot see that the frame is already partitioned by its
+      own partition id (measured: the exchange+sort was the dominant
+      stg cost at 200M rows).  This is the sanctioned per-partition
+      imperative case: LOCF over an implicit physical order is exactly
+      what built-in operators cannot express without that shuffle.
     """
     tagged = df.withColumn(_PART, F.spark_partition_id())
 
-    if not deterministic_source:
-        # deterministic double-traversal hazard: the tiny carry aggregate
-        # and the main pass must see identical partition tags.  Pin via an
-        # EAGER localCheckpoint, not persist(): checkpoint blocks are
-        # GC-scoped (freed when the caller drops the result — no
-        # CacheManager entry leaking until session end), and the truncated
-        # lineage freezes partition identity outright instead of hoping a
-        # recompute after cache eviction repartitions identically.
-        # Trade-off: on executor loss the job fails fast instead of
-        # recomputing — callers (idempotent staged parquet writes) just
-        # re-run the stage.
-        tagged = tagged.localCheckpoint(eager=True)
+    if deterministic_source:
+        return _ffill_arrow_pass(df, tagged, order_col, value_col, out_col)
+
+    # deterministic double-traversal hazard: the tiny carry aggregate
+    # and the main pass must see identical partition tags.  Pin via an
+    # EAGER localCheckpoint, not persist(): checkpoint blocks are
+    # GC-scoped (freed when the caller drops the result — no
+    # CacheManager entry leaking until session end), and the truncated
+    # lineage freezes partition identity outright instead of hoping a
+    # recompute after cache eviction repartitions identically.
+    # Trade-off: on executor loss the job fails fast instead of
+    # recomputing — callers (idempotent staged parquet writes) just
+    # re-run the stage.
+    tagged = tagged.localCheckpoint(eager=True)
 
     local_w = (
         Window.partitionBy(_PART)
@@ -137,3 +151,86 @@ def forward_fill_global(
         .drop(_PART, _CARRY)
     )
     return out
+
+
+def _ffill_arrow_pass(
+    df: DataFrame,
+    tagged: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str,
+) -> DataFrame:
+    """The deterministic-source fast path: per-partition LOCF in one
+    narrow ``mapInPandas`` stage.
+
+    Order inside the pass is the PHYSICAL row order — legal because the
+    operator contract already requires ``order_col`` to equal physical
+    (partition, offset) order for a deterministic scan.  Fill state
+    carries across Arrow batches within a partition via the generator's
+    local; the cross-PARTITION carry-ins are computed first from a
+    filter-pruned re-traversal of the scan (tiny: one row per partition
+    that contains any non-null) and enter the stage as a plain closure
+    dict, so there is no shuffle, no sort, and no post-join anywhere in
+    the plan."""
+    # one row per physical partition: the last non-null value it contains
+    last_per_part = (
+        tagged.filter(F.col(value_col).isNotNull())
+        .groupBy(_PART)
+        .agg(F.max_by(F.col(value_col), F.col(order_col)).alias("last_val"))
+        .collect()
+    )
+    last_by_part = {r[_PART]: r["last_val"] for r in last_per_part}
+
+    n_parts = tagged.rdd.getNumPartitions()
+    carry_in: dict[int, object] = {}
+    running = None
+    for p in range(n_parts):
+        carry_in[p] = running
+        if p in last_by_part:
+            running = last_by_part[p]
+
+    from pyspark.sql.types import StructField, StructType
+
+    value_type = df.schema[value_col].dataType
+    out_schema = StructType(
+        df.schema.fields + [StructField(out_col, value_type, True)]
+    )
+    in_cols = [f.name for f in df.schema.fields]
+    # int-with-nulls arrives in pandas as float64; casting that back to
+    # an integral Arrow type would turn a residual NaN (a legitimately
+    # unfilled leading row) into garbage, not NULL — route through the
+    # masked pandas extension dtype instead
+    pd_nullable = {
+        "tinyint": "Int8",
+        "smallint": "Int16",
+        "int": "Int32",
+        "bigint": "Int64",
+        "float": "Float32",
+        "double": "Float64",
+    }.get(value_type.simpleString())
+
+    def locf(iterator):
+        import pandas as pd
+
+        carry = None
+        first = True
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            if first:
+                carry = carry_in.get(int(pdf[_PART].iloc[0]))
+                first = False
+            filled = pdf[value_col].ffill()
+            if carry is not None:
+                # after ffill only the LEADING null run remains
+                filled = filled.fillna(carry)
+            last = filled.iloc[-1]
+            if not pd.isna(last):
+                carry = last
+            out = pdf[in_cols].copy()
+            out[out_col] = (
+                filled.astype(pd_nullable) if pd_nullable else filled
+            )
+            yield out
+
+    return tagged.mapInPandas(locf, out_schema)

@@ -282,6 +282,24 @@ def avi_frame_stats(
     row (quarantine-not-crash)."""
     from netflix_data_ingestion_spark.operators.avi import decode_avi
 
+    return _video_frame_stats(df, decode_avi, id_col, payload_col)
+
+
+def mp4_frame_stats(
+    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """avi_frame_stats for the ISO BMFF container (operators/mp4.py —
+    QuickTime 'raw ' depth-24 exact, or MJPEG samples through
+    operators/jpeg.py): same per-frame schema, same Arrow fan-out,
+    same NULL-row quarantine for payloads outside the profile."""
+    from netflix_data_ingestion_spark.operators.mp4 import decode_mp4
+
+    return _video_frame_stats(df, decode_mp4, id_col, payload_col)
+
+
+def _video_frame_stats(
+    df: DataFrame, decoder, id_col: str, payload_col: str
+) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out: dict[str, list] = {
@@ -294,7 +312,7 @@ def avi_frame_stats(
                 "ahash64": [],
             }
             for media_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                got = decode_avi(b"" if payload is None else bytes(payload))
+                got = decoder(b"" if payload is None else bytes(payload))
                 if got is None:
                     out["media_id"].append(media_id)
                     for k in (

@@ -2256,6 +2256,108 @@ ORDER BY media_id, frame_idx
 """
 
 
+def q_multimodal_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ISO BMFF container end-to-end, hash-checked: synthesize an
+    MP4 per document (1 + doc_id%4 full-screen 8x8 QuickTime-'raw '
+    depth-24 frames; R/G/B are three distinct affine functions of the
+    text's code points, with offsets DIFFERENT from the AVI row so the
+    two container walks can't mask each other), run
+    operators/mp4.encode_mp4 -> decode_mp4 -> per-frame stats
+    (mp4_frame_stats: the demux goes through the real
+    stsd/stsz/stsc/stco sample tables), and compare against a pure-SQL
+    oracle computing the same Rec.601 integers from the text directly.
+    The lossy MJPEG profile is proven separately by unit tests against
+    the spec-compliant test encoder (tests/test_mp4_decode.py).
+
+    Plan: two narrow Arrow stages, no shuffle before the display
+    orderBy."""
+    import numpy as np
+
+    from netflix_data_ingestion_spark.operators.mp4 import encode_mp4
+    from netflix_data_ingestion_spark.operators.multimodal import (
+        mp4_frame_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                t = text or ""
+                n = len(t)
+                did = int(doc_id)
+                frames = []
+                for f in range(1 + did % 4):
+                    if n:
+                        cp = np.array(
+                            [
+                                ord(t[(f * 64 + i) % n]) % 256
+                                for i in range(64)
+                            ],
+                            dtype=np.int64,
+                        )
+                    else:
+                        cp = np.zeros(64, dtype=np.int64)
+                    px = np.empty((8, 8, 3), dtype=np.uint8)
+                    px[:, :, 0] = cp.reshape(8, 8)
+                    px[:, :, 1] = ((cp + 47) % 256).reshape(8, 8)
+                    px[:, :, 2] = ((cp + 193) % 256).reshape(8, 8)
+                    frames.append(px)
+                ids.append(doc_id)
+                payloads.append(bytes(encode_mp4(frames)))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(synth, "media_id long, payload binary")
+    return (
+        mp4_frame_stats(media)
+        .select(
+            "media_id",
+            "n_frames",
+            "frame_idx",
+            "width",
+            "height",
+            "mean_luma_milli",
+        )
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+ORACLE_MP4_FRAMES = """
+WITH base AS (
+  SELECT doc_id,
+         (1 + doc_id % 4)::INT AS n_frames,
+         coalesce(text, '') AS t,
+         length(coalesce(text, '')) AS n
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, n_frames, t, n, f.f::INT AS frame_idx
+  FROM base, unnest(range(0, n_frames)) AS f(f)
+),
+px AS (
+  SELECT doc_id, n_frames, frame_idx,
+         list_sum(list_transform(range(0, 64),
+           i -> CASE WHEN n > 0
+                     THEN 299 * (unicode(t[((frame_idx * 64 + i) % n) + 1]) % 256)
+                        + 587 * ((unicode(t[((frame_idx * 64 + i) % n) + 1]) % 256 + 47) % 256)
+                        + 114 * ((unicode(t[((frame_idx * 64 + i) % n) + 1]) % 256 + 193) % 256)
+                     ELSE 299 * 0 + 587 * 47 + 114 * 193 END))::BIGINT AS s
+  FROM fr
+)
+SELECT doc_id::BIGINT AS media_id,
+       n_frames,
+       frame_idx,
+       8::INT AS width,
+       8::INT AS height,
+       (s // 64)::BIGINT AS mean_luma_milli
+FROM px
+ORDER BY media_id, frame_idx
+"""
+
+
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from netflix_data_ingestion_spark.operators.multimodal import (
         frame_sample_stub,
@@ -5293,4 +5395,8 @@ REGISTRY_LLM = {
         ORACLE_AUDIO_RESAMPLE,
     ),
     "multimodal_avi_frames": (q_multimodal_avi_frames, ORACLE_AVI_FRAMES),
+    # round-9 tail addition (frozen r9 window unchanged; queue for the
+    # r10 rotation): the ISO BMFF container walk completing the video
+    # container family the AVI walk started
+    "multimodal_mp4_frames": (q_multimodal_mp4_frames, ORACLE_MP4_FRAMES),
 }

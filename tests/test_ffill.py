@@ -52,3 +52,53 @@ def test_global_fill_empty_partitions_ok(spark):
         .withColumnRenamed("id", "ord")
     )
     assert forward_fill_global(df, "ord", "v", "filled").count() == 0
+
+
+def test_deterministic_arrow_path_matches_window_path(spark, tmp_path):
+    """The deterministic_source fast path (narrow Arrow LOCF, no
+    exchange) must agree row-for-row with the pinned window path on a
+    REAL multi-split file scan — including the leading-null run of a
+    partition whose carry-in comes from two partitions back, and a
+    NULL-headed file start that must stay NULL (never garbage: the
+    float64->Int32 masked conversion case)."""
+    p = tmp_path / "lines.txt"
+    # sparse headers so whole splits contain no non-null value
+    lines = []
+    for i in range(4000):
+        if i in (37, 2111):
+            lines.append(f"H{i}")
+        else:
+            lines.append(f"d{i}")
+    p.write_text("\n".join(lines) + "\n")
+
+    def parsed(det: bool):
+        lines_df = (
+            spark.read.option(
+                "lineSep", "\n"
+            ).text(str(p))
+        )
+        tagged = lines_df.withColumn(
+            "ord", F.monotonically_increasing_id()
+        ).withColumn(
+            "v",
+            F.when(
+                F.col("value").startswith("H"),
+                F.regexp_extract("value", r"^H(\d+)", 1).try_cast("int"),
+            ),
+        )
+        return forward_fill_global(
+            tagged, "ord", "v", "filled", deterministic_source=det
+        ).select("value", "ord", "filled")
+
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+    try:
+        # key by the line text: monotonically_increasing_id is NOT
+        # contiguous across partitions, only monotonic
+        fast = {r["value"]: r["filled"] for r in parsed(True).collect()}
+        slow = {r["value"]: r["filled"] for r in parsed(False).collect()}
+    finally:
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    assert fast == slow
+    assert fast["d0"] is None and fast["d36"] is None  # leading run NULL
+    assert fast["H37"] == 37 and fast["d2110"] == 37
+    assert fast["d3999"] == 2111

@@ -903,7 +903,8 @@ def test_streaming_media_decode_matches_batch(spark, tmp_path_factory):
     must run UNCHANGED on a readStream frame: a mixed corpus (WAV at
     two depths, an animated GIF, an AVI, junk, NULL) decoded through
     decode_audio_features and gif/avi frame stats in streaming mode
-    must equal the batch twin row for row."""
+    must equal the batch twin row for row.  (MP4 rides along: the
+    ISO BMFF walk is the same stateless Arrow stage class.)"""
     import numpy as np
 
     from netflix_data_ingestion_spark.operators.audio import (
@@ -912,9 +913,11 @@ def test_streaming_media_decode_matches_batch(spark, tmp_path_factory):
     )
     from netflix_data_ingestion_spark.operators.avi import encode_avi
     from netflix_data_ingestion_spark.operators.gif import encode_gif
+    from netflix_data_ingestion_spark.operators.mp4 import encode_mp4
     from netflix_data_ingestion_spark.operators.multimodal import (
         avi_frame_stats,
         gif_frame_stats,
+        mp4_frame_stats,
     )
 
     rng = np.random.default_rng(5)
@@ -932,6 +935,9 @@ def test_streaming_media_decode_matches_batch(spark, tmp_path_factory):
              for _ in range(2)]))),
         (5, bytearray(b"junk payload")),
         (6, None),
+        (7, bytearray(encode_mp4(
+            [rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+             for _ in range(2)]))),
     ]
     src = str(tmp_path_factory.mktemp("media_stream"))
     spark.createDataFrame(
@@ -946,6 +952,7 @@ def test_streaming_media_decode_matches_batch(spark, tmp_path_factory):
         ("m_audio", decode_audio_features),
         ("m_gif", gif_frame_stats),
         ("m_avi", avi_frame_stats),
+        ("m_mp4", mp4_frame_stats),
     ):
         ingest.run_to_memory(op(stream), name, output_mode="append")
         got = sorted(

@@ -149,6 +149,12 @@ SANCTIONED: dict[str, str] = {
         "in-batch frame fan-out), no shuffle before the display "
         "orderBy; codec round-trip is the point of the query"
     ),
+    "multimodal_mp4_frames": (
+        "two narrow Arrow stages (ISO BMFF synthesize + real sample-"
+        "table demux/decode with in-batch frame fan-out), no shuffle "
+        "before the display orderBy; container round-trip is the "
+        "point of the query"
+    ),
     "order_price_equidepth": "1-row total broadcast; rank offsets now DISTRIBUTED (prefix_sum_ranged inside global_rank)",
     "orders_expectations": "1-row report aggregates (constant output)",
     "orders_profile": "single 1-row profile aggregate, constant output",

@@ -36,8 +36,14 @@ def _shifted(df, tbl: str, i: int):
     if i == 0 and tbl != "documents":
         return df
     if tbl == "lineitem":
-        return df.withColumn(
-            "l_orderkey", F.col("l_orderkey") + i * 100_000_000
+        # part/supp keys shift too: the co-occurrence / bipartite graphs
+        # must grow as 16 DISJOINT copies (node count scales with rows,
+        # like fresh data) — shifting only the basket key would densify
+        # a fixed node set and fake a super-linear triangle curve
+        return (
+            df.withColumn("l_orderkey", F.col("l_orderkey") + i * 100_000_000)
+            .withColumn("l_partkey", F.col("l_partkey") + i * 10_000_000)
+            .withColumn("l_suppkey", F.col("l_suppkey") + i * 10_000_000)
         )
     if tbl == "orders":
         return df.withColumn(
@@ -272,6 +278,47 @@ def ops(spark, sf_dir: str, copies: int):
         )
         return gif_frame_stats(media).count()
 
+    def _cooccur_edges():
+        from netflix_data_ingestion_spark.operators.cooccur import (
+            cooccurrence_pairs,
+        )
+
+        return cooccurrence_pairs(
+            li, "l_orderkey", "l_partkey", min_support=2
+        ).select("item_a", "item_b")
+
+    def triangles():
+        # part_triangle_counts shape: wedge enumeration via degree
+        # orientation — the shuffle-heavy family; cost is wedge-bound,
+        # so the exponent is the number that matters at 100x
+        from netflix_data_ingestion_spark.operators.graph import (
+            triangle_counts,
+        )
+
+        return triangle_counts(_cooccur_edges(), "item_a", "item_b").count()
+
+    def kcore_peel():
+        # part_kcore shape: 3 fixed peel rounds, each a degree groupBy
+        # + semi-join back onto the shrinking edge set
+        from netflix_data_ingestion_spark.operators.graph import kcore
+
+        return kcore(
+            _cooccur_edges(), "item_a", "item_b", k=3, rounds=3
+        ).count()
+
+    def pr():
+        # customer_supplier_pagerank shape: 2 power-iteration rounds
+        # over the bipartite order graph — per-round shuffle on edges
+        from netflix_data_ingestion_spark.operators.graph import pagerank
+
+        edges = orders.join(
+            li, orders.o_orderkey == li.l_orderkey
+        ).select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        return pagerank(edges, "src", "dst", iters=2).count()
+
     def skew():
         # the r6 rewrite: top-k via global_rank over the per-key counts
         # frame — one keyed groupBy over the fact plus rank machinery
@@ -296,6 +343,9 @@ def ops(spark, sf_dir: str, copies: int):
         "bpe_segment(documents)": (copies * 5_000, bpe_seg),
         "gif_codec(documents)": (copies * 5_000, gif_codec),
         "skew_report(lineitem)": (copies * 600_000, skew),
+        "triangle_counts(lineitem)": (copies * 600_000, triangles),
+        "kcore(lineitem)": (copies * 600_000, kcore_peel),
+        "pagerank(orders*lineitem)": (copies * 600_000, pr),
     }
 
 
