@@ -41,20 +41,33 @@ def asof_join(
     prefix: str = "r_",
     direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of join: each left row gets the right row with the largest
-    `on` <= left.`on` within the same `by` key (NULLs when none exists).
+    """Left as-of join within the same `by` key (NULLs when no match):
+
+    - ``backward``: right row with the largest `on` <= left.`on`;
+    - ``forward``: right row with the smallest `on` >= left.`on`;
+    - ``nearest``: whichever of the two is closer in absolute `on`
+      distance — backward wins exact ties (pandas ``merge_asof``
+      parity, asserted by tests against the cogrouped twin).
 
     Output: every left column, plus `prefix`-renamed `right_cols`.
     Deterministic under duplicate right timestamps only if (`by`, `on`)
     is unique on the right side (true for nanosecond event streams);
     otherwise the latest right row in (`on`, `right_cols[0]`) order wins.
+
+    Plan shape: one shuffle on `by`; backward/forward are a single
+    window pass, nearest sorts the same shuffled partitions twice (one
+    exchange, two in-partition sorts).
     """
-    if direction != "backward":
-        raise NotImplementedError("only backward (most-recent-prior) as-of")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown as-of direction {direction!r}")
     right_cols = list(right_cols or [c for c in right.columns if c != on])
     by = list(by)
 
-    r_struct = _struct_type(right, right_cols)
+    # the match struct carries the right row's own `on` ("__rt") so the
+    # nearest direction can compare distances; dropped from the output
+    r_struct = T.StructType(
+        list(_struct_type(right, right_cols)) + [T.StructField("__rt", right.schema[on].dataType, True)]
+    )
     l_tagged = left.select(
         *by,
         F.col(on).alias("__t"),
@@ -67,18 +80,56 @@ def asof_join(
         F.col(on).alias("__t"),
         F.lit(0).alias("__is_l"),
         F.lit(None).cast(_struct_type(left, left.columns)).alias("__l"),
-        F.struct(*[F.col(c) for c in right_cols]).alias("__r"),
+        F.struct(
+            *[F.col(c) for c in right_cols], F.col(on).alias("__rt")
+        ).alias("__r"),
     )
     unioned = l_tagged.unionByName(r_tagged)
     # right rows sort before left rows at equal time -> inclusive match
-    w = (
+    # in BOTH traversal directions
+    w_back = (
         Window.partitionBy(*by)
         .orderBy(F.col("__t").asc(), F.col("__is_l").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned.withColumn(
-        "__match", F.last("__r", ignorenulls=True).over(w)
+    w_fwd = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("__t").desc(), F.col("__is_l").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    if direction == "backward":
+        filled = unioned.withColumn(
+            "__match", F.last("__r", ignorenulls=True).over(w_back)
+        )
+    elif direction == "forward":
+        filled = unioned.withColumn(
+            "__match", F.last("__r", ignorenulls=True).over(w_fwd)
+        )
+    else:
+        both = unioned.withColumn(
+            "__mb", F.last("__r", ignorenulls=True).over(w_back)
+        ).withColumn("__mf", F.last("__r", ignorenulls=True).over(w_fwd))
+
+        def as_num(c: F.Column, dtype: T.DataType) -> F.Column:
+            # timestamps (incl. TIMESTAMP_NTZ, which ANSI refuses to
+            # cast to double) go through exact integer microseconds
+            if isinstance(
+                dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)
+            ):
+                return F.unix_micros(c.cast("timestamp")).cast("double")
+            return c.cast("double")
+
+        t_num = as_num(F.col("__t"), left.schema[on].dataType)
+        rt_type = right.schema[on].dataType
+        d_back = t_num - as_num(F.col("__mb.__rt"), rt_type)
+        d_fwd = as_num(F.col("__mf.__rt"), rt_type) - t_num
+        filled = both.withColumn(
+            "__match",
+            F.when(F.col("__mb").isNull(), F.col("__mf"))
+            .when(F.col("__mf").isNull(), F.col("__mb"))
+            .when(d_back <= d_fwd, F.col("__mb"))  # backward wins ties
+            .otherwise(F.col("__mf")),
+        )
     out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns] + [
         F.col(f"__match.{c}").alias(f"{prefix}{c}") for c in right_cols
     ]
@@ -92,8 +143,10 @@ def asof_join_cogrouped(
     by: Sequence[str] = ("user_id",),
     right_cols: Sequence[str] | None = None,
     prefix: str = "r_",
+    direction: str = "backward",
 ) -> DataFrame:
-    """`asof_join` semantics via cogrouped ``pd.merge_asof`` per key.
+    """`asof_join` semantics via cogrouped ``pd.merge_asof`` per key
+    (which supports all three directions natively).
 
     Keys absent from the right side still yield left rows (NULL matches),
     matching the union implementation and DuckDB's ASOF LEFT JOIN.
@@ -126,7 +179,7 @@ def asof_join_cogrouped(
                 out[f"{prefix}{c}"] = None
             return out
         merged = pd.merge_asof(
-            l, r, on=on, direction="backward", suffixes=("", "__r")
+            l, r, on=on, direction=direction, suffixes=("", "__r")
         )
         keep = left_names + [f"{prefix}{c}" for c in right_cols]
         return merged[keep]

@@ -305,6 +305,104 @@ ORDER BY l.event_id
 """
 
 
+def q_events_asof_next_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click attributed to the user's EARLIEST subsequent (or
+    simultaneous) view — the forward as-of direction (r9: closes the
+    operator's last honest NotImplementedError gate; 'what did the user
+    see right after clicking' is the post-hoc attribution shape).
+    Deterministic: (user_id, ts) is unique among views at every shipped
+    SF (checked), the operator's documented precondition."""
+    from netflix_data_ingestion_spark.operators.asof import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        clicks,
+        views,
+        on="ts",
+        by=("user_id",),
+        right_cols=("event_id", "value"),
+        prefix="view_",
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("view_event_id"),
+        F.col("view_value"),
+    ).orderBy("event_id")
+
+
+# DuckDB's ASOF JOIN takes the direction from the inequality: <= is
+# the forward (earliest-subsequent) search
+ORACLE_ASOF_FWD = """
+SELECT l.event_id, l.user_id, l.ts,
+       r.event_id AS view_event_id, r.value AS view_value
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND l.ts <= r.ts
+ORDER BY l.event_id
+"""
+
+
+def q_events_asof_nearest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click attributed to the user's CLOSEST view in absolute
+    time, backward winning exact-distance ties (pandas merge_asof
+    parity, property-proven in tests/test_asof.py) — the nearest as-of
+    direction.  The oracle brute-forces every (click, view) pair per
+    user and ranks; the operator computes both directional matches in
+    one shuffle and picks by distance."""
+    from netflix_data_ingestion_spark.operators.asof import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        clicks,
+        views,
+        on="ts",
+        by=("user_id",),
+        right_cols=("event_id", "value"),
+        prefix="view_",
+        direction="nearest",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("view_event_id"),
+        F.col("view_value"),
+    ).orderBy("event_id")
+
+
+ORACLE_ASOF_NEAREST = """
+WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+v AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view'),
+ranked AS (
+  SELECT c.event_id, v.event_id AS view_event_id, v.value AS view_value,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.event_id
+           ORDER BY abs(epoch(c.ts) - epoch(v.ts)),
+                    CASE WHEN v.ts <= c.ts THEN 0 ELSE 1 END
+         ) AS rn
+  FROM c JOIN v ON v.user_id = c.user_id
+)
+SELECT c.event_id, c.user_id, c.ts, r.view_event_id, r.view_value
+FROM c LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r USING (event_id)
+ORDER BY c.event_id
+"""
+
+
 def q_error_context_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per error event: how many other same-user events occurred in the
     5 minutes leading up to it (bucketed range join, not nested-loop)."""
@@ -917,5 +1015,12 @@ REGISTRY_WINDOW = {
     "approx_distinct_users_daily": (
         q_approx_distinct_users_daily,
         ORACLE_APPROX_DISTINCT_DAILY,
+    ),
+    # round-9 tail additions (frozen r9 window unchanged; queue for the
+    # r10 rotation): the forward and nearest as-of directions
+    "events_asof_next_view": (q_events_asof_next_view, ORACLE_ASOF_FWD),
+    "events_asof_nearest_view": (
+        q_events_asof_nearest_view,
+        ORACLE_ASOF_NEAREST,
     ),
 }

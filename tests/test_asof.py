@@ -71,9 +71,77 @@ def test_asof_join_cogrouped_matches_union(spark):
     assert a.columns == b.columns
 
 
-def test_asof_forward_unimplemented(spark):
+def test_asof_forward_semantics(spark):
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right, on="ts", by=("user_id",),
+        right_cols=("event_id", "value"), prefix="m_",
+        direction="forward",
+    ).collect()
+    got = {r["event_id"]: (r["m_event_id"], r["m_value"]) for r in out}
+    assert got == {
+        1: (101, 2.5),     # next right after 00:05 is r101 at 00:10
+        2: (101, 2.5),     # exactly at r101 -> inclusive
+        3: (100, 1.5),     # before any right -> earliest subsequent
+        4: (None, None),   # key with no right rows
+    }
+
+
+def test_asof_nearest_semantics(spark):
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right, on="ts", by=("user_id",),
+        right_cols=("event_id", "value"), prefix="m_",
+        direction="nearest",
+    ).collect()
+    got = {r["event_id"]: r["m_event_id"] for r in out}
+    # event 1 at 00:05: r100 is 4 min back, r101 is 5 min ahead -> r100
+    assert got == {1: 100, 2: 101, 3: 100, 4: None}
+
+
+def test_asof_unknown_direction_rejected(spark):
     import pytest
 
     left, right = _frames(spark)
-    with pytest.raises(NotImplementedError):
-        asof_join(left, right, direction="forward")
+    with pytest.raises(ValueError):
+        asof_join(left, right, direction="sideways")
+
+
+def test_asof_all_directions_match_merge_asof(spark):
+    """Randomized cross-check: the union/window implementation must
+    equal the cogrouped pd.merge_asof twin in every direction —
+    including the exact-tie case for nearest (backward wins, pandas
+    parity)."""
+    import random
+
+    rng = random.Random(11)
+    left_rows = [
+        (i, rng.randint(1, 4), float(rng.randint(0, 200)))
+        for i in range(120)
+    ]
+    # right timestamps UNIQUE (the operator's documented determinism
+    # precondition) and even-valued: an odd left timestamp sits exactly
+    # between two rights -> the nearest exact-tie case is exercised
+    right_rows = [
+        (1000 + i, rng.randint(1, 4), float(2 * i), i * 1.0)
+        for i in range(80)
+    ]
+    left = spark.createDataFrame(
+        left_rows, "event_id long, user_id long, ts double"
+    )
+    right = spark.createDataFrame(
+        right_rows, "event_id long, user_id long, ts double, value double"
+    )
+    for direction in ("backward", "forward", "nearest"):
+        a = asof_join(
+            left, right, on="ts", by=("user_id",),
+            right_cols=("value",), prefix="m_", direction=direction,
+        )
+        b = asof_join_cogrouped(
+            left, right, on="ts", by=("user_id",),
+            right_cols=("value",), prefix="m_", direction=direction,
+        )
+        key = lambda r: tuple(str(x) for x in r)
+        assert sorted(map(key, a.collect())) == sorted(
+            map(key, b.collect())
+        ), direction
