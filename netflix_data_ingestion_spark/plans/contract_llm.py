@@ -21,6 +21,7 @@ from netflix_data_ingestion_spark.operators import (
     similarity,
     textstats,
 )
+from netflix_data_ingestion_spark.operators.util import ensure_parallelism
 from netflix_data_ingestion_spark.operators.multimodal import (
     attach_binary_payload,
     media_metadata,
@@ -1929,7 +1930,14 @@ def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(bytes(encode_wav(samples, 1, rate, bits)))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    media = docs.mapInPandas(synth, "media_id long, payload binary")
+    # sf0.1 documents is ONE parquet split; without this the whole
+    # synth+decode chain serializes on a single task (measured: the
+    # gif row ran 1-task 9-12s isolated).  One cheap narrow-input
+    # shuffle before the Arrow stages; a no-op at real scale where
+    # the scan has thousands of splits (ensure_parallelism contract).
+    media = ensure_parallelism(docs).mapInPandas(
+        synth, "media_id long, payload binary"
+    )
     return decode_audio_features(media).orderBy("media_id")
 
 
@@ -2010,7 +2018,14 @@ def q_multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    media = docs.mapInPandas(synth, "media_id long, payload binary")
+    # sf0.1 documents is ONE parquet split; without this the whole
+    # synth+decode chain serializes on a single task (measured: the
+    # gif row ran 1-task 9-12s isolated).  One cheap narrow-input
+    # shuffle before the Arrow stages; a no-op at real scale where
+    # the scan has thousands of splits (ensure_parallelism contract).
+    media = ensure_parallelism(docs).mapInPandas(
+        synth, "media_id long, payload binary"
+    )
     return decode_audio_features(resample_audio(media, 8000)).orderBy(
         "media_id"
     )
@@ -2107,7 +2122,14 @@ def q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(bytes(encode_gif(frames, gray, delays)))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    media = docs.mapInPandas(synth, "media_id long, payload binary")
+    # sf0.1 documents is ONE parquet split; without this the whole
+    # synth+decode chain serializes on a single task (measured: the
+    # gif row ran 1-task 9-12s isolated).  One cheap narrow-input
+    # shuffle before the Arrow stages; a no-op at real scale where
+    # the scan has thousands of splits (ensure_parallelism contract).
+    media = ensure_parallelism(docs).mapInPandas(
+        synth, "media_id long, payload binary"
+    )
     return (
         gif_frame_stats(media)
         .select(
@@ -2208,7 +2230,14 @@ def q_multimodal_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(bytes(encode_avi(frames)))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    media = docs.mapInPandas(synth, "media_id long, payload binary")
+    # sf0.1 documents is ONE parquet split; without this the whole
+    # synth+decode chain serializes on a single task (measured: the
+    # gif row ran 1-task 9-12s isolated).  One cheap narrow-input
+    # shuffle before the Arrow stages; a no-op at real scale where
+    # the scan has thousands of splits (ensure_parallelism contract).
+    media = ensure_parallelism(docs).mapInPandas(
+        synth, "media_id long, payload binary"
+    )
     return (
         avi_frame_stats(media)
         .select(
@@ -2310,7 +2339,14 @@ def q_multimodal_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(bytes(encode_mp4(frames)))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    media = docs.mapInPandas(synth, "media_id long, payload binary")
+    # sf0.1 documents is ONE parquet split; without this the whole
+    # synth+decode chain serializes on a single task (measured: the
+    # gif row ran 1-task 9-12s isolated).  One cheap narrow-input
+    # shuffle before the Arrow stages; a no-op at real scale where
+    # the scan has thousands of splits (ensure_parallelism contract).
+    media = ensure_parallelism(docs).mapInPandas(
+        synth, "media_id long, payload binary"
+    )
     return (
         mp4_frame_stats(media)
         .select(
