@@ -1026,3 +1026,69 @@ REGISTRY = {
         if name not in _APPLIED_ROTATION
     },
 }
+
+# ---------------------------------------------------------------------------
+# ROUND-10 ROTATION DRAFT (apply at the START of round 10: rebind
+# _APPLIED_ROTATION to this list and re-run the head reorder).  The three
+# round-9 tail additions first (registered at the tail this round so the
+# frozen r9 window stayed byte-identical to the r8-drafted plan; all
+# three oracle-checked at sf0.01 AND sf0.1 locally), then the oldest
+# remaining driver rows (latest sampling r6, then r7) in registry order,
+# computed from CORRECTNESS_r01..r08 + the applied r9 window — after
+# this window every registry query's latest driver row is r8, r9 or r10.
+# ---------------------------------------------------------------------------
+_VERIFY_ROUND10: list[str] = [
+    # round-9 additions, never driver-sampled
+    "multimodal_mp4_frames",
+    "events_asof_next_view",
+    "events_asof_nearest_view",
+    # oldest remaining driver rows (latest sampling r6), registry order
+    "customer_supplier_communities",
+    "events_seasonal_anomaly",
+    "user_forget_audit",
+    "part_name_entities",
+    "dedup_incremental",
+    "doc_dup_spans",
+    "doc_span_cut",
+    "events_burst_collapse",
+    "orders_priority_encoding",
+    "nation_revenue_share",
+    "lineitem_table_digest",
+    "part_item_neighbors",
+    "events_ab_report",
+    "multimodal_phash_pairs",
+    "customer_supplier_hops",
+    "order_lifecycle",
+    "cohort_ltv",
+    "orders_price_standardized",
+    "lineitem_salt_advice",
+    "kmeans_inertia",
+    "order_class_report",
+    "events_twap_daily",
+    "session_entry_conversion",
+    "events_cooldown_throttle",
+    "pricing_summary",
+    "top_parts_by_count",
+    "top_discounted_parts_having",
+    "orders_trend_by_year",
+    "daily_event_summary",
+    "most_active_customers",
+    "customer_order_aggregates",
+    "orphan_lineitems",
+    "distinct_event_users",
+    "calendar_dim",
+    "forward_fill_events",
+    "join_drop_accounting",
+    "table_counts",
+    "event_props_json",
+    "top_tokens",
+    "train_test_split",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    # next-oldest (latest sampling r7), registry order
+    "dedup_simhash",
+    "ann_lsh_topk",
+    "corpus_bpe_merges",
+    "doc_bpe_segmented",
+    "embedding_top_pc",
+]

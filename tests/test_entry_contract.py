@@ -41,6 +41,7 @@ def test_rotation_lists_reference_real_queries():
         _VERIFY_ROUND7,
         _VERIFY_ROUND8,
         _VERIFY_ROUND9,
+        _VERIFY_ROUND10,
     )
 
     historical = {
@@ -52,6 +53,7 @@ def test_rotation_lists_reference_real_queries():
         "_VERIFY_ROUND7": _VERIFY_ROUND7,
         "_VERIFY_ROUND8": _VERIFY_ROUND8,
         "_VERIFY_ROUND9": _VERIFY_ROUND9,
+        "_VERIFY_ROUND10": _VERIFY_ROUND10,
     }
     for label, names in historical.items():
         assert set(names) <= set(REGISTRY), label
