@@ -40,6 +40,24 @@ def test_column_pruning_reaches_scan(spark):
     assert "l_comment" not in read_schema and "l_extendedprice" not in read_schema
 
 
+def test_ratings_parse_plan_is_shuffle_free(spark, tmp_path):
+    """The stateful block parse (r9: deterministic-source Arrow LOCF)
+    must contain NO exchange of the raw lines: the old
+    Window.partitionBy(spark_partition_id()) form shuffled + sorted the
+    ENTIRE input (the dominant stg cost at 200M rows).  The plan is one
+    narrow MapInPandas over the scan, and the carry-ins ride in the
+    closure — no join, no sort, no Exchange of any kind."""
+    from netflix_data_ingestion_spark.sources.ratings import read_and_parse
+
+    p = tmp_path / "r.txt"
+    p.write_text("1:\n7,5,2004-01-01\n8,4,2004-01-02\n2:\n9,1,2004-02-02\n")
+    plan = _plan(read_and_parse(spark, [str(p)]))
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+    assert "Sort" not in plan
+    assert "Window" not in plan
+
+
 def test_small_dim_join_broadcasts(spark):
     li = read_table(spark, SF_DIR, "lineitem")
     part = read_table(spark, SF_DIR, "part")
