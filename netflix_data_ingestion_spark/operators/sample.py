@@ -342,3 +342,91 @@ def balanced_oversample(
             ).alias("copy_idx"),
         )
     )
+
+
+def source_mixture_plan(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    budget_tokens: int | None = None,
+    max_epochs: int = 10,
+) -> DataFrame:
+    """(source, n_docs, tokens, weight_ppm, n_epochs) — the
+    temperature-scaled data-mixture table an LLM training run samples
+    from: each source's draw weight is sqrt(tokens) normalized across
+    sources (alpha = 0.5, the standard upsampling temperature — small
+    high-quality sources get proportionally MORE epochs, huge crawls
+    fewer), and n_epochs is how many passes over source *s* a
+    ``budget_tokens`` total budget implies at that weight.
+
+    Bit-exact across engines by the lm.py discipline: token counts are
+    exact integers; sqrt is IEEE-correctly-rounded (so identical in any
+    engine — this is why the alpha=0.5 temperature is computed via
+    sqrt, not pow); the weight is frozen to integer micro-units
+    immediately; everything after is DECIMAL(38,0) integer arithmetic
+    (overflow-safe at 100 TB token counts where weight*budget exceeds
+    int64).  ``n_epochs`` = ceil(weight_share * budget / tokens),
+    capped at ``max_epochs`` (unbounded upsampling of a tiny source is
+    never what you want).
+
+    One combinable groupBy on source (few groups) then driver-free
+    window-free arithmetic over the model-sized per-source frame; the
+    1-row totals crossJoin is the sanctioned bm25/tfidf corpus-stats
+    shape.  Default budget: one full pass (total tokens).
+    """
+    from netflix_data_ingestion_spark.operators.dedup import tokens
+
+    per_source = (
+        ensure_parallelism(docs)
+        .select(
+            F.col(source_col).alias("source"),
+            F.size(tokens(F.col(text_col))).cast("long").alias("__n_tok"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("__n_tok").cast("long").alias("tokens"),
+        )
+        .withColumn(
+            "__w_micro",
+            F.round(F.sqrt(F.col("tokens").cast("double")) * 1e6, 0)
+            .cast("decimal(38,0)"),
+        )
+    )
+    totals = per_source.agg(
+        F.sum("__w_micro").cast("decimal(38,0)").alias("__w_total"),
+        F.sum("tokens").cast("decimal(38,0)").alias("__tok_total"),
+    )
+    budget_expr = (
+        F.lit(budget_tokens).cast("decimal(38,0)")
+        if budget_tokens is not None
+        else F.col("__tok_total")
+    )
+    joined = per_source.crossJoin(F.broadcast(totals)).withColumn(
+        "__budget", budget_expr
+    )
+    # `div` is INTEGRAL division (truncation == floor for these
+    # non-negative operands) in both Spark and DuckDB's `//` — a
+    # cast-to-decimal(38,0) would ROUND instead and drift at boundaries
+    return (
+        joined.select(
+            "source",
+            "n_docs",
+            "tokens",
+            F.expr(
+                "(__w_micro * CAST(1000000 AS DECIMAL(38,0)))"
+                " div __w_total"
+            ).cast("long").alias("weight_ppm"),
+            F.when(F.col("tokens") > 0, F.least(
+                F.lit(max_epochs).cast("long"),
+                # ceil(w*budget / (w_total*tokens)) as (a + b - 1) div b
+                F.expr(
+                    "(__w_micro * __budget"
+                    " + __w_total * CAST(tokens AS DECIMAL(38,0))"
+                    " - CAST(1 AS DECIMAL(38,0)))"
+                    " div (__w_total * CAST(tokens AS DECIMAL(38,0)))"
+                ).cast("long"),
+            )).otherwise(F.lit(0).cast("long")).alias("n_epochs"),
+        )
+        .orderBy("source")
+    )

@@ -2394,6 +2394,55 @@ ORDER BY media_id, frame_idx
 """
 
 
+def q_doc_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/sample.source_mixture_plan: the temperature-scaled
+    (alpha=0.5 via IEEE sqrt — bit-exact in any engine) data-mixture
+    table an LLM training run samples from — per source: exact token
+    count, normalized draw weight in ppm, and the epochs-per-source a
+    one-pass token budget implies, all frozen to integer units and
+    computed with DECIMAL(38,0) integral division (overflow-safe at
+    100 TB token counts).  Small high-quality sources upsample, huge
+    crawls downsample — the standard mixture shape."""
+    from netflix_data_ingestion_spark.operators.sample import (
+        source_mixture_plan,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_mixture_plan(docs, max_epochs=10)
+
+
+ORACLE_SOURCE_MIXTURE = f"""
+WITH {_DUCK_TOKS},
+per AS (
+  SELECT d.source,
+         COUNT(*)::BIGINT AS n_docs,
+         SUM(len(t.tk))::BIGINT AS tokens
+  FROM documents d JOIN toks t USING (doc_id)
+  GROUP BY 1
+),
+w AS (
+  SELECT *,
+         CAST(round(sqrt(tokens::DOUBLE) * 1e6) AS HUGEINT) AS w_micro
+  FROM per
+),
+tot AS (
+  SELECT SUM(w_micro)::HUGEINT AS w_total,
+         SUM(tokens)::HUGEINT AS budget
+  FROM w
+)
+SELECT source, n_docs, tokens,
+       ((w_micro * 1000000::HUGEINT) // w_total)::BIGINT AS weight_ppm,
+       CASE WHEN tokens > 0 THEN
+         least(10::BIGINT,
+               ((w_micro * budget + w_total * tokens::HUGEINT
+                 - 1::HUGEINT)
+                // (w_total * tokens::HUGEINT))::BIGINT)
+       ELSE 0::BIGINT END AS n_epochs
+FROM w CROSS JOIN tot
+ORDER BY source
+"""
+
+
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from netflix_data_ingestion_spark.operators.multimodal import (
         frame_sample_stub,
@@ -5431,8 +5480,10 @@ REGISTRY_LLM = {
         ORACLE_AUDIO_RESAMPLE,
     ),
     "multimodal_avi_frames": (q_multimodal_avi_frames, ORACLE_AVI_FRAMES),
-    # round-9 tail addition (frozen r9 window unchanged; queue for the
+    # round-9 tail additions (frozen r9 window unchanged; queue for the
     # r10 rotation): the ISO BMFF container walk completing the video
-    # container family the AVI walk started
+    # container family the AVI walk started, and the temperature-scaled
+    # source-mixture table
     "multimodal_mp4_frames": (q_multimodal_mp4_frames, ORACLE_MP4_FRAMES),
+    "doc_source_mixture": (q_doc_source_mixture, ORACLE_SOURCE_MIXTURE),
 }

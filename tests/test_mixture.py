@@ -1,0 +1,74 @@
+"""source_mixture_plan: the temperature-scaled data-mixture table."""
+
+from __future__ import annotations
+
+import math
+
+from netflix_data_ingestion_spark.operators.sample import source_mixture_plan
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_mixture_weights_and_epochs_exact(spark):
+    # source a: 4 docs x 4 tokens = 16 tokens; b: 1 doc x 4 = 4 tokens
+    rows = [(i, "a", "w x y z") for i in range(4)] + [(99, "b", "p q r s")]
+    out = {
+        r["source"]: r
+        for r in source_mixture_plan(_docs(spark, rows)).collect()
+    }
+    assert out["a"]["tokens"] == 16 and out["b"]["tokens"] == 4
+    # sqrt temperature: w(a)=4e6, w(b)=2e6 -> shares 2/3 and 1/3
+    assert out["a"]["weight_ppm"] == 666_666
+    assert out["b"]["weight_ppm"] == 333_333
+    # budget = 20 tokens total.
+    # a: ceil((2/3)*20/16) = ceil(0.833) = 1 epoch
+    # b: ceil((1/3)*20/4)  = ceil(1.667) = 2 epochs -> small source upsamples
+    assert out["a"]["n_epochs"] == 1
+    assert out["b"]["n_epochs"] == 2
+
+
+def test_mixture_small_source_upsamples_more_at_lower_share(spark):
+    rows = [(i, "big", "a b c d e f g h") for i in range(64)] + [
+        (900, "tiny", "a b")
+    ]
+    out = {
+        r["source"]: r
+        for r in source_mixture_plan(_docs(spark, rows)).collect()
+    }
+    big, tiny = out["big"], out["tiny"]
+    assert big["tokens"] == 512 and tiny["tokens"] == 2
+    # sqrt flattening: tiny's weight share far exceeds its token share
+    assert tiny["weight_ppm"] / 1e6 > tiny["tokens"] / (512 + 2)
+    assert tiny["n_epochs"] > big["n_epochs"]
+    # epochs match the closed form
+    w_big = round(math.sqrt(512) * 1e6)
+    w_tiny = round(math.sqrt(2) * 1e6)
+    tot, budget = w_big + w_tiny, 514
+    assert big["n_epochs"] == math.ceil(w_big * budget / (tot * 512))
+    assert tiny["n_epochs"] == min(10, math.ceil(w_tiny * budget / (tot * 2)))
+
+
+def test_mixture_epoch_cap_and_zero_tokens(spark):
+    rows = [(1, "huge", " ".join(["t"] * 1000)), (2, "dot", "x"), (3, "empty", "")]
+    out = {
+        r["source"]: r
+        for r in source_mixture_plan(
+            _docs(spark, rows), max_epochs=5
+        ).collect()
+    }
+    assert out["dot"]["n_epochs"] == 5  # capped (raw ceil would exceed)
+    assert out["empty"]["tokens"] == 0 and out["empty"]["n_epochs"] == 0
+
+
+def test_mixture_explicit_budget(spark):
+    rows = [(1, "a", "x y z w"), (2, "b", "x y z w")]
+    out = {
+        r["source"]: r["n_epochs"]
+        for r in source_mixture_plan(
+            _docs(spark, rows), budget_tokens=80
+        ).collect()
+    }
+    # equal sources split an 80-token budget: 40 each over 4 tokens -> 10
+    assert out == {"a": 10, "b": 10}
