@@ -430,3 +430,44 @@ def source_mixture_plan(
         )
         .orderBy("source")
     )
+
+
+def apply_mixture(
+    docs: DataFrame,
+    plan: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """(id, source, epoch) — realize a ``source_mixture_plan``: each
+    document of source *s* appears once per epoch 1..n_epochs(s), the
+    replicated corpus a mixture-weighted training run actually reads.
+
+    The plan frame is source-cardinality (model-sized) — broadcast
+    join, then ``explode(sequence(...))`` fans rows out WITHIN each
+    task: no shuffle of the corpus, output is a deterministic function
+    of (doc, plan).  Sources with n_epochs = 0 drop out entirely
+    (sequence(1, 0) is empty), which is the correct reading of a
+    zero-weight source.
+    """
+    n = F.col("__n_epochs")
+    return (
+        docs.select(id_col, source_col)
+        .join(
+            F.broadcast(
+                plan.select(
+                    source_col, F.col("n_epochs").alias("__n_epochs")
+                )
+            ),
+            source_col,
+            "inner",
+        )
+        .select(
+            id_col,
+            source_col,
+            F.explode(
+                F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(
+                    F.array().cast("array<bigint>")
+                )
+            ).alias("epoch"),
+        )
+    )

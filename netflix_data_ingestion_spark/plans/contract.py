@@ -1043,6 +1043,7 @@ _VERIFY_ROUND10: list[str] = [
     "events_asof_next_view",
     "events_asof_nearest_view",
     "doc_source_mixture",
+    "doc_mixture_realized",
     # oldest remaining driver rows (latest sampling r6), registry order
     "customer_supplier_communities",
     "events_seasonal_anomaly",
@@ -1090,5 +1091,4 @@ _VERIFY_ROUND10: list[str] = [
     "dedup_simhash",
     "ann_lsh_topk",
     "corpus_bpe_merges",
-    "doc_bpe_segmented",
 ]

@@ -2443,6 +2443,33 @@ ORDER BY source
 """
 
 
+def q_doc_mixture_realized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/sample.apply_mixture: realize the source-mixture plan
+    — each doc appears once per epoch 1..n_epochs(source), the
+    replicated corpus a mixture-weighted run actually reads.  The plan
+    side is source-cardinality (broadcast); the fan-out is an in-task
+    explode — no shuffle of the corpus."""
+    from netflix_data_ingestion_spark.operators.sample import (
+        apply_mixture,
+        source_mixture_plan,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    plan = source_mixture_plan(docs, max_epochs=10)
+    return apply_mixture(docs, plan).orderBy("doc_id", "epoch")
+
+
+ORACLE_MIXTURE_REALIZED = f"""
+WITH plan AS ({ORACLE_SOURCE_MIXTURE.replace("ORDER BY source", "")})
+SELECT d.doc_id, d.source, e.epoch::BIGINT AS epoch
+FROM documents d
+JOIN plan p USING (source),
+     unnest(generate_series(1, p.n_epochs)) AS e(epoch)
+WHERE p.n_epochs > 0
+ORDER BY d.doc_id, epoch
+"""
+
+
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from netflix_data_ingestion_spark.operators.multimodal import (
         frame_sample_stub,
@@ -5486,4 +5513,5 @@ REGISTRY_LLM = {
     # source-mixture table
     "multimodal_mp4_frames": (q_multimodal_mp4_frames, ORACLE_MP4_FRAMES),
     "doc_source_mixture": (q_doc_source_mixture, ORACLE_SOURCE_MIXTURE),
+    "doc_mixture_realized": (q_doc_mixture_realized, ORACLE_MIXTURE_REALIZED),
 }

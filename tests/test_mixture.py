@@ -62,6 +62,33 @@ def test_mixture_epoch_cap_and_zero_tokens(spark):
     assert out["empty"]["tokens"] == 0 and out["empty"]["n_epochs"] == 0
 
 
+def test_apply_mixture_replicates_per_epoch(spark):
+    from netflix_data_ingestion_spark.operators.sample import apply_mixture
+
+    rows = [(i, "a", "x y z w") for i in range(4)] + [(99, "b", "p q")]
+    docs = _docs(spark, rows)
+    plan = source_mixture_plan(docs)
+    out = apply_mixture(docs, plan).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    n_epochs = {
+        r["source"]: r["n_epochs"] for r in plan.collect()
+    }
+    for i in range(4):
+        assert sorted(by_doc[i]) == list(range(1, n_epochs["a"] + 1))
+    assert sorted(by_doc[99]) == list(range(1, n_epochs["b"] + 1))
+
+
+def test_apply_mixture_zero_epoch_source_drops(spark):
+    from netflix_data_ingestion_spark.operators.sample import apply_mixture
+
+    docs = _docs(spark, [(1, "a", "x y"), (2, "z", "")])
+    plan = source_mixture_plan(docs)
+    out = apply_mixture(docs, plan)
+    assert [r["doc_id"] for r in out.collect() if r["source"] == "z"] == []
+
+
 def test_mixture_explicit_budget(spark):
     rows = [(1, "a", "x y z w"), (2, "b", "x y z w")]
     out = {
