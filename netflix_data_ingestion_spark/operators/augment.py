@@ -114,3 +114,71 @@ def token_mask(
             F.filter(F.col(out_col), lambda t: t == F.lit(mask_token))
         ).cast("long"),
     )
+
+
+def fim_transform(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rate_den: int = 2,
+    salt: str = "fim-v1",
+    pre_tok: str = "<PRE>",
+    suf_tok: str = "<SUF>",
+    mid_tok: str = "<MID>",
+) -> DataFrame:
+    """(id, is_fim, out_text) — the fill-in-the-middle transform
+    (Bavarian et al. 2022, "Efficient Training of Language Models to
+    Fill in the Middle"): a deterministic 1/``rate_den`` fraction of
+    documents is rearranged PSM-style — ``<PRE>prefix<SUF>suffix<MID>
+    middle`` — so an autoregressive model learns infilling from plain
+    left-to-right loss; the rest pass through unchanged (the standard
+    ~50% FIM rate at rate_den=2).
+
+    Everything is the md5 coin discipline (char_dropout's portability
+    contract): the gate is hash(salt|gate|id) % rate_den == 0 and the
+    two cut points are independent hashes mod len+1 (so empty
+    prefix/middle/suffix are all reachable, including cuts at the very
+    end), making the output a pure function of (id, text) — identical
+    on any engine, partitioning, or retry.  Docs shorter than 2 chars
+    (or NULL) never transform.  Pure narrow projection: substrings +
+    concat, whole-stage codegen, no shuffle."""
+    text = F.col(text_col)
+    n = F.length(text)
+
+    def coin(tag: str, mod: Column) -> Column:
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.lit(f"{salt}|{tag}"),
+                        F.col(id_col).cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return F.pmod(h, mod)
+
+    gate = coin("gate", F.lit(int(rate_den))) == 0
+    # cut points in 1..n+1: substring positions, both ends inclusive
+    a = (coin("a", (n + 1).cast("long")) + 1).cast("int")
+    b = (coin("b", (n + 1).cast("long")) + 1).cast("int")
+    lo, hi = F.least(a, b), F.greatest(a, b)
+    fim = F.concat(
+        F.lit(pre_tok),
+        F.substring(text, F.lit(1), lo - 1),
+        F.lit(suf_tok),
+        F.substring(text, hi, n - hi + 1),
+        F.lit(mid_tok),
+        F.substring(text, lo, hi - lo),
+    )
+    is_fim = text.isNotNull() & (n >= 2) & gate
+    return ensure_parallelism(df).select(
+        F.col(id_col),
+        is_fim.alias("is_fim"),
+        F.when(is_fim, fim).otherwise(text).alias("out_text"),
+    )

@@ -2470,6 +2470,46 @@ ORDER BY d.doc_id, epoch
 """
 
 
+def q_doc_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/augment.fim_transform: deterministic fill-in-the-middle
+    (PSM) rearrangement of a hash-gated ~50% of documents —
+    <PRE>prefix<SUF>suffix<MID>middle — the infilling training
+    transform, as a pure narrow codegen projection whose output the
+    oracle reproduces byte-for-byte from the same md5 coins."""
+    from netflix_data_ingestion_spark.operators.augment import fim_transform
+
+    docs = _t(spark, sf_dir, "documents")
+    return fim_transform(docs).orderBy("doc_id")
+
+
+ORACLE_FIM = """
+WITH c AS (
+  SELECT doc_id, text, length(text) AS n,
+         ('0x' || substr(md5('fim-v1|gate|' || doc_id::VARCHAR), 1, 8))::BIGINT
+           % 2 AS g,
+         ('0x' || substr(md5('fim-v1|a|' || doc_id::VARCHAR), 1, 8))::BIGINT
+           % (length(text) + 1) + 1 AS a,
+         ('0x' || substr(md5('fim-v1|b|' || doc_id::VARCHAR), 1, 8))::BIGINT
+           % (length(text) + 1) + 1 AS b
+  FROM documents
+),
+cut AS (
+  SELECT doc_id, text, n, g,
+         least(a, b) AS lo, greatest(a, b) AS hi
+  FROM c
+)
+SELECT doc_id,
+       (text IS NOT NULL AND n >= 2 AND g = 0) AS is_fim,
+       CASE WHEN text IS NOT NULL AND n >= 2 AND g = 0
+            THEN '<PRE>' || substr(text, 1, lo - 1)
+              || '<SUF>' || substr(text, hi, n - hi + 1)
+              || '<MID>' || substr(text, lo, hi - lo)
+            ELSE text END AS out_text
+FROM cut
+ORDER BY doc_id
+"""
+
+
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from netflix_data_ingestion_spark.operators.multimodal import (
         frame_sample_stub,
@@ -5514,4 +5554,5 @@ REGISTRY_LLM = {
     "multimodal_mp4_frames": (q_multimodal_mp4_frames, ORACLE_MP4_FRAMES),
     "doc_source_mixture": (q_doc_source_mixture, ORACLE_SOURCE_MIXTURE),
     "doc_mixture_realized": (q_doc_mixture_realized, ORACLE_MIXTURE_REALIZED),
+    "doc_fim_transform": (q_doc_fim_transform, ORACLE_FIM),
 }

@@ -70,3 +70,44 @@ def test_token_mask_counts_and_determinism(spark):
     )
     again = {r["doc_id"]: r for r in token_mask(df.repartition(5)).collect()}
     assert again[7]["masked_tokens"] == toks
+
+
+def test_fim_reconstructs_and_gates(spark):
+    """FIM property: stripping the sentinels and reassembling
+    prefix+middle+suffix must recover the original text exactly, for
+    every transformed doc; untransformed docs pass through verbatim;
+    the gate hits ~1/2 of docs; short/NULL docs never transform."""
+    from netflix_data_ingestion_spark.operators.augment import fim_transform
+
+    rows = [(i, f"doc {i} body text with some length {i * 7}") for i in range(200)]
+    rows += [(900, "a"), (901, ""), (902, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in fim_transform(df).collect()}
+    originals = dict(rows)
+    n_fim = 0
+    for doc_id, r in out.items():
+        if r["is_fim"]:
+            n_fim += 1
+            t = r["out_text"]
+            assert t.startswith("<PRE>")
+            pre, rest = t[5:].split("<SUF>", 1)
+            suf, mid = rest.split("<MID>", 1)
+            assert pre + mid + suf == originals[doc_id]
+        else:
+            assert r["out_text"] == originals[doc_id]
+    assert not out[900]["is_fim"] and not out[901]["is_fim"]
+    assert not out[902]["is_fim"] and out[902]["out_text"] is None
+    assert 60 <= n_fim <= 140  # ~100 of 200 eligible at rate 1/2
+
+
+def test_fim_is_deterministic_across_partitioning(spark):
+    from netflix_data_ingestion_spark.operators.augment import fim_transform
+
+    rows = [(i, f"text body number {i}") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r["doc_id"]: r["out_text"] for r in fim_transform(df).collect()}
+    b = {
+        r["doc_id"]: r["out_text"]
+        for r in fim_transform(df.repartition(7)).collect()
+    }
+    assert a == b
