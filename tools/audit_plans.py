@@ -121,6 +121,15 @@ SANCTIONED: dict[str, str] = {
     "dedup_semantic": "Arrow verify stage shared with cosine_scale",
     "doc_inverted_index": "1-row corpus-total broadcast (max_df cut)",
     "doc_tfidf_top_terms": "1-row n_docs broadcast, doc'd",
+    "doc_source_mixture": (
+        "1-row corpus-totals broadcast crossJoin onto the "
+        "source-cardinality frame (bm25/tfidf corpus-stats shape)"
+    ),
+    "doc_mixture_realized": (
+        "inherits doc_source_mixture's 1-row totals crossJoin inside "
+        "the broadcast plan side; the corpus side is one narrow "
+        "explode, no shuffle"
+    ),
     "embedding_cosine_topk": "bNLJ: 5 query rows x corpus, exact baseline",
     "label_hard_negatives": "bNLJ: |labels| centroid rows x corpus (broadcast model side), linear in corpus",
     "events_pit_state": "1-row validity-cap bound broadcast, doc'd",
