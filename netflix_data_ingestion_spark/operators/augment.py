@@ -182,3 +182,115 @@ def fim_transform(
         is_fim.alias("is_fim"),
         F.when(is_fim, fim).otherwise(text).alias("out_text"),
     )
+
+
+def span_corrupt(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mask_pct: int = 15,
+    salt: str = "t5-v1",
+) -> DataFrame:
+    """(id, n_spans, inputs, targets) — T5-style span corruption
+    (Raffel et al. 2020): each word token is masked by an independent
+    md5 coin at ``mask_pct``%; CONSECUTIVE masked tokens collapse into
+    one sentinel, inputs replace each span with ``<extra_id_k>`` and
+    targets spell the masked spans out as ``<extra_id_k> tok tok ...``
+    — the denoising pair a seq2seq pretraining run consumes.  With
+    fim_transform this completes the objective family: FIM for
+    autoregressive infilling, span corruption for encoder-decoder
+    denoising.
+
+    Spark-first shape: the whole span walk is ONE ``F.aggregate`` fold
+    over the token array inside whole-stage codegen — per-document
+    sequential state (previous-token-masked, span counter) without
+    exploding the token table, so there is NO shuffle and no Python
+    anywhere (the oracle twin uses ordinary window SQL instead; it
+    only has to be correct, not fast).  Coins hash (salt, id, token
+    index), so the output is a pure function of (id, text) — identical
+    on any engine, partitioning, or retry.  NULL text passes through
+    as NULL rows; token-free docs yield empty strings and 0 spans.
+    """
+    from netflix_data_ingestion_spark.operators.dedup import tokens
+
+    text = F.col(text_col)
+    toks = tokens(text)
+    indexed = F.transform(
+        toks, lambda t, i: F.struct(t.alias("t"), i.alias("i"))
+    )
+
+    def masked(i: Column) -> Column:
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.lit(salt),
+                        F.col(id_col).cast("string"),
+                        i.cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return F.pmod(h, F.lit(100)) < mask_pct
+
+    def sentinel(k: Column) -> Column:
+        return F.concat(F.lit("<extra_id_"), k.cast("string"), F.lit(">"))
+
+    init = F.struct(
+        F.lit("").alias("inp"),
+        F.lit("").alias("tgt"),
+        F.lit(False).alias("prev"),
+        F.lit(0).alias("k"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        m = masked(x["i"])
+        return (
+            F.when(
+                m & acc["prev"],
+                F.struct(
+                    acc["inp"].alias("inp"),
+                    F.concat(acc["tgt"], F.lit(" "), x["t"]).alias("tgt"),
+                    F.lit(True).alias("prev"),
+                    acc["k"].alias("k"),
+                ),
+            )
+            .when(
+                m,
+                F.struct(
+                    F.concat(
+                        acc["inp"], F.lit(" "), sentinel(acc["k"])
+                    ).alias("inp"),
+                    F.concat(
+                        acc["tgt"],
+                        F.lit(" "),
+                        sentinel(acc["k"]),
+                        F.lit(" "),
+                        x["t"],
+                    ).alias("tgt"),
+                    F.lit(True).alias("prev"),
+                    (acc["k"] + 1).alias("k"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc["inp"], F.lit(" "), x["t"]).alias("inp"),
+                    acc["tgt"].alias("tgt"),
+                    F.lit(False).alias("prev"),
+                    acc["k"].alias("k"),
+                )
+            )
+        )
+
+    folded = F.aggregate(indexed, init, step)
+    return ensure_parallelism(df).select(
+        F.col(id_col),
+        F.when(text.isNotNull(), folded["k"].cast("int")).alias("n_spans"),
+        F.when(text.isNotNull(), F.ltrim(folded["inp"])).alias("inputs"),
+        F.when(text.isNotNull(), F.ltrim(folded["tgt"])).alias("targets"),
+    )

@@ -1045,6 +1045,7 @@ _VERIFY_ROUND10: list[str] = [
     "doc_source_mixture",
     "doc_mixture_realized",
     "doc_fim_transform",
+    "doc_span_corrupt",
     # oldest remaining driver rows (latest sampling r6), registry order
     "customer_supplier_communities",
     "events_seasonal_anomaly",
@@ -1090,5 +1091,4 @@ _VERIFY_ROUND10: list[str] = [
     "dedup_minhash_lsh",
     # next-oldest (latest sampling r7), registry order
     "dedup_simhash",
-    "ann_lsh_topk",
 ]

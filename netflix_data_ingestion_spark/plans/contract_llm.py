@@ -2510,6 +2510,65 @@ ORDER BY doc_id
 """
 
 
+def q_doc_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/augment.span_corrupt: T5-style span corruption —
+    15%-coin token masking with consecutive masked tokens collapsed
+    into numbered sentinels, emitting the (inputs, targets) denoising
+    pair.  The Spark side walks each doc's spans in ONE F.aggregate
+    fold inside codegen (no explode, no shuffle, no Python); the
+    oracle replays the same coins through ordinary window SQL."""
+    from netflix_data_ingestion_spark.operators.augment import span_corrupt
+
+    docs = _t(spark, sf_dir, "documents")
+    return span_corrupt(docs).orderBy("doc_id")
+
+
+ORACLE_SPAN_CORRUPT = f"""
+WITH {_DUCK_TOKS},
+tok AS (
+  SELECT doc_id, tk[u.i + 1] AS tok, u.i::BIGINT AS i
+  FROM toks, unnest(range(0, len(tk))) AS u(i)
+),
+c AS (
+  SELECT doc_id, tok, i,
+         (('0x' || substr(md5('t5-v1|' || doc_id::VARCHAR || '|' || i::VARCHAR),
+                          1, 8))::BIGINT % 100) < 15 AS m
+  FROM tok
+),
+s AS (
+  SELECT *, m AND NOT coalesce(lag(m) OVER w, false) AS is_start
+  FROM c WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+k AS (
+  SELECT *,
+         SUM(CASE WHEN is_start THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY i) - 1 AS kk
+  FROM s
+),
+agg AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN NOT m THEN tok
+                         WHEN is_start THEN '<extra_id_' || kk || '>'
+                    END, ' ' ORDER BY i) AS inputs,
+         string_agg(CASE WHEN m AND is_start
+                           THEN '<extra_id_' || kk || '> ' || tok
+                         WHEN m THEN tok
+                    END, ' ' ORDER BY i) AS targets,
+         COALESCE(MAX(CASE WHEN is_start THEN kk + 1 ELSE 0 END), 0) AS n_spans
+  FROM k GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN d.text IS NOT NULL
+            THEN coalesce(a.n_spans, 0)::INT END AS n_spans,
+       CASE WHEN d.text IS NOT NULL
+            THEN coalesce(a.inputs, '') END AS inputs,
+       CASE WHEN d.text IS NOT NULL
+            THEN coalesce(a.targets, '') END AS targets
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from netflix_data_ingestion_spark.operators.multimodal import (
         frame_sample_stub,
@@ -5555,4 +5614,5 @@ REGISTRY_LLM = {
     "doc_source_mixture": (q_doc_source_mixture, ORACLE_SOURCE_MIXTURE),
     "doc_mixture_realized": (q_doc_mixture_realized, ORACLE_MIXTURE_REALIZED),
     "doc_fim_transform": (q_doc_fim_transform, ORACLE_FIM),
+    "doc_span_corrupt": (q_doc_span_corrupt, ORACLE_SPAN_CORRUPT),
 }

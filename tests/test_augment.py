@@ -111,3 +111,54 @@ def test_fim_is_deterministic_across_partitioning(spark):
         for r in fim_transform(df.repartition(7)).collect()
     }
     assert a == b
+
+
+def test_span_corrupt_reconstructs(spark):
+    """Denoising-pair property: substituting each target span back at
+    its sentinel position in inputs recovers the original token
+    sequence exactly; n_spans matches the sentinel count."""
+    import re
+
+    from netflix_data_ingestion_spark.operators.augment import span_corrupt
+
+    rows = [
+        (i, f"alpha beta gamma delta {i} epsilon zeta eta theta iota")
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in span_corrupt(df, mask_pct=30).collect()}
+    originals = dict(rows)
+    for doc_id, r in out.items():
+        spans = {}
+        parts = re.split(r"(<extra_id_\d+>)", r["targets"])
+        cur = None
+        for p in parts:
+            p = p.strip()
+            if not p:
+                continue
+            if p.startswith("<extra_id_"):
+                cur = p
+                spans[cur] = []
+            else:
+                spans[cur].extend(p.split())
+        assert len(spans) == r["n_spans"]
+        rebuilt = []
+        for tok in r["inputs"].split():
+            if tok.startswith("<extra_id_"):
+                rebuilt.extend(spans[tok])
+            else:
+                rebuilt.append(tok)
+        want = [t for t in originals[doc_id].lower().split() if t]
+        assert rebuilt == want, doc_id
+
+
+def test_span_corrupt_edge_docs(spark):
+    from netflix_data_ingestion_spark.operators.augment import span_corrupt
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "!!!")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in span_corrupt(df).collect()}
+    assert out[1]["n_spans"] == 0 and out[1]["inputs"] == ""
+    assert out[2]["n_spans"] is None and out[2]["inputs"] is None
+    assert out[3]["n_spans"] == 0 and out[3]["inputs"] == ""
