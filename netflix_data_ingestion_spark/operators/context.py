@@ -129,3 +129,78 @@ def tokens_to_ids(
             F.coalesce("token_id", F.lit(0)).cast("int").alias("token_id"),
         )
     )
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_width: int = 64,
+    batch_size: int = 8,
+    salt: str = "v1",
+) -> DataFrame:
+    """(id, n_tokens, bucket, pad_to, batch_id, seq_in_batch) — the
+    padding-efficient batching plan: documents group into fixed-width
+    token-length buckets, each bucket's docs shuffle deterministically
+    (md5 order — quota_sample's portable coin) and pack into
+    ``batch_size``-row batches, so every batch pads to its bucket's
+    ceiling (``pad_to``) and per-doc padding waste is bounded by
+    ``bucket_width - 1`` tokens — the standard dynamic-padding batch
+    sampler, as a reproducible plan.
+
+    Scale shape: NO per-bucket window (a hot bucket would concentrate
+    its sort in one task) — the in-bucket rank comes from
+    ``keys.prefix_sum_ranged`` over the global (bucket, hash, id)
+    order (range-partitioned distributed sort, O(#partitions) driver
+    state) minus each bucket's broadcast base offset (one tiny
+    groupBy).  NULL text counts as 0 tokens (bucket 0), matching the
+    oracle.
+    """
+    from netflix_data_ingestion_spark.operators.dedup import tokens
+    from netflix_data_ingestion_spark.operators.keys import prefix_sum_ranged
+    from netflix_data_ingestion_spark.operators.util import (
+        ensure_parallelism,
+    )
+
+    base = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.coalesce(
+            F.size(tokens(F.col(text_col))).cast("long"), F.lit(0)
+        ).alias("n_tokens"),
+    )
+    sized = (
+        base.withColumn(
+            "bucket", F.expr(f"n_tokens DIV {int(bucket_width)}").cast("int")
+        )
+        .withColumn(
+            "__h",
+            F.md5(
+                F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string"))
+            ),
+        )
+        .withColumn("__one", F.lit(1).cast("long"))
+    )
+    pos = prefix_sum_ranged(
+        sized, ["bucket", "__h", id_col], "__one", "__pos"
+    )
+    bucket_base = pos.groupBy("bucket").agg(
+        F.min("__pos").alias("__base")
+    )
+    return (
+        pos.join(F.broadcast(bucket_base), "bucket")
+        .withColumn("__rk", F.col("__pos") - F.col("__base"))
+        .select(
+            id_col,
+            "n_tokens",
+            "bucket",
+            ((F.col("bucket") + 1) * bucket_width).cast("int").alias("pad_to"),
+            # integer DIV, not floor(double /) — pack_chunks' precision
+            # discipline
+            F.expr(f"__rk DIV {int(batch_size)}").cast("int").alias(
+                "batch_id"
+            ),
+            F.pmod("__rk", F.lit(batch_size)).cast("int").alias(
+                "seq_in_batch"
+            ),
+        )
+    )

@@ -1029,13 +1029,15 @@ REGISTRY = {
 
 # ---------------------------------------------------------------------------
 # ROUND-10 ROTATION DRAFT (apply at the START of round 10: rebind
-# _APPLIED_ROTATION to this list and re-run the head reorder).  The three
-# round-9 tail additions first (registered at the tail this round so the
-# frozen r9 window stayed byte-identical to the r8-drafted plan; all
-# three oracle-checked at sf0.01 AND sf0.1 locally), then the oldest
-# remaining driver rows (latest sampling r6, then r7) in registry order,
-# computed from CORRECTNESS_r01..r08 + the applied r9 window — after
-# this window every registry query's latest driver row is r8, r9 or r10.
+# _APPLIED_ROTATION to this list and re-run the head reorder).  The
+# eight round-9 tail additions first (registered at the tail this round
+# so the frozen r9 window stayed byte-identical to the r8-drafted plan;
+# ALL EIGHT oracle-checked at sf0.01 AND sf0.1 locally at add time),
+# then the oldest remaining driver rows (latest sampling r6) in
+# registry order, computed from CORRECTNESS_r01..r08 + the applied r9
+# window — after this window every registry query's latest driver row
+# is r7, r8, r9 or r10 (the handful of remaining r7 rows rotate in
+# round 11).
 # ---------------------------------------------------------------------------
 _VERIFY_ROUND10: list[str] = [
     # round-9 additions, never driver-sampled
@@ -1046,6 +1048,7 @@ _VERIFY_ROUND10: list[str] = [
     "doc_mixture_realized",
     "doc_fim_transform",
     "doc_span_corrupt",
+    "doc_length_batches",
     # oldest remaining driver rows (latest sampling r6), registry order
     "customer_supplier_communities",
     "events_seasonal_anomaly",
@@ -1089,6 +1092,4 @@ _VERIFY_ROUND10: list[str] = [
     "train_test_split",
     "dedup_exact",
     "dedup_minhash_lsh",
-    # next-oldest (latest sampling r7), registry order
-    "dedup_simhash",
 ]

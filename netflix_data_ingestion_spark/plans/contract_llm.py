@@ -2569,6 +2569,49 @@ ORDER BY d.doc_id
 """
 
 
+def q_doc_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/context.length_bucket_batches: the padding-efficient
+    batch plan — 64-token-wide length buckets, md5-shuffled docs packed
+    into 8-row batches, per-doc padding waste bounded by the bucket
+    width.  The in-bucket rank is DISTRIBUTED (prefix_sum_ranged over
+    the global order minus broadcast bucket bases), never a per-bucket
+    window — a hot bucket cannot concentrate a sort in one task."""
+    from netflix_data_ingestion_spark.operators.context import (
+        length_bucket_batches,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return length_bucket_batches(docs).orderBy("doc_id")
+
+
+ORACLE_LENGTH_BATCHES = f"""
+WITH {_DUCK_TOKS},
+n AS (
+  SELECT d.doc_id,
+         coalesce(len(t.tk), 0)::BIGINT AS n_tokens
+  FROM documents d JOIN toks t USING (doc_id)
+),
+b AS (
+  SELECT doc_id, n_tokens,
+         (n_tokens // 64)::INT AS bucket,
+         md5('v1|' || doc_id::VARCHAR) AS h
+  FROM n
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) - 1
+           AS rk
+  FROM b
+)
+SELECT doc_id, n_tokens, bucket,
+       ((bucket + 1) * 64)::INT AS pad_to,
+       (rk // 8)::INT AS batch_id,
+       (rk % 8)::INT AS seq_in_batch
+FROM r
+ORDER BY doc_id
+"""
+
+
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from netflix_data_ingestion_spark.operators.multimodal import (
         frame_sample_stub,
@@ -5615,4 +5658,5 @@ REGISTRY_LLM = {
     "doc_mixture_realized": (q_doc_mixture_realized, ORACLE_MIXTURE_REALIZED),
     "doc_fim_transform": (q_doc_fim_transform, ORACLE_FIM),
     "doc_span_corrupt": (q_doc_span_corrupt, ORACLE_SPAN_CORRUPT),
+    "doc_length_batches": (q_doc_length_batches, ORACLE_LENGTH_BATCHES),
 }

@@ -99,3 +99,46 @@ def test_mixture_explicit_budget(spark):
     }
     # equal sources split an 80-token budget: 40 each over 4 tokens -> 10
     assert out == {"a": 10, "b": 10}
+
+
+def test_length_bucket_batches_plan(spark):
+    """Bucket membership, dense batch fill, and the padding bound;
+    NULL text lands in bucket 0; deterministic across partitioning."""
+    from collections import Counter
+
+    from netflix_data_ingestion_spark.operators.context import (
+        length_bucket_batches,
+    )
+
+    rows = [(i, " ".join(["tok"] * (i % 200))) for i in range(120)]
+    rows.append((999, None))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = length_bucket_batches(df, batch_size=4).collect()
+    assert len(out) == 121
+    for r in out:
+        assert r["bucket"] == r["n_tokens"] // 64
+        assert r["pad_to"] == (r["bucket"] + 1) * 64
+        assert 0 < r["pad_to"] - r["n_tokens"] <= 64  # padding bound
+        assert 0 <= r["seq_in_batch"] < 4
+    null_row = next(r for r in out if r["doc_id"] == 999)
+    assert null_row["n_tokens"] == 0 and null_row["bucket"] == 0
+    # batches fill densely: within a bucket, every batch except possibly
+    # the last is full, and seq numbers are exactly 0..len-1
+    per_batch = Counter((r["bucket"], r["batch_id"]) for r in out)
+    per_bucket_batches: dict[int, list] = {}
+    for (b, bid), n in per_batch.items():
+        per_bucket_batches.setdefault(b, []).append((bid, n))
+    for b, batches in per_bucket_batches.items():
+        batches.sort()
+        assert [bid for bid, _ in batches] == list(range(len(batches)))
+        assert all(n == 4 for _, n in batches[:-1]), (b, batches)
+    # deterministic under repartitioning
+    again = {
+        r["doc_id"]: (r["batch_id"], r["seq_in_batch"])
+        for r in length_bucket_batches(
+            df.repartition(7), batch_size=4
+        ).collect()
+    }
+    assert again == {
+        r["doc_id"]: (r["batch_id"], r["seq_in_batch"]) for r in out
+    }
