@@ -319,6 +319,50 @@ def ops(spark, sf_dir: str, copies: int):
         )
         return pagerank(edges, "src", "dst", iters=2).count()
 
+    def mp4_codec():
+        # the r9 ISO BMFF chain (multimodal_mp4_frames shape):
+        # synthesize an MP4 per doc ('raw '-24 samples), demux through
+        # the real stsd/stsz/stsc/stco tables + per-frame stats — two
+        # narrow Arrow stages, no shuffle; should be linear in docs
+        import numpy as np
+        import pandas as pd
+
+        from netflix_data_ingestion_spark.operators.mp4 import encode_mp4
+        from netflix_data_ingestion_spark.operators.multimodal import (
+            mp4_frame_stats,
+        )
+
+        def synth(it):
+            for pdf in it:
+                ids, payloads = [], []
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                    t = text or ""
+                    n = len(t)
+                    did = int(doc_id)
+                    frames = []
+                    for f in range(1 + did % 3):
+                        if n:
+                            cp = np.array(
+                                [
+                                    ord(t[(f * 64 + i) % n]) % 256
+                                    for i in range(64)
+                                ],
+                                dtype=np.uint8,
+                            )
+                        else:
+                            cp = np.zeros(64, dtype=np.uint8)
+                        frames.append(
+                            np.stack([cp.reshape(8, 8)] * 3, axis=2)
+                        )
+                    ids.append(doc_id)
+                    payloads.append(bytes(encode_mp4(frames)))
+                yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+        media = docs.select("doc_id", "text").mapInPandas(
+            synth, "media_id long, payload binary"
+        )
+        return mp4_frame_stats(media).count()
+
     def skew():
         # the r6 rewrite: top-k via global_rank over the per-key counts
         # frame — one keyed groupBy over the fact plus rank machinery
@@ -342,6 +386,7 @@ def ops(spark, sf_dir: str, copies: int):
         "bpe_train(documents)": (copies * 5_000, bpe),
         "bpe_segment(documents)": (copies * 5_000, bpe_seg),
         "gif_codec(documents)": (copies * 5_000, gif_codec),
+        "mp4_codec(documents)": (copies * 5_000, mp4_codec),
         "skew_report(lineitem)": (copies * 600_000, skew),
         "triangle_counts(lineitem)": (copies * 600_000, triangles),
         "kcore(lineitem)": (copies * 600_000, kcore_peel),
