@@ -1006,38 +1006,25 @@ _VERIFY_ROUND9: list[str] = [
 ]
 
 # ---------------------------------------------------------------------------
-# Round-9 rotation APPLIED: _VERIFY_ROUND9 becomes the registry head (the
+# Round-10 rotation APPLIED: _VERIFY_ROUND10 becomes the registry head (the
 # driver samples the first 50 names).  After this window every registry
-# query's most recent driver row is r7, r8 or r9.
+# query's most recent driver row is r7, r8, r9 or r10.
 #
 # _APPLIED_ROTATION is the single source of truth for "which window is the
 # current registry head" — tests assert the head against THIS name so the
 # assertion can never go stale when a future round advances the window
 # (round-7 lesson: tests/test_entry_contract.py pinned the r6 list by name
 # and went red when 422ad6f applied the r7 head).
-# ---------------------------------------------------------------------------
-_APPLIED_ROTATION: list[str] = _VERIFY_ROUND9
-
-REGISTRY = {
-    **{name: REGISTRY[name] for name in _APPLIED_ROTATION},
-    **{
-        name: spec
-        for name, spec in REGISTRY.items()
-        if name not in _APPLIED_ROTATION
-    },
-}
-
-# ---------------------------------------------------------------------------
-# ROUND-10 ROTATION DRAFT (apply at the START of round 10: rebind
-# _APPLIED_ROTATION to this list and re-run the head reorder).  The
-# eight round-9 tail additions first (registered at the tail this round
-# so the frozen r9 window stayed byte-identical to the r8-drafted plan;
-# ALL EIGHT oracle-checked at sf0.01 AND sf0.1 locally at add time),
-# then the oldest remaining driver rows (latest sampling r6) in
-# registry order, computed from CORRECTNESS_r01..r08 + the applied r9
-# window — after this window every registry query's latest driver row
-# is r7, r8, r9 or r10 (the handful of remaining r7 rows rotate in
-# round 11).
+#
+# Round-10 head window (drafted in round 8/9, applied at round-10 start).
+# The eight round-9 tail additions first (registered at the tail in r9 so
+# the frozen r9 window stayed byte-identical to the r8-drafted plan; ALL
+# EIGHT oracle-checked at sf0.01 AND sf0.1 locally at add time AND
+# independently re-verified at both SFs by the r9 judge), then the oldest
+# remaining driver rows (latest sampling r6) in registry order, computed
+# from CORRECTNESS_r01..r09 — after this window every registry query's
+# latest driver row is r7, r8, r9 or r10 (the handful of remaining r7
+# rows rotate in round 11).
 # ---------------------------------------------------------------------------
 _VERIFY_ROUND10: list[str] = [
     # round-9 additions, never driver-sampled
@@ -1093,3 +1080,14 @@ _VERIFY_ROUND10: list[str] = [
     "dedup_exact",
     "dedup_minhash_lsh",
 ]
+
+_APPLIED_ROTATION = _VERIFY_ROUND10
+
+REGISTRY = {
+    **{name: REGISTRY[name] for name in _APPLIED_ROTATION},
+    **{
+        name: spec
+        for name, spec in REGISTRY.items()
+        if name not in _APPLIED_ROTATION
+    },
+}
