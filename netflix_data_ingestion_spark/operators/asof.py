@@ -110,17 +110,29 @@ def asof_join(
             "__mb", F.last("__r", ignorenulls=True).over(w_back)
         ).withColumn("__mf", F.last("__r", ignorenulls=True).over(w_fwd))
 
+        rt_type = right.schema[on].dataType
+        # distances stay in exact integer arithmetic whenever both `on`
+        # dtypes allow it: a double mantissa holds 53 bits, so for int64
+        # keys above 2^53 (epoch-nanosecond streams) a double round-trip
+        # can flip which neighbor is closer and diverge from the exact
+        # cogrouped pd.merge_asof twin.  Only fractional `on` columns
+        # take the double path.
+        _integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        _temporal = (T.TimestampType, T.TimestampNTZType, T.DateType)
+        exact = all(
+            isinstance(dt, _integral + _temporal)
+            for dt in (left.schema[on].dataType, rt_type)
+        )
+
         def as_num(c: F.Column, dtype: T.DataType) -> F.Column:
             # timestamps (incl. TIMESTAMP_NTZ, which ANSI refuses to
             # cast to double) go through exact integer microseconds
-            if isinstance(
-                dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)
-            ):
-                return F.unix_micros(c.cast("timestamp")).cast("double")
-            return c.cast("double")
+            if isinstance(dtype, _temporal):
+                micros = F.unix_micros(c.cast("timestamp"))
+                return micros if exact else micros.cast("double")
+            return c.cast("long") if exact else c.cast("double")
 
         t_num = as_num(F.col("__t"), left.schema[on].dataType)
-        rt_type = right.schema[on].dataType
         d_back = t_num - as_num(F.col("__mb.__rt"), rt_type)
         d_fwd = as_num(F.col("__mf.__rt"), rt_type) - t_num
         filled = both.withColumn(

@@ -98,6 +98,7 @@ def forward_fill_global(
     tagged = df.withColumn(_PART, F.spark_partition_id())
 
     if deterministic_source:
+        _assert_shuffle_free(df)
         return _ffill_arrow_pass(df, tagged, order_col, value_col, out_col)
 
     # deterministic double-traversal hazard: the tiny carry aggregate
@@ -151,6 +152,29 @@ def forward_fill_global(
         .drop(_PART, _CARRY)
     )
     return out
+
+
+def _assert_shuffle_free(df: DataFrame) -> None:
+    """Guard for the ``deterministic_source=True`` contract: the fast
+    path traverses ``df`` twice (carry-in aggregate, then the Arrow LOCF
+    pass) assuming identical partition contents each time.  A shuffle
+    upstream (round-robin repartition, shuffle-fetch order) breaks that
+    silently — wrong fills, no error.  Planning the frame is cheap (no
+    execution), so check the physical plan for a shuffle Exchange and
+    fail loudly instead.  BroadcastExchange is fine: broadcasting a dim
+    side does not reorder the streaming side's partitions."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        node = line.lstrip(" +-:*()0123456789")
+        if node.startswith("Exchange"):
+            raise ValueError(
+                "forward_fill_global(deterministic_source=True) requires "
+                "a shuffle-free input (narrow lineage from a file scan); "
+                "the physical plan contains a shuffle Exchange, so the "
+                "two traversals could see different partition contents. "
+                "Pass deterministic_source=False for shuffled inputs.\n"
+                + plan
+            )
 
 
 def _ffill_arrow_pass(

@@ -1432,9 +1432,32 @@ ORACLE_ANN_PQ = _pq_oracle()
 # (sf_dir, nq, k), collected, and replayed as a local frame — the
 # recall queries stay independently runnable (any order, any subset)
 # while a full sweep pays for exactly one exhaustive scan.  Keyed by the
-# resolved sf_dir: a different SF is a different corpus, never a stale
-# hit; testdata under one path is immutable for a process lifetime.
-_BRUTE_TRUTH_CACHE: dict[tuple[str, int, int], list[tuple[int, int]]] = {}
+# resolved sf_dir PLUS a fingerprint of the embeddings parquet files
+# (names, sizes, mtimes): if testdata under the same path is regenerated
+# within one process (the old key assumed immutability by comment only),
+# the fingerprint changes and the stale truth set is never reused
+# (ADVICE r9).
+_BRUTE_TRUTH_CACHE: dict[tuple, list[tuple[int, int]]] = {}
+
+
+def _embeddings_fingerprint(sf_dir: str) -> tuple:
+    """(name, size, mtime_ns) per file under embeddings.parquet —
+    cheap (one listdir + stats), changes on any rewrite."""
+    import os
+
+    path = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    if os.path.isdir(path):
+        names = sorted(os.listdir(path))
+        root = path
+    elif os.path.exists(path):
+        names, root = [os.path.basename(path)], os.path.dirname(path)
+    else:
+        return ()
+    out = []
+    for name in names:
+        st = os.stat(os.path.join(root, name))
+        out.append((name, st.st_size, st.st_mtime_ns))
+    return tuple(out)
 
 
 def _shared_brute_truth(
@@ -1442,7 +1465,7 @@ def _shared_brute_truth(
 ) -> DataFrame:
     import os
 
-    key = (os.path.abspath(sf_dir), nq, k)
+    key = (os.path.abspath(sf_dir), _embeddings_fingerprint(sf_dir), nq, k)
     rows = _BRUTE_TRUTH_CACHE.get(key)
     if rows is None:
         emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")

@@ -99,6 +99,33 @@ def test_asof_nearest_semantics(spark):
     assert got == {1: 100, 2: 101, 3: 100, 4: None}
 
 
+def test_asof_nearest_int64_above_double_mantissa(spark):
+    """nearest on int64 keys above 2^53 must use exact integer
+    distances: at t = 2^53+3 with neighbors at 2^53+1 and 2^53+5 the
+    true distances tie (2 vs 2, backward wins), but a double round-trip
+    maps 2^53+3 and 2^53+5 to the same value (2^53+4 is the nearest
+    representable even) and 2^53+1 down to 2^53, so double arithmetic
+    sees d_back=4 > d_fwd=0 and flips the winner to forward."""
+    base = 1 << 53
+    left = spark.createDataFrame(
+        [(1, 10, base + 3)], "event_id long, user_id long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(100, 10, base + 1, 1.0), (101, 10, base + 5, 2.0)],
+        "event_id long, user_id long, ts long, value double",
+    )
+    out = asof_join(
+        left, right, on="ts", by=("user_id",),
+        right_cols=("event_id",), prefix="m_", direction="nearest",
+    ).collect()
+    assert len(out) == 1 and out[0]["m_event_id"] == 100  # backward tie-win
+    cog = asof_join_cogrouped(
+        left, right, on="ts", by=("user_id",),
+        right_cols=("event_id",), prefix="m_", direction="nearest",
+    ).collect()
+    assert cog[0]["m_event_id"] == 100
+
+
 def test_asof_unknown_direction_rejected(spark):
     import pytest
 

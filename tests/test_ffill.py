@@ -102,3 +102,35 @@ def test_deterministic_arrow_path_matches_window_path(spark, tmp_path):
     assert fast["d0"] is None and fast["d36"] is None  # leading run NULL
     assert fast["H37"] == 37 and fast["d2110"] == 37
     assert fast["d3999"] == 2111
+
+
+def test_deterministic_path_rejects_shuffled_input(spark):
+    """deterministic_source=True must fail loudly on a shuffled frame
+    (ADVICE r9): the fast path's two traversals could otherwise see
+    different partition contents and silently fill wrong."""
+    import pytest
+
+    df = (
+        spark.range(100)
+        .withColumn("v", F.when(F.col("id") % 10 == 0, F.col("id")))
+        .repartition(8)  # round-robin shuffle: nondeterministic layout
+    )
+    with pytest.raises(ValueError, match="shuffle-free"):
+        forward_fill_global(df, "id", "v", "filled", deterministic_source=True)
+
+
+def test_deterministic_path_accepts_narrow_scan(spark, tmp_path):
+    """The guard must NOT trip on the contract's intended input — a
+    narrow frame over a file scan (no shuffle Exchange in the plan)."""
+    p = tmp_path / "narrow.txt"
+    p.write_text("".join(f"{i}\n" for i in range(50)))
+    df = (
+        spark.read.text(str(p))
+        .withColumn("ord", F.monotonically_increasing_id())
+        .withColumn("v", F.col("value").try_cast("int"))
+        .withColumn("v", F.when(F.col("v") % 5 == 0, F.col("v")))
+    )
+    out = forward_fill_global(df, "ord", "v", "filled",
+                              deterministic_source=True)
+    rows = {r["value"]: r["filled"] for r in out.collect()}
+    assert rows["4"] == 0 and rows["49"] == 45

@@ -67,3 +67,26 @@ def test_no_hugeint_oracle_output_columns(con):
         "oracle output columns materialize as pandas float64 and will "
         f"fail the driver's dtype-sensitive hash — CAST to BIGINT: {offenders}"
     )
+
+
+def test_duckdb_varchar_indexing_is_codepoint_parity():
+    """Pin the string-indexing semantics the multimodal oracles depend
+    on (ADVICE r9): the MP4/AVI/GIF oracles index document text with
+    ``t[k]``/``unicode(t[k])`` while the Spark synth stages use Python
+    codepoint indexing ``ord(t[k])``.  In DuckDB 1.0.0 both
+    ``length()`` and ``t[k]`` are codepoint-based (verified here on a
+    combining sequence AND a multi-codepoint ZWJ emoji grapheme), so
+    the two sides agree on arbitrary unicode — but DuckDB has shipped
+    grapheme-cluster semantics for other string functions, so a future
+    upgrade could silently diverge the oracles on any document with
+    combining marks.  This test fails loudly instead."""
+    con = duckdb.connect()
+    for s in ("aéb", "x\U0001F468‍\U0001F469‍\U0001F467y"):
+        n = con.execute("SELECT length(?)", [s]).fetchone()[0]
+        assert n == len(s), (s, n, len(s))
+        cps = con.execute(
+            "SELECT list_transform(range(1, length(?)+1), i -> unicode(?[i]))",
+            [s, s],
+        ).fetchone()[0]
+        assert cps == [ord(c) for c in s], s
+    con.close()
