@@ -1,4 +1,4 @@
-"""Pure-stdlib baseline JPEG decode (ITU-T T.81, JFIF color model).
+"""Pure-stdlib baseline + progressive JPEG decode (ITU-T T.81, JFIF).
 
 Joins the real multimodal codec family (netpbm/BMP/PNG) behind
 ``multimodal.decode_real_features`` — no image library, just struct +
@@ -6,18 +6,26 @@ numpy: marker parse, canonical Huffman entropy decode, dequantize,
 exact separable float IDCT, chroma upsample by replication, JFIF
 YCbCr -> RGB.
 
-Scope (the baseline-sequential profile):
+Scope:
 - SOF0 (and SOF1 with 8-bit precision — extended sequential Huffman
-  decodes identically at 8 bits), Huffman coding only;
+  decodes identically at 8 bits): single interleaved scan;
+- SOF2 progressive (T.81 G.1/G.2): multi-scan coefficient
+  accumulation — DC first + DC refinement (successive approximation),
+  per-component AC spectral-selection scans with EOB-run decoding, and
+  AC refinement scans with interleaved correction bits — then ONE
+  dequantize + IDCT pass at EOI (the most common quarantined payload
+  class in a real web corpus's image column, now decoded real);
 - 8-bit samples, 1 or 3 components, sampling factors 1 or 2 per axis
-  (4:4:4 / 4:2:2 / 4:4:0 / 4:2:0), single interleaved scan;
-- restart intervals (DRI + RSTn, DC predictors reset per segment).
+  (4:4:4 / 4:2:2 / 4:4:0 / 4:2:0), Huffman coding only;
+- restart intervals (DRI + RSTn; DC predictors and EOB runs reset per
+  segment, in every scan kind).
 
 Quarantined -> None, never an error (the untrusted-payload contract):
-progressive (SOF2) and every other SOF family, arithmetic coding,
-12-bit precision, 4-component (CMYK) payloads, sampling factors > 2,
-multi-scan files, truncated/corrupt entropy data, and declared
-dimensions past the 64M-pixel bomb cap.
+lossless (SOF3/7), hierarchical (SOF5/6/13/14/15), arithmetic coding
+(SOF9-11), 12-bit precision, 4-component (CMYK) payloads, sampling
+factors > 2, truncated/corrupt entropy data, scans that violate the
+progressive ordering rules, and declared dimensions past the
+64M-pixel bomb cap.
 
 Like the PNG path, decode errors of ANY kind quarantine: the public
 ``decode_jpeg`` wraps the parser in a broad except and returns None.
@@ -158,14 +166,19 @@ def _parse(b: bytes):
     huff_ac: dict[int, dict] = {}
     frame = None
     restart_interval = 0
+    n_prog_scans = 0
     i = 2
     n = len(b)
-    while i + 4 <= n:
+    while i + 2 <= n:
         if b[i] != 0xFF:
             raise ValueError("marker expected")
         marker = b[i + 1]
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
+            if frame is not None and frame.get("progressive") and n_prog_scans:
+                return _prog_finish(np, frame, qt)
             raise ValueError("no scan")
+        if i + 4 > n:
+            raise ValueError("truncated marker segment")
         seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
         seg = b[i + 4 : i + 2 + seg_len]
         if len(seg) != seg_len - 2:
@@ -200,7 +213,8 @@ def _parse(b: bytes):
                 if tc > 1:
                     raise ValueError("bad DHT class")
                 p += 17 + cnt
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (8-bit: identical)
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 / SOF1 (8-bit: identical) / SOF2 progressive
             prec = seg[0]
             h, w = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
@@ -217,8 +231,13 @@ def _parse(b: bytes):
                 if ch not in (1, 2) or cv not in (1, 2):
                     raise ValueError("sampling factor out of scope")
                 comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            frame = {
+                "w": w, "h": h, "comps": comps,
+                "progressive": marker == 0xC2,
+            }
+            if marker == 0xC2:
+                _prog_init(np, frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("non-baseline SOF")
         elif marker == 0xDD:  # DRI
@@ -227,18 +246,28 @@ def _parse(b: bytes):
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
-            if ns != len(frame["comps"]):
-                raise ValueError("multi-scan out of scope")
             scan = {}
             for c in range(ns):
                 cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan[cs] = (tables >> 4, tables & 15)
             ecs_start = i + 2 + seg_len
-            segs, _used = _split_ecs(b[ecs_start:])
-            return _decode_scan(
-                np, frame, scan, qt, huff_dc, huff_ac,
-                restart_interval, segs,
+            segs, used = _split_ecs(b[ecs_start:])
+            if not frame["progressive"]:
+                if ns != len(frame["comps"]):
+                    raise ValueError("multi-scan out of scope")
+                return _decode_scan(
+                    np, frame, scan, qt, huff_dc, huff_ac,
+                    restart_interval, segs,
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah_al = seg[3 + 2 * ns]
+            _decode_prog_scan(
+                frame, scan, huff_dc, huff_ac, restart_interval, segs,
+                ss, se, ah_al >> 4, ah_al & 15,
             )
+            n_prog_scans += 1
+            i = ecs_start + used
+            continue
         # APPn / COM / anything else with a length: skip
         i += 2 + seg_len
     raise ValueError("no SOS marker")
@@ -293,7 +322,13 @@ def _decode_scan(
             mcu_count += 1
     if mcu_count != total_mcus:
         raise ValueError("MCU count mismatch")
+    return _finish_planes(np, w, h, comps, hmax, vmax)
 
+
+def _finish_planes(np, w, h, comps, hmax, vmax):
+    """Crop each component plane, replicate-upsample to full resolution,
+    and convert to the output pixel array (shared by the baseline and
+    progressive paths)."""
     planes = []
     for c in comps:
         compw = (w * c["h"] + hmax - 1) // hmax
@@ -319,6 +354,209 @@ def _decode_scan(
         axis=2,
     ).astype(np.int64)
     return "jpeg", px
+
+
+# --- progressive (SOF2) scan machinery — T.81 G.1.2 / G.2 ----------------
+
+
+def _prog_init(np, frame) -> None:
+    """Allocate the per-component coefficient accumulators: (bh, bw, 64)
+    int32 in ZIGZAG index space on the MCU-padded block grid (interleaved
+    DC scans code the padding blocks; non-interleaved scans traverse only
+    the ceil(comp/8) sub-grid, `nbw` x `nbh`)."""
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    frame["mcux"], frame["mcuy"] = mcux, mcuy
+    for c in comps:
+        c["coef"] = np.zeros(
+            (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32
+        )
+        c["pred"] = 0
+        compw = (w * c["h"] + hmax - 1) // hmax
+        comph = (h * c["v"] + vmax - 1) // vmax
+        c["nbw"] = (compw + 7) // 8
+        c["nbh"] = (comph + 7) // 8
+
+
+def _dc_decode(bits: _Bits, c, blk, ah: int, al: int) -> None:
+    if ah == 0:  # first DC scan: diff-coded, point transform << al
+        s = _huff_decode(bits, c["dcT"])
+        if s > 11:
+            raise ValueError("bad DC magnitude")
+        c["pred"] += _extend(bits.receive(s), s)
+        blk[0] = c["pred"] << al
+    elif bits.read_bit():  # refinement: one bit appends at position al
+        blk[0] |= 1 << al
+
+
+def _ac_first(bits: _Bits, c, blk, ss, se, al, eobrun: int) -> int:
+    """First AC scan of a band (Ah == 0), T.81 G.1.2.2: run/size coding
+    within [Ss, Se] plus EOBn symbols encoding runs of all-zero bands
+    across blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(bits, c["acT"])
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL: 16 zero coefficients
+                k += 16
+                continue
+            eobrun = (1 << r) - 1  # EOBn: this block ends the band...
+            if r:
+                eobrun += bits.receive(r)
+            break  # ...and eobrun more blocks are all-zero in it
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        blk[k] = _extend(bits.receive(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine(bits: _Bits, c, blk, ss, se, al, eobrun: int) -> int:
+    """AC refinement scan (Ah > 0), T.81 G.1.2.3: newly significant
+    coefficients arrive as run/1 symbols; every already-nonzero
+    coefficient visited on the way consumes one interleaved correction
+    bit; EOBn runs also carry correction bits for the remaining nonzero
+    coefficients of each block in the run."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(bits, c["acT"])
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += bits.receive(r)
+                    break
+                val = 0  # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad refinement magnitude")
+                val = p1 if bits.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if bits.read_bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val:
+                if k > se:
+                    raise ValueError("refinement run past band end")
+                blk[k] = val
+            if k <= se:
+                k += 1
+    if eobrun > 0:
+        while k <= se:  # correction bits for the rest of this block
+            if blk[k] != 0:
+                if bits.read_bit() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_prog_scan(
+    frame, scan, huff_dc, huff_ac, restart_interval, segs,
+    ss, se, ah, al,
+) -> None:
+    """Decode one progressive scan into the coefficient accumulators.
+    DC scans (Ss == 0) may interleave several components over the MCU
+    grid; AC scans are single-component over that component's own block
+    grid (T.81 G.1.1)."""
+    comps = [c for c in frame["comps"] if c["id"] in scan]
+    if len(comps) != len(scan) or not comps:
+        raise ValueError("scan names unknown component")
+    if ss == 0:
+        if se != 0:
+            raise ValueError("DC scan with Se != 0")
+        if ah == 0:
+            for c in comps:
+                dc_t = scan[c["id"]][0]
+                if dc_t not in huff_dc:
+                    raise ValueError("missing Huffman table")
+                c["dcT"] = huff_dc[dc_t]
+                c["pred"] = 0
+    else:
+        if len(comps) != 1:
+            raise ValueError("progressive AC scan must be one component")
+        if se < ss or se > 63:
+            raise ValueError("bad spectral band")
+        ac_t = scan[comps[0]["id"]][1]
+        if ac_t not in huff_ac:
+            raise ValueError("missing Huffman table")
+        comps[0]["acT"] = huff_ac[ac_t]
+
+    interleaved = len(comps) > 1
+    mcux = frame["mcux"]
+    if interleaved:
+        total_units = mcux * frame["mcuy"]
+    else:
+        total_units = comps[0]["nbw"] * comps[0]["nbh"]
+
+    seg_idx = 0
+    bits = _Bits(segs[0])
+    eobrun = 0
+    for u in range(total_units):
+        if restart_interval and u and u % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                raise ValueError("missing restart segment")
+            bits = _Bits(segs[seg_idx])
+            eobrun = 0
+            for c in comps:
+                c["pred"] = 0
+        if interleaved:  # DC scan over MCUs
+            my, mx = divmod(u, mcux)
+            for c in comps:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = c["coef"][my * c["v"] + by, mx * c["h"] + bx]
+                        _dc_decode(bits, c, blk, ah, al)
+        else:
+            c = comps[0]
+            byy, bxx = divmod(u, c["nbw"])
+            blk = c["coef"][byy, bxx]
+            if ss == 0:
+                _dc_decode(bits, c, blk, ah, al)
+            elif ah == 0:
+                eobrun = _ac_first(bits, c, blk, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine(bits, c, blk, ss, se, al, eobrun)
+
+
+def _prog_finish(np, frame, qt):
+    """EOI reached: dequantize every accumulated block (zigzag ->
+    natural scatter + per-band quant step, vectorized across the whole
+    component), one batched IDCT, then the shared crop/upsample/color
+    tail."""
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    zz = np.array(ZIGZAG)
+    for c in comps:
+        if c["tq"] not in qt:
+            raise ValueError("missing quant table")
+        q = np.asarray(qt[c["tq"]], dtype=np.float64)
+        bh, bw = c["coef"].shape[:2]
+        deq = c["coef"].astype(np.float64) * q  # zigzag space
+        nat = np.zeros_like(deq)
+        nat[:, :, zz] = deq
+        blocks = nat.reshape(bh, bw, 8, 8)
+        spat = _A.T @ blocks @ _A + 128.0  # batched separable IDCT
+        c["plane"] = spat.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+    return _finish_planes(np, w, h, comps, hmax, vmax)
 
 
 def _decode_block(np, bits: _Bits, c) -> "object":
@@ -356,3 +594,352 @@ def decode_jpeg(b: bytes):
         return _parse(b)
     except Exception:
         return None
+
+
+# --- progressive encoder twin (T.81 G.1) ---------------------------------
+#
+# Spec-compliant SOF2 encoder used by the contract row and the decode
+# tests: all-ones quant tables (the only loss is coefficient rounding,
+# so 8x8-constant inputs round-trip EXACTLY — DC-only blocks), a
+# libjpeg-style scan script (DC first with successive approximation,
+# per-component AC spectral-selection scans, DC + AC refinement), EOBn
+# run coding with buffered correction bits, optional restart markers.
+
+#: all 12 DC magnitude symbols at code length 4 (Kraft 12/16 <= 1)
+_E_DC_BITS = bytes([0, 0, 0, 12] + [0] * 12)
+_E_DC_VALS = bytes(range(12))
+#: every (run, size) symbol incl. EOBn (r<<4) and ZRL at length 8
+#: (176 codes, Kraft 176/256 <= 1)
+_E_AC_VALS = bytes([(r << 4) | s for r in range(16) for s in range(11)])
+_E_AC_BITS = bytes([0] * 7 + [len(_E_AC_VALS)] + [0] * 8)
+
+
+def _enc_tables():
+    dc = {v: lc for lc, v in _build_huffman(_E_DC_BITS, _E_DC_VALS).items()}
+    ac = {v: lc for lc, v in _build_huffman(_E_AC_BITS, _E_AC_VALS).items()}
+    return dc, ac
+
+
+class _BitWriter:
+    """MSB-first writer with T.81 byte stuffing; flush pads with 1s."""
+
+    __slots__ = ("out", "acc", "n")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        while self.n:
+            self.write(1, 1)
+        b = bytes(self.out)
+        self.out = bytearray()
+        return b
+
+
+def _mag_bits(v: int) -> tuple[int, int]:
+    """magnitude category + appended value bits per T.81 F.1.2.1."""
+    s = 0 if v == 0 else v.bit_length() if v > 0 else (-v).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def _marker_seg(marker: int, payload: bytes) -> bytes:
+    return (
+        bytes([0xFF, marker])
+        + struct.pack(">H", len(payload) + 2)
+        + payload
+    )
+
+
+def _enc_quantized(px, luma_hv):
+    """pixels -> per-component MCU-padded grids of zigzag-order
+    quantized (all-ones table) coefficient lists, plus geometry."""
+    import numpy as np
+
+    global _A
+    if _A is None:
+        _A = _idct_matrix()
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if gray:
+        planes = [px.astype(np.float64)]
+        hv = [(1, 1)]
+    else:
+        r = px[:, :, 0].astype(np.float64)
+        g = px[:, :, 1].astype(np.float64)
+        b = px[:, :, 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        lh, lv = luma_hv
+        if (lh, lv) != (1, 1):
+            ch = (h + lv - 1) // lv
+            cw = (w + lh - 1) // lh
+
+            def down(p):
+                pad = np.empty((ch * lv, cw * lh))
+                pad[:h, :w] = p
+                pad[h:, :w] = p[h - 1 : h, :]
+                pad[:, w:] = pad[:, w - 1 : w]
+                return pad.reshape(ch, lv, cw, lh).mean(axis=(1, 3))
+
+            cb, cr = down(cb), down(cr)
+        planes = [y, cb, cr]
+        hv = [luma_hv, (1, 1), (1, 1)]
+    hmax = max(x for x, _ in hv)
+    vmax = max(v for _, v in hv)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    comps = []
+    for p, (ch, cv) in zip(planes, hv):
+        bw, bh = mcux * ch, mcuy * cv
+        pad = np.empty((bh * 8, bw * 8), dtype=np.float64)
+        ph, pw = p.shape
+        pad[:ph, :pw] = p
+        pad[ph:, :pw] = p[ph - 1 : ph, :]
+        pad[:, pw:] = pad[:, pw - 1 : pw]
+        grid = [[None] * bw for _ in range(bh)]
+        for by in range(bh):
+            for bx in range(bw):
+                blk = pad[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                f = _A @ (blk - 128.0) @ _A.T
+                q = np.round(f).astype(np.int64)
+                grid[by][bx] = [int(q.flat[ZIGZAG[k]]) for k in range(64)]
+        compw = (w * ch + hmax - 1) // hmax
+        comph = (h * cv + vmax - 1) // vmax
+        comps.append({
+            "grid": grid, "h": ch, "v": cv,
+            "nbw": (compw + 7) // 8, "nbh": (comph + 7) // 8,
+        })
+    return comps, hv, h, w, mcux, mcuy
+
+
+def _rst_marker(rst_count: int) -> bytes:
+    return bytes([0xFF, 0xD0 + rst_count % 8])
+
+
+def _emit_dc_scan(out, comps, scan_comp_idx, mcux, mcuy, ah, al,
+                  restart, dc_enc) -> None:
+    """DC scan over the MCU grid (interleaved when len > 1; the single-
+    component case traverses the same grid, which equals its own block
+    grid when all sampling factors are 1)."""
+    w_ = _BitWriter()
+    preds = {ci: 0 for ci in scan_comp_idx}
+    cnt = rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and cnt and cnt % restart == 0:
+                out += w_.flush()
+                out += _rst_marker(rst)
+                rst += 1
+                preds = {ci: 0 for ci in scan_comp_idx}
+            for ci in scan_comp_idx:
+                c = comps[ci]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        v = c["grid"][my * c["v"] + by][mx * c["h"] + bx][0]
+                        if ah == 0:
+                            vt = v >> al  # DC point transform: arith shift
+                            s, bitsv = _mag_bits(vt - preds[ci])
+                            ln, code = dc_enc[s]
+                            w_.write(code, ln)
+                            if s:
+                                w_.write(bitsv, s)
+                            preds[ci] = vt
+                        else:
+                            w_.write((v >> al) & 1, 1)
+            cnt += 1
+    out += w_.flush()
+
+
+def _emit_ac_first_scan(out, c, ss, se, al, restart, ac_enc) -> None:
+    w_ = _BitWriter()
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            ln, code = ac_enc[r << 4]
+            w_.write(code, ln)
+            if r:
+                w_.write(eobrun - (1 << r), r)
+            eobrun = 0
+
+    cnt = rst = 0
+    for byy in range(c["nbh"]):
+        for bxx in range(c["nbw"]):
+            if restart and cnt and cnt % restart == 0:
+                flush_eob()
+                out += w_.flush()
+                out += _rst_marker(rst)
+                rst += 1
+            zzv = c["grid"][byy][bxx]
+            t = [
+                (v >> al) if v >= 0 else -((-v) >> al)  # trunc toward 0
+                for v in zzv
+            ]
+            if all(t[k] == 0 for k in range(ss, se + 1)):
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+            else:
+                flush_eob()
+                r = 0
+                for k in range(ss, se + 1):
+                    if t[k] == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        ln, code = ac_enc[0xF0]
+                        w_.write(code, ln)
+                        r -= 16
+                    s, bitsv = _mag_bits(t[k])
+                    ln, code = ac_enc[(r << 4) | s]
+                    w_.write(code, ln)
+                    w_.write(bitsv, s)
+                    r = 0
+                if r:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+            cnt += 1
+    flush_eob()
+    out += w_.flush()
+
+
+def _emit_ac_refine_scan(out, c, ss, se, al, restart, ac_enc) -> None:
+    """Encoder side of T.81 G.1.2.3 with libjpeg-style correction-bit
+    buffering: bits for already-nonzero coefficients ride immediately
+    after the symbol that crosses them, or with the next EOBn flush."""
+    w_ = _BitWriter()
+    eobrun = 0
+    pending: list[int] = []  # correction bits owed at the next EOB flush
+
+    def flush_eob():
+        nonlocal eobrun, pending
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            ln, code = ac_enc[r << 4]
+            w_.write(code, ln)
+            if r:
+                w_.write(eobrun - (1 << r), r)
+            for bit in pending:
+                w_.write(bit, 1)
+            pending = []
+            eobrun = 0
+
+    cnt = rst = 0
+    for byy in range(c["nbh"]):
+        for bxx in range(c["nbw"]):
+            if restart and cnt and cnt % restart == 0:
+                flush_eob()
+                out += w_.flush()
+                out += _rst_marker(rst)
+                rst += 1
+            zzv = c["grid"][byy][bxx]
+            t = [abs(v) >> al for v in zzv]
+            eob_pos = ss - 1  # position of the LAST newly-significant
+            for k in range(ss, se + 1):
+                if t[k] == 1:
+                    eob_pos = k
+            r = 0
+            br: list[int] = []
+            for k in range(ss, se + 1):
+                tv = t[k]
+                if tv == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob_pos:
+                    flush_eob()
+                    ln, code = ac_enc[0xF0]
+                    w_.write(code, ln)
+                    r -= 16
+                    for bit in br:
+                        w_.write(bit, 1)
+                    br = []
+                if tv > 1:  # history coefficient: correction bit
+                    br.append(tv & 1)
+                    continue
+                flush_eob()  # newly significant: run/1 + sign + bits
+                ln, code = ac_enc[(r << 4) | 1]
+                w_.write(code, ln)
+                w_.write(1 if zzv[k] > 0 else 0, 1)
+                for bit in br:
+                    w_.write(bit, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                pending.extend(br)
+                if eobrun == 0x7FFF:
+                    flush_eob()
+            cnt += 1
+    flush_eob()
+    out += w_.flush()
+
+
+def encode_jpeg_progressive(
+    px, luma_hv: tuple[int, int] = (1, 1), restart: int = 0
+) -> bytes:
+    """Progressive (SOF2) JPEG with all-ones quant tables and a
+    libjpeg-style scan script: DC first at Al=1 (interleaved), spectral-
+    selection AC first scans at Al=1 per component, then DC and AC
+    refinement passes to Al=0.  The coefficients equal the baseline
+    test encoder's exactly (same DCT, same rounding), so progressive
+    and baseline decodes of the same pixels are bit-identical —
+    asserted by tests/test_jpeg_decode.py."""
+    comps, hv, h, w, mcux, mcuy = _enc_quantized(px, luma_hv)
+    dc_enc, ac_enc = _enc_tables()
+    ncomp = len(comps)
+
+    out = bytearray(b"\xff\xd8")
+    out += _marker_seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci, (ch, cv) in enumerate(hv):
+        sof += bytes([ci + 1, (ch << 4) | cv, 0])
+    out += _marker_seg(0xC2, sof)
+    out += _marker_seg(0xC4, bytes([0x00]) + _E_DC_BITS + _E_DC_VALS)
+    out += _marker_seg(0xC4, bytes([0x10]) + _E_AC_BITS + _E_AC_VALS)
+    if restart:
+        out += _marker_seg(0xDD, struct.pack(">H", restart))
+
+    def sos(comp_ids, ss, se, ah, al):
+        hdr = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            hdr += bytes([cid, 0x00])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        out.extend(_marker_seg(0xDA, hdr))
+
+    all_ids = list(range(1, ncomp + 1))
+    all_idx = list(range(ncomp))
+    # 1) DC first, successive approximation Al=1
+    sos(all_ids, 0, 0, 0, 1)
+    _emit_dc_scan(out, comps, all_idx, mcux, mcuy, 0, 1, restart, dc_enc)
+    # 2) AC first scans: spectral split for luma, full band for chroma
+    ac_first = [(0, 1, 5)] + [(ci, 1, 63) for ci in range(1, ncomp)]
+    ac_first += [(0, 6, 63)]
+    for ci, ss_, se_ in ac_first:
+        sos([ci + 1], ss_, se_, 0, 1)
+        _emit_ac_first_scan(out, comps[ci], ss_, se_, 1, restart, ac_enc)
+    # 3) DC refinement to full precision
+    sos(all_ids, 0, 0, 1, 0)
+    _emit_dc_scan(out, comps, all_idx, mcux, mcuy, 1, 0, restart, dc_enc)
+    # 4) AC refinement to full precision, per component
+    for ci in range(ncomp):
+        sos([ci + 1], 1, 63, 1, 0)
+        _emit_ac_refine_scan(out, comps[ci], 1, 63, 0, restart, ac_enc)
+    out += b"\xff\xd9"
+    return bytes(out)

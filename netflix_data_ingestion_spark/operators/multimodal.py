@@ -11,8 +11,9 @@ operators/gif.py's own LZW + frame compositing -> integer luma stats
 + 8x8 perceptual aHash), ``gif_frame_stats`` (REAL multi-frame
 sampling: one row per composited frame), and ``resize_real`` (integer
 box-average downsample + netpbm re-encode).
-Library-needing formats (video codecs; progressive JPEG) remain
-honestly stubbed:
+Library-needing formats (lossy video codecs beyond MJPEG) remain
+honestly stubbed (progressive JPEG decodes REAL as of round 10 —
+operators/jpeg.py SOF2 multi-scan path):
 ``decode_stub_features``/``frame_sample_stub``/``resize_stub`` derive
 deterministic pseudo-features so batch shape / schema / partitioning
 are exercised end-to-end, and raise ``NotImplementedError`` when asked
@@ -79,10 +80,11 @@ def decode_stub_features(df: DataFrame, real_decode: bool = False) -> DataFrame:
     """
     if real_decode:
         raise NotImplementedError(
-            "real media decode of library-needing formats (video, "
-            "progressive JPEG, ...) is unavailable in this environment; "
-            "use decode_real_features for netpbm/BMP/PNG/baseline-JPEG/GIF "
-            "payloads, or wire PIL/torchaudio here on a real cluster"
+            "real media decode of library-needing formats (lossy video "
+            "codecs beyond MJPEG, ...) is unavailable in this "
+            "environment; use decode_real_features for netpbm/BMP/PNG/"
+            "baseline-or-progressive-JPEG/GIF payloads, or wire "
+            "PIL/torchaudio here on a real cluster"
         )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -762,10 +764,10 @@ def decode_real_features(
     pixel statistics: (codec, width, height, exact integer mean
     luminance in milli-units, 8x8 aHash hex).  Payloads in any other
     format (or corrupt) yield a NULL-codec row rather than an error —
-    the quarantine-not-crash ingest contract.  Formats needing codec
-    libraries (video; progressive JPEG) remain out of scope in this
-    environment; on a real cluster the PIL branch plugs into the same
-    batch loop.
+    the quarantine-not-crash ingest contract.  JPEG covers both the
+    baseline and progressive (SOF2) profiles; formats needing codec
+    libraries remain out of scope in this environment — on a real
+    cluster the PIL branch plugs into the same batch loop.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

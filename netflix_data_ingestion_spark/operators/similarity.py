@@ -333,6 +333,7 @@ def ivf_topk(
     trained: bool = True,
     iters: int = 2,
     train_sample: float = 1.0,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF: each query probes its `nprobe` nearest
     inverted lists and ranks exactly within them.  May return < k rows
@@ -347,17 +348,28 @@ def ivf_topk(
     (audit/debug: zero training cost, reproducible anywhere).
     ``train_sample`` < 1 trains on an md5-picked fraction (corpora large
     enough that every mode still lands >= nlist training points — don't
-    use on toy inputs, where the sample can be empty)."""
-    if trained:
-        cent = ivf_centroids_trained(
-            corpus, id_col, vec_col, nlist, iters, train_sample
-        )
+    use on toy inputs, where the sample can be empty).
+
+    ``centroids`` supplies a PRE-TRAINED (list_id, centroid) table and
+    skips training entirely — the production posture at 100 TB, where
+    the coarse quantizer is a persisted model (trained once, e.g. via
+    `ivf_centroids_trained` written to parquet), not an in-plan
+    subroutine re-run per query batch."""
+    if centroids is not None:
+        # a persisted model table is tiny and re-scannable — no pin needed
+        cent = centroids
     else:
-        cent = ivf_centroids(corpus, id_col, vec_col, nlist)
-    # the centroid table is nlist rows but derives from a corpus-wide
-    # join+agg; it is referenced twice below (assignment + query probe),
-    # so pin it or the quantizer's final pass runs once per reference
-    cent = cent.localCheckpoint(eager=True)
+        if trained:
+            cent = ivf_centroids_trained(
+                corpus, id_col, vec_col, nlist, iters, train_sample
+            )
+        else:
+            cent = ivf_centroids(corpus, id_col, vec_col, nlist)
+        # the centroid table is nlist rows but derives from a corpus-wide
+        # join+agg; it is referenced twice below (assignment + query
+        # probe), so pin it or the quantizer's final pass runs once per
+        # reference
+        cent = cent.localCheckpoint(eager=True)
     assign = ivf_assign(corpus, cent, id_col, vec_col)
     qp = queries.crossJoin(F.broadcast(cent)).withColumn(
         "sim", F.round(cosine(F.col(vec_col), F.col("centroid")), 6)
@@ -564,6 +576,7 @@ def pq_topk(
     iters: int = 1,
     candidates: int = 50,
     scale: int = 1_000_000,
+    cents: dict | None = None,
 ) -> DataFrame:
     """Approximate top-k via product quantization with exact re-rank:
     train per-subspace codebooks -> encode the corpus to m-byte codes ->
@@ -582,10 +595,16 @@ def pq_topk(
     the ``candidates``-bounded re-rank).  All distances are fixed-point
     integers, so ranking is bit-stable across engines; only the final
     re-ranked cosine is float (rounded to 6, the shared tie discipline).
-    May return < k rows per query (recall grows with ``candidates``)."""
-    cents = pq_train_codebooks(
-        corpus, id_col, vec_col, dim, m, ksub, iters, scale
-    )
+    May return < k rows per query (recall grows with ``candidates``).
+
+    ``cents`` supplies PRE-TRAINED codebooks ({(sub, cid): [int64]},
+    the `pq_train_codebooks` output, e.g. persisted to parquet and read
+    back) and skips training — the 100 TB posture, where codebooks are
+    a persisted model trained once per corpus snapshot."""
+    if cents is None:
+        cents = pq_train_codebooks(
+            corpus, id_col, vec_col, dim, m, ksub, iters, scale
+        )
     codes = pq_encode(corpus, cents, id_col, vec_col, dim, m, scale).select(
         F.col(id_col).alias("neighbor_id"), "sub", "code"
     )

@@ -1091,3 +1091,68 @@ REGISTRY = {
         if name not in _APPLIED_ROTATION
     },
 }
+
+# ---------------------------------------------------------------------------
+# ROUND-11 ROTATION DRAFT (apply at the START of round 11: rebind
+# _APPLIED_ROTATION to this list and re-run the head reorder).  The four
+# round-10 tail additions first (registered at the tail this round so the
+# frozen r10 window stayed byte-identical to the r9-drafted plan; ALL FOUR
+# oracle-checked at sf0.01 AND sf0.1 locally at add time), then the oldest
+# remaining driver rows (latest sampling r7) in registry order, computed
+# from CORRECTNESS_r01..r09 + the applied r10 window — after this window
+# every registry query's latest driver row is r8, r9, r10 or r11.
+# ---------------------------------------------------------------------------
+_VERIFY_ROUND11: list[str] = [
+    # round-10 additions, never driver-sampled
+    "ann_ivf_topk_staged",
+    "ann_pq_topk_staged",
+    "events_throttled_daily_stream",
+    "multimodal_jpeg_progressive",
+    # oldest remaining driver rows (latest sampling r7), registry order
+    "dedup_simhash",
+    "ann_lsh_topk",
+    "corpus_bpe_merges",
+    "doc_bpe_segmented",
+    "embedding_top_pc",
+    "label_hard_negatives",
+    "order_price_gk_quantiles",
+    "doc_char_augment",
+    "doc_token_mask",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_near_dup_scale",
+    "dedup_embedding_cosine",
+    "dedup_cosine_scale",
+    "embedding_cosine_topk",
+    "ann_ivf_topk",
+    "doc_token_stats",
+    "doc_quality_score",
+    "doc_lang_id",
+    "doc_fingerprint",
+    "doc_tfidf_top_terms",
+    "doc_pii_redact",
+    "embedding_group_centroid",
+    "curate_corpus",
+    "kmeans_clusters",
+    "doc_repetition_ratio",
+    "doc_quota_sample",
+    "doc_bernoulli_mix",
+    "doc_contamination",
+    "doc_pack_chunks",
+    "events_tumbling_window",
+    "multimodal_meta",
+    "multimodal_frame_sample",
+    "event_transitions",
+    "orders_profile",
+    "orders_price_histogram",
+    "lineitem_skew_report",
+    "events_gapfill",
+    "events_trailing_hour",
+    "doc_line_dedup",
+    "embedding_l2_normalize",
+    "user_hll_registers",
+    "dedup_semantic",
+    "doc_inverted_index",
+    "doc_chunk_text",
+    "doc_stratified_sample",
+]

@@ -1501,6 +1501,106 @@ def _ann_recall(truth: DataFrame, found: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Staged (train-once) quantizer models.  The in-plan ann_ivf_topk /
+# ann_pq_topk rows deliberately pay their quantizer training per run —
+# they are the training-cost record.  At 100 TB a quantizer is a
+# PERSISTED model (trained once per corpus snapshot, written as a tiny
+# parquet table, read back by every query batch), so the *_staged twins
+# bench the production search path alone: same parameters, same
+# deterministic training, byte-identical results (shared oracle), but
+# the model comes from parquet.  Cache keyed like _BRUTE_TRUTH_CACHE
+# (path + embeddings fingerprint) so regeneration never reuses a stale
+# model within one process.
+# ---------------------------------------------------------------------------
+_STAGED_MODEL_CACHE: dict[tuple, str] = {}
+
+
+def _staged_model_dir(spark: SparkSession, sf_dir: str, kind: str,
+                      build) -> str:
+    import os
+    import tempfile
+
+    key = (kind, os.path.abspath(sf_dir), _embeddings_fingerprint(sf_dir))
+    path = _STAGED_MODEL_CACHE.get(key)
+    if path is None:
+        path = os.path.join(
+            tempfile.mkdtemp(prefix=f"staged_{kind}_"), "model"
+        )
+        build(path)
+        _STAGED_MODEL_CACHE[key] = path
+    return path
+
+
+def _staged_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(list_id, centroid) from parquet — ann_ivf_topk's exact quantizer
+    (nlist=16, 2 Lloyd rounds, 1/4 md5 train sample), trained once per
+    (process, corpus) and persisted."""
+
+    def build(path: str) -> None:
+        emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        similarity.ivf_centroids_trained(
+            emb, nlist=16, iters=2, train_sample=0.25
+        ).write.mode("overwrite").parquet(path)
+
+    return spark.read.parquet(
+        _staged_model_dir(spark, sf_dir, "ivf", build)
+    )
+
+
+def _staged_pq_codebooks(spark: SparkSession, sf_dir: str) -> dict:
+    """{(sub, cid): [int64]} from parquet — ann_pq_topk's exact
+    codebooks (m=4, ksub=8, 1 Lloyd round), trained once per
+    (process, corpus) and persisted as (sub, code, codeword) rows."""
+
+    def build(path: str) -> None:
+        emb = _t(spark, sf_dir, "embeddings")
+        cents = similarity.pq_train_codebooks(
+            emb, dim=64, m=4, ksub=8, iters=1
+        )
+        spark.createDataFrame(
+            [(s, c, v) for (s, c), v in sorted(cents.items())],
+            schema="sub int, code int, codeword array<bigint>",
+        ).write.mode("overwrite").parquet(path)
+
+    rows = spark.read.parquet(
+        _staged_model_dir(spark, sf_dir, "pq", build)
+    ).collect()  # model-sized: m x ksub rows
+    return {(r["sub"], r["code"]): list(r["codeword"]) for r in rows}
+
+
+def q_ann_ivf_topk_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_ivf_topk against a PRE-STAGED coarse quantizer: the persisted
+    16-row centroid parquet (trained once per process by
+    `_staged_ivf_centroids`, exactly ann_ivf_topk's configuration) feeds
+    `similarity.ivf_topk(centroids=...)`, so the plan contains ONLY the
+    production search path — broadcast assignment over the corpus, probe
+    selection, exact in-list rank.  Shares ann_ivf_topk's oracle:
+    deterministic fixed-point training makes the staged and in-plan
+    results byte-identical."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cent = _staged_ivf_centroids(spark, sf_dir)
+    return similarity.ivf_topk(
+        emb, queries, k=10, nlist=16, nprobe=4, centroids=cent
+    ).orderBy("query_id", "neighbor_id")
+
+
+def q_ann_pq_topk_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_pq_topk against PRE-STAGED codebooks: the persisted
+    (sub, code, codeword) parquet (trained once per process by
+    `_staged_pq_codebooks`, exactly ann_pq_topk's configuration) feeds
+    `similarity.pq_topk(cents=...)`, so the plan is encode -> broadcast
+    ADC -> combinable candidate sum -> bounded exact re-rank, with zero
+    training stages.  Shares ann_pq_topk's oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = _staged_pq_codebooks(spark, sf_dir)
+    return similarity.pq_topk(
+        emb, queries, dim=64, k=10, m=4, ksub=8, candidates=50, cents=cents
+    ).orderBy("query_id", "neighbor_id")
+
+
 def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MEASURED recall of the trained-quantizer IVF path
     (ann_ivf_topk's exact configuration: nlist=16, nprobe=4,
@@ -2414,6 +2514,90 @@ SELECT doc_id::BIGINT AS media_id,
        (s // 64)::BIGINT AS mean_luma_milli
 FROM px
 ORDER BY media_id, frame_idx
+"""
+
+
+def q_multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str
+                                  ) -> DataFrame:
+    """REAL progressive (SOF2) JPEG end-to-end, hash-checked: per
+    document a 16x16 grayscale mosaic of four 8x8-CONSTANT tiles
+    (tile values are affine functions of the text's code points with
+    offsets distinct from the AVI/MP4/GIF rows), encoded through
+    operators/jpeg.encode_jpeg_progressive — the full multi-scan
+    script: DC successive approximation, spectral selection, AC
+    refinement — then decoded by the SAME decode_real_features stage
+    every other image codec rides.  Constant tiles have DC-only DCT
+    coefficients that survive all-ones quantization EXACTLY, so the
+    lossy codec's output is SQL-predictable: mean_luma_milli ==
+    250 * (v0+v1+v2+v3).  The general-content profile (nonzero ACs,
+    EOB runs, correction bits) is pinned bit-identical to the baseline
+    decoder by tests/test_jpeg_decode.py.
+
+    Plan: two narrow Arrow stages, no shuffle before the display
+    orderBy (ensure_parallelism guards the one-split documents scan).
+    """
+    import numpy as np
+
+    from netflix_data_ingestion_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+    from netflix_data_ingestion_spark.operators.multimodal import (
+        decode_real_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    offsets = (0, 59, 131, 199)
+
+    def synth(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                t = text or ""
+                n = len(t)
+                tiles = [
+                    ((ord(t[j % n]) if n else 0) % 256 + off) % 256
+                    for j, off in enumerate(offsets)
+                ]
+                vals = np.array(tiles, dtype=np.int64).reshape(2, 2)
+                px = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+                ids.append(doc_id)
+                payloads.append(bytes(encode_jpeg_progressive(px)))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = ensure_parallelism(docs).mapInPandas(
+        synth, "media_id long, payload binary"
+    )
+    return (
+        decode_real_features(media)
+        .select("media_id", "codec", "width", "height", "mean_luma_milli")
+        .orderBy("media_id")
+    )
+
+
+ORACLE_JPEG_PROGRESSIVE = """
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t,
+         length(coalesce(text, '')) AS n
+  FROM documents
+),
+tiles AS (
+  SELECT doc_id,
+         list_sum(list_transform([0, 1, 2, 3],
+           j -> ((CASE WHEN n > 0
+                       THEN unicode(t[(j % n) + 1]) % 256
+                       ELSE 0 END)
+                 + [0, 59, 131, 199][j + 1]) % 256)) AS vsum
+  FROM base
+)
+SELECT doc_id::BIGINT AS media_id,
+       'jpeg' AS codec,
+       16::INT AS width,
+       16::INT AS height,
+       (250 * vsum)::BIGINT AS mean_luma_milli
+FROM tiles
+ORDER BY media_id
 """
 
 
@@ -4182,6 +4366,91 @@ ORDER BY event_id
 """
 
 
+# monotonically named memory-sink tables: bench runs every query twice
+# and a re-used queryName would collide with the first run's table
+_STREAM_RUN_SEQ = [0]
+
+
+def q_events_throttled_daily_stream(spark: SparkSession, sf_dir: str
+                                    ) -> DataFrame:
+    """The STREAMING rate limiter driven through the driver gate: read
+    the static events parquet as a file-source stream, run
+    streaming/ingest.throttle_events (applyInPandasWithState, per-
+    (user, day) cap of 2) under an availableNow trigger into a memory
+    sink, then aggregate the kept set to per-(user, day) counts.
+
+    The aggregate — not the kept rows — is the contract, because it is
+    BATCHING-INVARIANT: which 2 events the online throttle admits
+    depends on micro-batch arrival order, but how many it admits per
+    (user, day) is min(2, n) under any split (state is never revoked;
+    the effectively-infinite watermark passed here removes the only
+    other row-loss path, late-data filtering between micro-batches).
+    That makes this the one streaming row with a FULL hash-checked
+    DuckDB oracle, not a weaker rows-only check — the batch twin
+    events_throttled_daily pins the admission ORDER separately.
+
+    Plan: the streamed stateful pass is one (user, day)-keyed shuffle;
+    the post-hoc aggregate runs on the (already small) kept set."""
+    import os
+
+    from netflix_data_ingestion_spark.streaming.ingest import (
+        run_to_memory,
+        throttle_events,
+    )
+
+    # the file-stream source needs a DIRECTORY; testdata stores events
+    # as a single parquet file, so stream the sf_dir with a glob filter
+    # (a directory-shaped events.parquet streams directly)
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    reader = (
+        spark.readStream.format("parquet")
+        .schema(_t(spark, sf_dir, "events").schema)
+    )
+    if os.path.isdir(ev_path):
+        reader = reader.option("path", ev_path)
+    else:
+        reader = reader.option("path", sf_dir).option(
+            "pathGlobFilter", "events.parquet"
+        )
+    src = (
+        reader.load()
+        # watermarks require TIMESTAMP; the stored column is NTZ.  The
+        # session timezone is pinned UTC (session.py), so the cast is a
+        # lossless relabel and the NTZ cast-back below restores the
+        # exact wall times the DuckDB oracle sees.
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    kept = throttle_events(
+        src, key_col="user_id", bucket="day", limit=2,
+        watermark="175200 hours",  # ~20y: nothing is ever "late"
+        timeout_ms=0,  # finite replay: NoTimeout, or availableNow spins
+    )
+    _STREAM_RUN_SEQ[0] += 1
+    name = f"__throttled_daily_stream_{os.getpid()}_{_STREAM_RUN_SEQ[0]}"
+    run_to_memory(kept, name)
+    return (
+        spark.table(name)
+        .groupBy(
+            F.col("user_id"),
+            F.date_trunc(
+                "day", F.col("ts").cast("timestamp_ntz")
+            ).alias("day"),
+        )
+        .agg(F.count("*").alias("kept"))
+        .orderBy("user_id", "day")
+    )
+
+
+ORACLE_THROTTLED_DAILY_STREAM = """
+SELECT user_id,
+       date_trunc('day', ts) AS day,
+       least(count(*), 2)::BIGINT AS kept
+FROM events
+GROUP BY user_id, date_trunc('day', ts)
+ORDER BY user_id, day
+"""
+
+
 def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-row (n_true, n_found, recall) — the production dedup path's
     MEASURED recall against the exhaustive all-pairs ground truth on a
@@ -5682,4 +5951,24 @@ REGISTRY_LLM = {
     "doc_fim_transform": (q_doc_fim_transform, ORACLE_FIM),
     "doc_span_corrupt": (q_doc_span_corrupt, ORACLE_SPAN_CORRUPT),
     "doc_length_batches": (q_doc_length_batches, ORACLE_LENGTH_BATCHES),
+    # round-10 tail additions (frozen r10 window unchanged; queue for the
+    # r11 rotation): train-once ANN twins — the persisted-quantizer
+    # production posture, sharing the in-plan rows' oracles because the
+    # fixed-point training is deterministic
+    "ann_ivf_topk_staged": (q_ann_ivf_topk_staged, ORACLE_ANN_IVF),
+    "ann_pq_topk_staged": (q_ann_pq_topk_staged, ORACLE_ANN_PQ),
+    # ...and the first driver row produced BY the streaming path (an
+    # applyInPandasWithState rate limiter under availableNow), with a
+    # full oracle on its batching-invariant aggregate
+    "events_throttled_daily_stream": (
+        q_events_throttled_daily_stream,
+        ORACLE_THROTTLED_DAILY_STREAM,
+    ),
+    # ...and progressive-JPEG decode proven end-to-end (constant-tile
+    # mosaics make the lossy codec SQL-exact; the general profile is
+    # pinned bit-identical to baseline by unit tests)
+    "multimodal_jpeg_progressive": (
+        q_multimodal_jpeg_progressive,
+        ORACLE_JPEG_PROGRESSIVE,
+    ),
 }

@@ -650,18 +650,27 @@ def throttle_events(
     streaming/batch divergence, same as any online quota.  The batch
     twin ``throttle_events_batch`` (oracle-checked) pins the bucket
     math and the (ts, event_id) admission order.
+
+    ``timeout_ms=0`` disables state expiry (``NoTimeout``) — required
+    for finite batch-over-stream replays (``availableNow``): with a
+    processing-time timeout registered, the no-more-data commit loop
+    keeps running empty micro-batches until the timeout fires (hours),
+    so the replay never terminates.  A 24/7 production stream keeps
+    the default expiry; a bounded replay has no state to expire.
     """
     from collections.abc import Iterator
 
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState
 
+    expire = timeout_ms > 0
+
     def fn(
         key: tuple,
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        if state.hasTimedOut:
+        if expire and state.hasTimedOut:
             state.remove()
             return
         (kept,) = state.get if state.exists else (0,)
@@ -669,7 +678,8 @@ def throttle_events(
         room = max(0, limit - kept)
         out = rows.iloc[:room]
         state.update((min(limit, kept + len(rows)),))
-        state.setTimeoutDuration(timeout_ms)
+        if expire:
+            state.setTimeoutDuration(timeout_ms)
         if len(out):
             yield out[["event_id", "ts", "user_id", "event_type", "value"]]
 
@@ -681,7 +691,7 @@ def throttle_events(
         outputStructType=THROTTLE_OUTPUT_SCHEMA,
         stateStructType=THROTTLE_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf="ProcessingTimeTimeout",
+        timeoutConf="ProcessingTimeTimeout" if expire else "NoTimeout",
     )
 
 

@@ -282,7 +282,8 @@ def test_jpeg_quarantines_out_of_scope_and_corrupt():
     assert decode_jpeg(b"") is None
     assert decode_jpeg(b"\xff\xd8\xff") is None
     assert decode_jpeg(good[:40]) is None  # truncated mid-header
-    # progressive: flip SOF0 -> SOF2
+    # SOF0 flipped to SOF2: now parsed as progressive, but the baseline
+    # scan (Ss=0..Se=63) is illegal in a progressive stream -> quarantine
     prog = bytearray(good)
     sof_at = good.find(b"\xff\xc0")
     prog[sof_at + 1] = 0xC2
@@ -324,3 +325,90 @@ def test_jpeg_in_decode_real_features(spark):
         abs(out[1]["mean_luma_milli"] - out[2]["mean_luma_milli"]) <= 3000
     )
     assert out[3]["codec"] is None  # quarantined, not crashed
+
+
+# --- progressive (SOF2) ---------------------------------------------------
+
+from netflix_data_ingestion_spark.operators.jpeg import (  # noqa: E402
+    encode_jpeg_progressive,
+)
+
+
+def test_progressive_bit_identical_to_baseline():
+    """With all-ones quant tables the progressive scan script (DC
+    successive approximation + spectral selection + AC refinement)
+    reconstructs EXACTLY the coefficients the baseline single-scan path
+    codes, so the decoded pixels must be bit-identical — the strongest
+    possible cross-check of the whole multi-scan machinery against the
+    already-verified baseline path."""
+    cases = [
+        ((24, 17), (1, 1), 11),
+        ((16, 16, 3), (1, 1), 12),
+        ((21, 19, 3), (2, 2), 13),
+        ((8, 8), (1, 1), 14),
+        ((9, 25, 3), (2, 1), 15),
+    ]
+    for shape, hv, seed in cases:
+        px = _rng(seed).integers(0, 256, size=shape, dtype=np.int64)
+        base = decode_jpeg(encode_jpeg(px, luma_hv=hv))
+        prog = decode_jpeg(encode_jpeg_progressive(px, luma_hv=hv))
+        assert base is not None and prog is not None, (shape, hv)
+        assert np.array_equal(base[1], prog[1]), (shape, hv)
+
+
+def test_progressive_low_contrast_exercises_refinement():
+    """Low-contrast inputs make most AC coefficients +-1..3, driving
+    the newly-significant / correction-bit / EOB-run paths of the AC
+    refinement scan (the regression shape that caught the encoder's
+    Al mix-up during development)."""
+    for seed in range(6):
+        px = _rng(40 + seed).integers(120, 136, size=(24, 17),
+                                      dtype=np.int64)
+        base = decode_jpeg(encode_jpeg(px))
+        prog = decode_jpeg(encode_jpeg_progressive(px))
+        assert prog is not None and np.array_equal(base[1], prog[1])
+
+
+def test_progressive_restart_markers():
+    """RSTn inside progressive scans resets DC predictors AND EOB runs;
+    the decoded image must not change at all."""
+    px = _rng(16).integers(0, 256, size=(32, 24), dtype=np.int64)
+    plain = decode_jpeg(encode_jpeg_progressive(px))
+    rst = decode_jpeg(encode_jpeg_progressive(px, restart=3))
+    assert plain is not None and rst is not None
+    assert np.array_equal(plain[1], rst[1])
+    color = _rng(17).integers(0, 256, size=(21, 19, 3), dtype=np.int64)
+    a = decode_jpeg(encode_jpeg_progressive(color, luma_hv=(2, 2)))
+    b = decode_jpeg(encode_jpeg_progressive(color, luma_hv=(2, 2),
+                                            restart=2))
+    assert a is not None and b is not None
+    assert np.array_equal(a[1], b[1])
+
+
+def test_progressive_constant_blocks_exact():
+    """8x8-constant tiles have DC-only DCT coefficients that survive
+    the all-ones quant round() exactly, so the progressive round-trip
+    is EXACT — the primitive the oracle-checked contract row builds
+    on (SQL can predict the decoded luma without replaying a DCT)."""
+    vals = np.array([[7, 250], [128, 33]], dtype=np.int64)
+    px = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)  # 16x16
+    got = decode_jpeg(encode_jpeg_progressive(px))
+    assert got is not None
+    assert np.array_equal(got[1], px)
+
+
+def test_progressive_quarantines_corrupt():
+    px = _rng(18).integers(0, 256, size=(16, 16), dtype=np.int64)
+    good = encode_jpeg_progressive(px)
+    assert decode_jpeg(good) is not None
+    # truncated mid-scan: entropy data exhausted -> quarantine
+    assert decode_jpeg(good[: len(good) // 2]) is None
+    # missing EOI: progressive needs the terminating marker
+    assert decode_jpeg(good[:-2]) is None
+    # a baseline file whose SOF is flipped to SOF2 becomes an INVALID
+    # progressive stream (its single scan spans Ss=0..Se=63, which
+    # progressive forbids) -> quarantine, not crash
+    base = encode_jpeg(px)
+    flip = bytearray(base)
+    flip[base.find(b"\xff\xc0") + 1] = 0xC2
+    assert decode_jpeg(bytes(flip)) is None

@@ -89,6 +89,11 @@ def main() -> int:
 #: fails the audit until it is either fixed or sanctioned here
 SANCTIONED: dict[str, str] = {
     "ann_ivf_topk": "bNLJ: query-rows x centroid table, both model-sized",
+    "ann_ivf_topk_staged": (
+        "same bNLJ as ann_ivf_topk (query-rows x centroid table, both "
+        "model-sized); the centroids come from a pre-staged parquet "
+        "model instead of in-plan training — the search path alone"
+    ),
     "ann_ivf_recall": (
         "composes embedding_cosine_topk (bNLJ exact baseline) + "
         "ann_ivf_topk (sanctioned above); final 1-row metric crossJoin "
@@ -163,6 +168,11 @@ SANCTIONED: dict[str, str] = {
         "table demux/decode with in-batch frame fan-out), no shuffle "
         "before the display orderBy; container round-trip is the "
         "point of the query"
+    ),
+    "multimodal_jpeg_progressive": (
+        "two narrow Arrow stages (progressive SOF2 synthesize + real "
+        "multi-scan decode), no shuffle before the display orderBy; "
+        "codec round-trip is the point of the query (gif/avi/mp4 shape)"
     ),
     "order_price_equidepth": "1-row total broadcast; rank offsets now DISTRIBUTED (prefix_sum_ranged inside global_rank)",
     "orders_expectations": "1-row report aggregates (constant output)",

@@ -363,6 +363,34 @@ def ops(spark, sf_dir: str, copies: int):
         )
         return mp4_frame_stats(media).count()
 
+    def prefix_jaccard():
+        # dedup_prefix_jaccard shape (the r9 bench swinger): exact
+        # Jaccard >= 4/5 via rarest-first prefix filtering — cost is
+        # token-volume-bound (prefix length grows with doc shingle
+        # count), the production exact-dedup path a 100 TB corpus run
+        # lives in; the per-copy word salt keeps cross-copy shingles
+        # disjoint so candidate pairs scale linearly like fresh data
+        from netflix_data_ingestion_spark.operators.dedup import (
+            prefix_jaccard_pairs,
+        )
+
+        return prefix_jaccard_pairs(
+            docs, "doc_id", "text", n=3, t_num=4, t_den=5
+        ).count()
+
+    def containment():
+        # dedup_containment shape (the other r9 swinger): rare-shingle
+        # blocking (df in [2,5]) + exact containment verify — blocking
+        # cost tracks the df-band population, which the word salt keeps
+        # per-copy
+        from netflix_data_ingestion_spark.operators.dedup import (
+            containment_pairs,
+        )
+
+        return containment_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.9, max_df=5
+        ).count()
+
     def skew():
         # the r6 rewrite: top-k via global_rank over the per-key counts
         # frame — one keyed groupBy over the fact plus rank machinery
@@ -381,6 +409,8 @@ def ops(spark, sf_dir: str, copies: int):
         "ntile_ranged(customer)": (copies * 15_000, ntile),
         "cooldown_throttle(events)": (copies * 100_000, cooldown),
         "exact_dedup(documents)": (copies * 5_000, exact_dd),
+        "prefix_jaccard(documents)": (copies * 5_000, prefix_jaccard),
+        "containment(documents)": (copies * 5_000, containment),
         "cosine_lsh_dedup(embeddings)": (copies * 2_000, cosine_dd),
         "curate_corpus(documents)": (copies * 5_000, curate),
         "bpe_train(documents)": (copies * 5_000, bpe),
