@@ -471,3 +471,132 @@ def apply_mixture(
             ).alias("epoch"),
         )
     )
+
+
+def dsir_llr_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target,
+    hex_chars: int = 2,
+    join_path: bool | None = None,
+) -> DataFrame:
+    """(id, is_target, n_features, dsir_llr_micro) — Data Selection via
+    Importance Resampling (Xie et al. 2023) weights over hashed n-gram
+    features, in exact integer micro-nats.
+
+    DSIR scores each raw document by how much it resembles a TARGET
+    distribution (a trusted reference corpus — here any boolean column
+    over ``df``): features are word unigrams + bigrams hashed into
+    ``16**hex_chars`` buckets (bucket key = md5 hex prefix, the
+    engine-portable hash discipline), the target and raw bucket
+    distributions are estimated with +1 smoothing, and a document's
+    weight is the sum over its feature occurrences of the per-bucket
+    log-likelihood ratio ln(p_target/p_raw).  Each per-bucket LLR is
+    rounded to integer micro-nats BEFORE summing (round-6 kills any
+    last-ulp ln() divergence across engines — same discipline as
+    operators/lm.bigram_lm_scores), so the per-doc sum is exact int64
+    arithmetic and bit-stable across engines and runs.
+
+    Scale: two corpus scans (count pass, score pass), NO corpus-sized
+    shuffle on the default path — the count pass partial-aggregates the
+    exploded feature stream down to <= B bucket rows before its
+    (B-row) exchange, and the score pass folds each doc's feature array
+    against a broadcast B-entry map literal inside codegen
+    (``F.aggregate`` + ``element_at``), a narrow map.  The LLR model
+    itself is B-sized (two model-sized collects).  For large bucket
+    counts (hex_chars >= 4, where a 65k-entry map literal would bloat
+    the plan) set ``join_path=True``: the score pass becomes
+    explode -> broadcast-join the B-row LLR frame -> re-agg by id — one
+    feature-volume shuffle, still no all-pairs anything.  Auto: literal
+    map for B <= 4096, join path above.
+    """
+    from netflix_data_ingestion_spark.operators.dedup import (
+        tokens,
+        word_ngrams,
+    )
+
+    n_buckets = 16 ** hex_chars
+    if join_path is None:
+        join_path = n_buckets > 4096
+
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    tok = tokens(text)
+    feats = F.concat(tok, word_ngrams(tok, 2))
+    bucks = F.transform(
+        feats, lambda f: F.substring(F.md5(f), 1, hex_chars)
+    )
+    base = df.select(
+        F.col(id_col),
+        F.col(id_col).alias("__id"),
+        target.cast("boolean").alias("is_target"),
+        bucks.alias("__bk"),
+    )
+
+    counts = (
+        base.select(F.explode("__bk").alias("bk"), "is_target")
+        .groupBy("bk")
+        .agg(
+            F.sum(F.when(F.col("is_target"), 1).otherwise(0))
+            .cast("long")
+            .alias("ct"),
+            F.count("*").cast("long").alias("cr"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("ct").cast("long").alias("tt"),
+        F.sum("cr").cast("long").alias("tr"),
+    ).collect()[0]
+    tt, tr = int(tot.tt or 0), int(tot.tr or 0)
+    # per-bucket LLR in micro-nats, computed ON SPARK over the B-row
+    # counts frame (JVM ln + HALF_UP round, the lm.py cross-engine pin)
+    llr = counts.select(
+        "bk",
+        F.round(
+            (
+                F.log((F.col("ct") + 1) / F.lit(float(tt + n_buckets)))
+                - F.log((F.col("cr") + 1) / F.lit(float(tr + n_buckets)))
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("w"),
+    )
+
+    out_cols = [
+        F.col(id_col),
+        F.col("is_target"),
+        F.size("__bk").cast("long").alias("n_features"),
+    ]
+    if join_path:
+        scored = (
+            base.select("__id", F.explode("__bk").alias("bk"))
+            .join(F.broadcast(llr), "bk")
+            .groupBy("__id")
+            .agg(F.sum("w").cast("long").alias("__s"))
+        )
+        return (
+            base.join(scored, "__id", "left")
+            .select(
+                *out_cols,
+                F.coalesce(F.col("__s"), F.lit(0))
+                .cast("long")
+                .alias("dsir_llr_micro"),
+            )
+        )
+    kv: list = []
+    for r in llr.collect():
+        kv.extend([F.lit(r.bk), F.lit(int(r.w))])
+    if not kv:  # empty corpus: no buckets, every doc scores 0
+        return base.select(
+            *out_cols, F.lit(0).cast("long").alias("dsir_llr_micro")
+        )
+    m = F.create_map(*kv)
+    return base.select(
+        *out_cols,
+        F.aggregate(
+            "__bk",
+            F.lit(0).cast("long"),
+            lambda acc, b: acc + F.element_at(m, b),
+        ).alias("dsir_llr_micro"),
+    )

@@ -5802,6 +5802,79 @@ FROM m ORDER BY doc_id
 """
 
 
+def q_doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/sample.dsir_llr_weights: Data Selection via Importance
+    Resampling (Xie et al. 2023) over hashed n-gram features — each
+    document scored by how much it resembles a target reference corpus
+    (here the English slice), as the exact int64 sum of per-bucket
+    log-likelihood-ratio micro-nats (unigram+bigram features, 256
+    md5-prefix buckets, +1 smoothing).  The selection primitive behind
+    quality-targeted pretraining mixes: resample the raw corpus with
+    probability proportional to exp(llr) — the ranking this row pins is
+    the entire model.
+
+    Plan: one count pass (feature explode partial-aggregated to <= 256
+    bucket rows before its exchange) + one narrow score pass folding
+    each doc's feature array against the broadcast 256-entry LLR map in
+    codegen — NO corpus-sized shuffle; the model is two model-sized
+    collects.  ensure_parallelism guards the one-split documents scan.
+    """
+    from netflix_data_ingestion_spark.operators.sample import (
+        dsir_llr_weights,
+    )
+    from netflix_data_ingestion_spark.operators.util import (
+        ensure_parallelism,
+    )
+
+    docs = ensure_parallelism(
+        _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    )
+    return dsir_llr_weights(
+        docs, "doc_id", "text", F.col("lang") == F.lit("en")
+    ).orderBy("doc_id")
+
+
+ORACLE_DSIR_WEIGHTS = """
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS is_target,
+         list_filter(string_split_regex(lower(coalesce(text, '')),
+                                        '[^a-z0-9]+'), x -> x <> '') AS tk
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, is_target, f FROM toks, unnest(tk) AS u(f)
+  UNION ALL
+  SELECT doc_id, is_target, array_to_string(tk[i:i+1], ' ')
+  FROM toks, unnest(range(1, len(tk))) AS r(i)
+),
+bk AS (SELECT doc_id, is_target, substr(md5(f), 1, 2) AS bk FROM feats),
+counts AS (
+  SELECT bk,
+         CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         CAST(count(*) AS BIGINT) AS cr
+  FROM bk GROUP BY 1
+),
+tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
+               CAST(sum(cr) AS BIGINT) AS tr FROM counts),
+llr AS (
+  SELECT bk,
+         CAST(round((ln((ct + 1) / (tt + 256))
+                     - ln((cr + 1) / (tr + 256))) * 1e6) AS BIGINT) AS w
+  FROM counts, tot
+),
+doc AS (
+  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS nf,
+         CAST(sum(w) AS BIGINT) AS s
+  FROM bk b JOIN llr USING (bk) GROUP BY 1
+)
+SELECT t.doc_id, t.is_target,
+       coalesce(d.nf, 0) AS n_features,
+       coalesce(d.s, 0) AS dsir_llr_micro
+FROM toks t LEFT JOIN doc d USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 REGISTRY_LLM = {
     "corpus_bpe_merges": (q_corpus_bpe_merges, ORACLE_BPE_MERGES),
     "embedding_top_pc": (q_embedding_top_pc, ORACLE_TOP_PC),
@@ -5971,4 +6044,8 @@ REGISTRY_LLM = {
         q_multimodal_jpeg_progressive,
         ORACLE_JPEG_PROGRESSIVE,
     ),
+    # ...and DSIR importance weights — the quality-targeted data-
+    # selection primitive (hashed-ngram LLR vs a reference slice) the
+    # mixture/curation family was missing
+    "doc_dsir_weights": (q_doc_dsir_weights, ORACLE_DSIR_WEIGHTS),
 }

@@ -187,3 +187,89 @@ def test_time_split_boundaries_and_null_ts(spark):
     assert got == {
         1: "train", 2: "val", 3: "val", 4: "test", 5: "test", 6: None
     }
+
+
+def test_dsir_llr_weights_hand_computed(spark):
+    """Tiny corpus where the LLR model is computed by hand: target docs
+    repeat 'good', raw-only docs repeat 'bad' — target-bucket LLR must
+    be positive, raw-only-bucket LLR negative, and the per-doc sum must
+    match an exact from-first-principles replication."""
+    import hashlib
+    import math
+
+    from netflix_data_ingestion_spark.operators.sample import (
+        dsir_llr_weights,
+    )
+
+    # counts must DOMINATE the +1-over-256-buckets smoothing mass for
+    # the direction assertion to be meaningful (with 3-word docs every
+    # LLR is pulled toward ln((tt+B)/(tr+B)) regardless of content)
+    rows = [
+        (1, ("good " * 50).strip(), True),
+        (2, ("good " * 30).strip() + " " + ("bad " * 3).strip(), True),
+        (3, ("bad " * 50).strip(), False),
+        (4, ("bad " * 30).strip() + " " + ("good " * 3).strip(), False),
+        (5, "", False),  # zero-feature doc scores exactly 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, t boolean")
+    out = {
+        r["doc_id"]: r
+        for r in dsir_llr_weights(df, "doc_id", "text", F.col("t")).collect()
+    }
+
+    # replicate: features = unigrams + bigrams, bucket = md5 prefix
+    def feats(text):
+        tk = [w for w in text.split(" ") if w]
+        return tk + [" ".join(tk[i : i + 2]) for i in range(len(tk) - 1)]
+
+    def bucket(f):
+        return hashlib.md5(f.encode()).hexdigest()[:2]
+
+    ct, cr = {}, {}
+    for _id, text, t in rows:
+        for f in feats(text):
+            b = bucket(f)
+            cr[b] = cr.get(b, 0) + 1
+            if t:
+                ct[b] = ct.get(b, 0) + 1
+    tt, tr = sum(ct.values()), sum(cr.values())
+    llr = {
+        b: round(
+            (
+                math.log((ct.get(b, 0) + 1) / (tt + 256))
+                - math.log((cr[b] + 1) / (tr + 256))
+            )
+            * 1e6
+        )
+        for b in cr
+    }
+    for _id, text, t in rows:
+        fs = feats(text)
+        assert out[_id]["n_features"] == len(fs)
+        assert out[_id]["is_target"] == t
+        assert out[_id]["dsir_llr_micro"] == sum(llr[bucket(f)] for f in fs)
+    assert out[5]["dsir_llr_micro"] == 0 and out[5]["n_features"] == 0
+    # direction: pure-target text scores above pure-raw text
+    assert out[1]["dsir_llr_micro"] > 0 > out[3]["dsir_llr_micro"]
+
+
+def test_dsir_llr_weights_join_path_identical(spark):
+    """The hex_chars>=4 broadcast-join scoring path must produce the
+    byte-identical frame as the literal-map fold (both at hex_chars=2,
+    forced)."""
+    from netflix_data_ingestion_spark.operators.sample import (
+        dsir_llr_weights,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (i, f"tok{i % 7} tok{(i * 3) % 5} tok{i % 2} filler", i % 3 == 0)
+            for i in range(60)
+        ],
+        "doc_id long, text string, t boolean",
+    )
+    a = dsir_llr_weights(df, "doc_id", "text", F.col("t")).orderBy("doc_id")
+    b = dsir_llr_weights(
+        df, "doc_id", "text", F.col("t"), join_path=True
+    ).orderBy("doc_id")
+    assert a.collect() == b.collect()
