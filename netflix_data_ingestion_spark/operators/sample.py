@@ -504,7 +504,9 @@ def dsir_llr_weights(
     (B-row) exchange, and the score pass folds each doc's feature array
     against a broadcast B-entry map literal inside codegen
     (``F.aggregate`` + ``element_at``), a narrow map.  The LLR model
-    itself is B-sized (two model-sized collects).  For large bucket
+    itself is B-sized: ONE model-sized collect of the bucket counts,
+    with the micro-nat rounding then applied on a local B-row frame
+    (so the corpus is never re-scanned for totals).  For large bucket
     counts (hex_chars >= 4, where a 65k-entry map literal would bloat
     the plan) set ``join_path=True``: the score pass becomes
     explode -> broadcast-join the B-row LLR frame -> re-agg by id — one
@@ -533,8 +535,17 @@ def dsir_llr_weights(
         bucks.alias("__bk"),
     )
 
-    counts = (
-        base.select(F.explode("__bk").alias("bk"), "is_target")
+    # explode_outer, NOT explode: Catalyst's InferFiltersFromGenerate
+    # adds size(child)>0 for a plain explode, and because the child here
+    # is the whole derived feature expression, that inferred filter
+    # re-evaluates the full tokenize+ngram+md5 tree a second time — and
+    # pushes it below the ensure_parallelism exchange onto the un-split
+    # scan, serializing it on one task (measured 7.8s vs 1.3s at sf0.1).
+    # The rule skips outer generates; the isNotNull drops the one null
+    # row an empty-feature doc contributes.
+    counts_rows = (
+        base.select(F.explode_outer("__bk").alias("bk"), "is_target")
+        .filter(F.col("bk").isNotNull())
         .groupBy("bk")
         .agg(
             F.sum(F.when(F.col("is_target"), 1).otherwise(0))
@@ -542,15 +553,18 @@ def dsir_llr_weights(
             .alias("ct"),
             F.count("*").cast("long").alias("cr"),
         )
+        .collect()
     )
-    tot = counts.agg(
-        F.sum("ct").cast("long").alias("tt"),
-        F.sum("cr").cast("long").alias("tr"),
-    ).collect()[0]
-    tt, tr = int(tot.tt or 0), int(tot.tr or 0)
+    tt = sum(int(r.ct) for r in counts_rows)
+    tr = sum(int(r.cr) for r in counts_rows)
     # per-bucket LLR in micro-nats, computed ON SPARK over the B-row
-    # counts frame (JVM ln + HALF_UP round, the lm.py cross-engine pin)
-    llr = counts.select(
+    # LOCAL counts frame (JVM ln + HALF_UP round, the lm.py cross-engine
+    # pin) — one corpus count pass total, not one per collect
+    spark = df.sparkSession
+    llr = spark.createDataFrame(
+        [(r.bk, int(r.ct), int(r.cr)) for r in counts_rows],
+        "bk string, ct long, cr long",
+    ).select(
         "bk",
         F.round(
             (
@@ -570,7 +584,8 @@ def dsir_llr_weights(
     ]
     if join_path:
         scored = (
-            base.select("__id", F.explode("__bk").alias("bk"))
+            base.select("__id", F.explode_outer("__bk").alias("bk"))
+            .filter(F.col("bk").isNotNull())
             .join(F.broadcast(llr), "bk")
             .groupBy("__id")
             .agg(F.sum("w").cast("long").alias("__s"))

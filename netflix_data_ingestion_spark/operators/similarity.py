@@ -420,20 +420,50 @@ def ivf_topk(
 # ---------------------------------------------------------------------------
 
 
-def _pq_qdist(sqv: F.Column, qc: list[int]) -> F.Column:
+def _pq_qdist(sqv: F.Column, qc) -> F.Column:
     """Integer squared-L2 between a quantized subvector column and a
-    codeword literal — one JVM fold (operators/kmeans._qdist shape)."""
-    d = F.zip_with(sqv, F.lit(qc), lambda a, b: (a - b) * (a - b))
+    codeword (literal list or array column) — one JVM fold
+    (operators/kmeans._qdist shape)."""
+    qc = F.lit(qc) if isinstance(qc, list) else qc
+    d = F.zip_with(sqv, qc, lambda a, b: (a - b) * (a - b))
     return F.aggregate(d, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def _pq_codebook_entries(cents: dict) -> F.Column:
+    """The whole codebook as ONE literal array of (sub, cid, cw)
+    structs.  Keeping the codebook a single literal — instead of
+    unrolling one distance-expression tree per codeword into a
+    when-chain — matters twice over: the plan stays small (the 64-tree
+    form cost ~3.5s of driver planning/codegen per fresh DataFrame at
+    m=4 x ksub=8, measured), and an unrolled scalar form blows the JVM
+    64KB codegen method limit outright (the bucket_expr rejection,
+    re-confirmed here)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("int").alias("sub"),
+                F.lit(cid).cast("int").alias("cid"),
+                F.lit(list(cw)).alias("cw"),
+            )
+            for (s, cid), cw in sorted(cents.items())
+        ]
+    )
 
 
 def _pq_quantized(
     df: DataFrame, id_col: str, vec_col: str, dim: int, scale: int
 ) -> DataFrame:
     """(id, __qv) — int64 fixed-point vectors; mis-sized vectors drop
-    (the NULL-gate discipline of bucket_expr)."""
+    (the NULL-gate discipline of bucket_expr).
+
+    The size gate tests the RAW vector column, not __qv: transform()
+    preserves length, and a filter on the derived alias gets substituted
+    through the projection by predicate pushdown — re-running the whole
+    interpreted quantize lambda once per row just to measure its length
+    (and below the ensure_parallelism exchange, on the un-split scan)."""
     return (
         ensure_parallelism(df)
+        .filter(F.size(F.col(vec_col)) == dim)
         .select(
             F.col(id_col),
             F.transform(
@@ -441,16 +471,22 @@ def _pq_quantized(
                 lambda x: F.round(x.cast("double") * scale).cast("long"),
             ).alias("__qv"),
         )
-        .filter(F.size("__qv") == dim)
     )
 
 
 def _pq_sub_rows(q: DataFrame, id_col: str, m: int, dsub: int) -> DataFrame:
     """(id, sub, sqv) — each vector split into its m subvectors (one
-    narrow explode, x m rows of 1/m-size payload: net zero data growth)."""
+    narrow explode, x m rows of 1/m-size payload: net zero data growth).
+
+    explode_outer, not explode: InferFiltersFromGenerate would bolt a
+    size(...)>0 filter onto a plain explode whose child is this whole
+    derived struct array, re-evaluating the quantize+slice pipeline a
+    second time per row (the dsir_llr_weights trap, measured there at
+    6x).  The array is never empty (m >= 1), so outer semantics are
+    identical and the rule skips it."""
     return q.select(
         F.col(id_col),
-        F.explode(
+        F.explode_outer(
             F.array(
                 *[
                     F.struct(
@@ -467,28 +503,25 @@ def _pq_sub_rows(q: DataFrame, id_col: str, m: int, dsub: int) -> DataFrame:
 
 
 def _pq_assign_expr(cents: dict, m: int) -> F.Column:
-    """Best-codeword id for a (sub, sqv) row: per-sub argmin over the
-    codebook as array_min of k (d, cid) structs, selected by a
-    when-chain on sub — a narrow expression, no join
-    (kmeans.kmeans_train's assign step, per subspace).  The cid field is
-    extracted per-sub BEFORE the when-chain (merging struct columns
-    through when/otherwise drops field names)."""
-    code = None
-    for s in range(m):
-        cids = sorted(cid for (ss, cid) in cents if ss == s)
-        b = F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        _pq_qdist(F.col("sqv"), cents[(s, cid)]).alias("d"),
-                        F.lit(cid).alias("cid"),
-                    )
-                    for cid in cids
-                ]
-            )
-        )["cid"]
-        code = b if code is None else F.when(F.col("sub") == s, b).otherwise(code)
-    return code
+    """Best-codeword id for a (sub, sqv) row: argmin over the row's
+    subspace slice of the literal codebook array — filter the (sub,
+    cid, cw) entries to this row's sub, map each to a (d, cid) struct
+    (struct ordering = distance then lowest cid, the kmeans tie rule),
+    take array_min — ONE narrow expression, no join, no when-chain.
+    See _pq_codebook_entries for why the codebook rides as a single
+    literal (measured 6x: 0.27s vs 1.62s per encode at sf0.1)."""
+    entries = _pq_codebook_entries(cents)
+    mine = F.filter(entries, lambda e: e["sub"] == F.col("sub"))
+    best = F.array_min(
+        F.transform(
+            mine,
+            lambda e: F.struct(
+                _pq_qdist(F.col("sqv"), e["cw"]).alias("d"),
+                e["cid"].alias("cid"),
+            ),
+        )
+    )
+    return best["cid"]
 
 
 def pq_train_codebooks(
@@ -610,21 +643,23 @@ def pq_topk(
     )
     dsub = dim // m
     qq = _pq_quantized(queries, id_col, vec_col, dim, scale)
+    # explode_outer: the _pq_sub_rows inferred-filter rationale — the
+    # per-query ADC table array is never empty
     adc = qq.select(
         F.col(id_col).alias("query_id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("sub"),
-                        F.lit(cid).cast("int").alias("code"),
-                        _pq_qdist(
-                            F.slice(F.col("__qv"), s * dsub + 1, dsub),
-                            cents[(s, cid)],
-                        ).alias("pd"),
-                    )
-                    for (s, cid) in sorted(cents)
-                ]
+        F.explode_outer(
+            F.transform(
+                _pq_codebook_entries(cents),
+                lambda e: F.struct(
+                    e["sub"].alias("sub"),
+                    e["cid"].alias("code"),
+                    _pq_qdist(
+                        F.slice(
+                            F.col("__qv"), e["sub"] * dsub + 1, F.lit(dsub)
+                        ),
+                        e["cw"],
+                    ).alias("pd"),
+                ),
             )
         ).alias("__e"),
     ).select(

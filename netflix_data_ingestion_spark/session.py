@@ -68,6 +68,24 @@ def build_session(
         # removes the sort outright; Spark still falls back to sorted
         # spill if a task ever sees more partitions than this.
         .config("spark.sql.maxConcurrentOutputFileWriters", "16")
+        # InferFiltersFromGenerate bolts size(child)>0 onto every plain
+        # explode().  When the generator child is a DERIVED array (this
+        # engine's dominant explode shape: shingles(tokens(text)),
+        # word_ngrams, hashed-feature transforms), that inferred filter
+        # duplicates the whole interpreted expression tree once per
+        # input row — and predicate pushdown then sinks it below the
+        # ensure_parallelism exchange onto the unsplit scan, running it
+        # single-task (measured on doc_dsir_weights: count pass 7.8s vs
+        # 1.3s at sf0.1).  The rule's only benefit — pre-pruning rows
+        # whose arrays are empty — is negligible here because explode
+        # drops them anyway and our generates sit directly over scans.
+        # Hot operators additionally use explode_outer (which the rule
+        # skips) so they stay fast under vanilla sessions too.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer."
+            "InferFiltersFromGenerate",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
