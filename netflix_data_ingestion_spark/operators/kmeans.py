@@ -41,11 +41,13 @@ from pyspark.sql import functions as F
 from netflix_data_ingestion_spark.operators.util import ensure_parallelism
 
 
-def _qdist(qv: Column, qc: list[int]) -> Column:
+def _qdist(qv: Column, qc) -> Column:
     """Integer squared L2 between a quantized vector column and a
-    quantized centroid literal — a single JVM fold, exact int64."""
+    quantized centroid (literal list or array column) — a single JVM
+    fold, exact int64."""
+    qc = F.lit(qc) if isinstance(qc, list) else qc
     d = F.zip_with(
-        qv, F.lit(qc), lambda a, b: (a - b) * (a - b)
+        qv, qc, lambda a, b: (a - b) * (a - b)
     )
     return F.aggregate(d, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
@@ -80,16 +82,30 @@ def kmeans_train(
     }
 
     def assign(frame: DataFrame) -> DataFrame:
-        structs = F.array(
+        # the centroid model rides as ONE literal array of (cid, cw)
+        # structs with a transform-fold argmin over it, not one
+        # distance tree per centroid: per-centroid trees cost seconds
+        # of driver planning/codegen per fresh DataFrame and the plan
+        # is rebuilt iters+1 times (the similarity.py PQ codebook
+        # finding, measured 6x there; same fix here)
+        entries = F.array(
             *[
                 F.struct(
-                    _qdist(F.col("__qv"), qc).alias("d"),
-                    F.lit(cid).alias("cid"),
+                    F.lit(cid).cast("int").alias("cid"),
+                    F.lit(list(qc)).alias("cw"),
                 )
                 for cid, qc in sorted(cents.items())
             ]
         )
-        best = F.array_min(structs)
+        best = F.array_min(
+            F.transform(
+                entries,
+                lambda e: F.struct(
+                    _qdist(F.col("__qv"), e["cw"]).alias("d"),
+                    e["cid"].alias("cid"),
+                ),
+            )
+        )
         return frame.select(
             id_col,
             "__qv",
