@@ -615,3 +615,54 @@ def dsir_llr_weights(
             lambda acc, b: acc + F.element_at(m, b),
         ).alias("dsir_llr_micro"),
     )
+
+
+def dsir_gumbel_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target,
+    n: int,
+    hex_chars: int = 2,
+    salt: str = "dsir-v1",
+) -> DataFrame:
+    """(id, is_target, dsir_llr_micro, gumbel_key_micro) — the DSIR
+    RESAMPLE itself: the n documents a quality-targeted pretraining mix
+    would actually keep, drawn without replacement with probability
+    proportional to exp(llr) via the Gumbel-top-k trick — argtop-n of
+    (llr + Gumbel noise) is an exact sample from the softmax of the
+    scores, and both terms here are integer micro-nats, so the draw is
+    bit-reproducible on any engine, partitioning, or run.
+
+    The noise is Gumbel(0,1) in micro-nats from the md5 uniform
+    (``bernoulli_mix``'s portable pseudo-randomness): u = (h32 + 0.5) /
+    2^32, g = round(-ln(-ln(u)) * 1e6) — round-6 kills last-ulp ln()
+    divergence (the lm.py pin), and h32 + 0.5 is exact in double.
+    Distinct salts give independent draws.
+
+    Scale: dsir_llr_weights' two narrow passes plus ONE
+    TakeOrderedAndProject (per-partition top-n, driver merges n rows) —
+    no full sort, no shuffle beyond the model-sized count exchange.
+    """
+    w = dsir_llr_weights(df, id_col, text_col, target, hex_chars)
+    h32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}|"), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h32.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    g = F.round(-F.log(-F.log(u)) * 1e6).cast("long")
+    return (
+        w.select(
+            id_col,
+            "is_target",
+            "dsir_llr_micro",
+            (F.col("dsir_llr_micro") + g).alias("gumbel_key_micro"),
+        )
+        .orderBy(F.col("gumbel_key_micro").desc(), F.col(id_col))
+        .limit(n)
+    )

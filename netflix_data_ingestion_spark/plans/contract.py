@@ -1094,9 +1094,9 @@ REGISTRY = {
 
 # ---------------------------------------------------------------------------
 # ROUND-11 ROTATION DRAFT (apply at the START of round 11: rebind
-# _APPLIED_ROTATION to this list and re-run the head reorder).  The five
+# _APPLIED_ROTATION to this list and re-run the head reorder).  The six
 # round-10 tail additions first (registered at the tail this round so the
-# frozen r10 window stayed byte-identical to the r9-drafted plan; ALL FIVE
+# frozen r10 window stayed byte-identical to the r9-drafted plan; ALL SIX
 # oracle-checked at sf0.01 AND sf0.1 locally at add time), then the oldest
 # remaining driver rows (latest sampling r7) in registry order, computed
 # from CORRECTNESS_r01..r09 + the applied r10 window — after this window
@@ -1109,6 +1109,7 @@ _VERIFY_ROUND11: list[str] = [
     "events_throttled_daily_stream",
     "multimodal_jpeg_progressive",
     "doc_dsir_weights",
+    "doc_dsir_resample",
     # oldest remaining driver rows (latest sampling r7), registry order
     "dedup_simhash",
     "ann_lsh_topk",
@@ -1154,5 +1155,4 @@ _VERIFY_ROUND11: list[str] = [
     "user_hll_registers",
     "dedup_semantic",
     "doc_inverted_index",
-    "doc_chunk_text",
 ]

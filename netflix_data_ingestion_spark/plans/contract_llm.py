@@ -5875,6 +5875,82 @@ ORDER BY doc_id
 """
 
 
+def q_doc_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/sample.dsir_gumbel_topk: the DSIR resample itself —
+    the 100 documents a quality-targeted mix keeps, drawn without
+    replacement with probability proportional to exp(llr) via
+    Gumbel-top-k (argtop-n of llr + Gumbel noise samples the softmax
+    exactly), with the noise in integer micro-nats from the md5
+    uniform so the draw is bit-reproducible across engines.  Completes
+    the selection story doc_dsir_weights starts: weights -> actual
+    kept set.
+
+    Plan: dsir's two narrow passes + one TakeOrderedAndProject
+    (per-partition top-n, no full sort)."""
+    from netflix_data_ingestion_spark.operators.sample import (
+        dsir_gumbel_topk,
+    )
+    from netflix_data_ingestion_spark.operators.util import (
+        ensure_parallelism,
+    )
+
+    docs = ensure_parallelism(
+        _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    )
+    return dsir_gumbel_topk(
+        docs, "doc_id", "text", F.col("lang") == F.lit("en"), n=100
+    ).orderBy(F.col("gumbel_key_micro").desc(), F.col("doc_id"))
+
+
+ORACLE_DSIR_RESAMPLE = """
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS is_target,
+         list_filter(string_split_regex(lower(coalesce(text, '')),
+                                        '[^a-z0-9]+'), x -> x <> '') AS tk
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, is_target, f FROM toks, unnest(tk) AS u(f)
+  UNION ALL
+  SELECT doc_id, is_target, array_to_string(tk[i:i+1], ' ')
+  FROM toks, unnest(range(1, len(tk))) AS r(i)
+),
+bk AS (SELECT doc_id, is_target, substr(md5(f), 1, 2) AS bk FROM feats),
+counts AS (
+  SELECT bk,
+         CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         CAST(count(*) AS BIGINT) AS cr
+  FROM bk GROUP BY 1
+),
+tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
+               CAST(sum(cr) AS BIGINT) AS tr FROM counts),
+llr AS (
+  SELECT bk,
+         CAST(round((ln((ct + 1) / (tt + 256))
+                     - ln((cr + 1) / (tr + 256))) * 1e6) AS BIGINT) AS w
+  FROM counts, tot
+),
+doc AS (
+  SELECT b.doc_id, CAST(sum(w) AS BIGINT) AS s
+  FROM bk b JOIN llr USING (bk) GROUP BY 1
+),
+keyed AS (
+  SELECT t.doc_id, t.is_target,
+         coalesce(d.s, 0) AS dsir_llr_micro,
+         coalesce(d.s, 0)
+         + CAST(round(-ln(-ln(
+             ((('0x' || substr(md5('dsir-v1|' || t.doc_id::VARCHAR), 1, 8)
+               )::BIGINT)::DOUBLE + 0.5) / 4294967296.0
+           )) * 1e6) AS BIGINT) AS gumbel_key_micro
+  FROM toks t LEFT JOIN doc d USING (doc_id)
+)
+SELECT doc_id, is_target, dsir_llr_micro, gumbel_key_micro
+FROM keyed
+ORDER BY gumbel_key_micro DESC, doc_id
+LIMIT 100
+"""
+
+
 REGISTRY_LLM = {
     "corpus_bpe_merges": (q_corpus_bpe_merges, ORACLE_BPE_MERGES),
     "embedding_top_pc": (q_embedding_top_pc, ORACLE_TOP_PC),
@@ -6048,4 +6124,5 @@ REGISTRY_LLM = {
     # selection primitive (hashed-ngram LLR vs a reference slice) the
     # mixture/curation family was missing
     "doc_dsir_weights": (q_doc_dsir_weights, ORACLE_DSIR_WEIGHTS),
+    "doc_dsir_resample": (q_doc_dsir_resample, ORACLE_DSIR_RESAMPLE),
 }

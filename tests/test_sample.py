@@ -273,3 +273,51 @@ def test_dsir_llr_weights_join_path_identical(spark):
         df, "doc_id", "text", F.col("t"), join_path=True
     ).orderBy("doc_id")
     assert a.collect() == b.collect()
+
+
+def test_dsir_gumbel_topk_softmax_draw(spark):
+    """Gumbel-top-k must equal a from-first-principles replication
+    (same md5 uniform, same micro-nat rounding) and behave like a
+    softmax draw: n larger than the corpus returns everything, and the
+    kept set is deterministic across invocations."""
+    import hashlib
+    import math
+
+    from netflix_data_ingestion_spark.operators.sample import (
+        dsir_gumbel_topk,
+        dsir_llr_weights,
+    )
+
+    rows = [
+        (i, ("good " * 20).strip() if i % 2 else ("bad " * 20).strip(),
+         bool(i % 2))
+        for i in range(1, 21)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, t boolean")
+    out = dsir_gumbel_topk(df, "doc_id", "text", F.col("t"), n=8).collect()
+    assert len(out) == 8
+
+    # replicate the key: llr (trusted — pinned by the weights test) +
+    # Gumbel micro-nats from md5("dsir-v1|id")
+    llr = {
+        r["doc_id"]: r["dsir_llr_micro"]
+        for r in dsir_llr_weights(df, "doc_id", "text", F.col("t")).collect()
+    }
+
+    def gumbel(i):
+        h = int(hashlib.md5(f"dsir-v1|{i}".encode()).hexdigest()[:8], 16)
+        u = (h + 0.5) / 4294967296.0
+        return round(-math.log(-math.log(u)) * 1e6)
+
+    keys = sorted(
+        ((llr[i] + gumbel(i), i) for i, _, _ in rows),
+        key=lambda t: (-t[0], t[1]),
+    )
+    expect = [(i, k) for k, i in keys[:8]]
+    got = [(r["doc_id"], r["gumbel_key_micro"]) for r in out]
+    assert sorted(got) == sorted(expect)
+    # n >= corpus returns every doc
+    assert len(dsir_gumbel_topk(df, "doc_id", "text", F.col("t"), n=99).collect()) == 20
+    # deterministic re-draw
+    again = [r["doc_id"] for r in dsir_gumbel_topk(df, "doc_id", "text", F.col("t"), n=8).collect()]
+    assert sorted(again) == sorted(r["doc_id"] for r in out)
