@@ -528,6 +528,10 @@ def dsir_llr_weights(
     bucks = F.transform(
         feats, lambda f: F.substring(F.md5(f), 1, hex_chars)
     )
+    # both passes pay the interpreted feature pipeline per row — a
+    # one-split parquet input must not serialize that on one task
+    # (quota_sample's convention: the operator owns its parallelism)
+    df = ensure_parallelism(df)
     base = df.select(
         F.col(id_col),
         F.col(id_col).alias("__id"),

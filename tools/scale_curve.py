@@ -181,6 +181,20 @@ def ops(spark, sf_dir: str, copies: int):
     def exact_dd():
         return exact_dedup(docs, "doc_id", "text").count()
 
+    def dsir():
+        # dsir_llr_weights shape (r10): one count pass (feature explode
+        # partial-aggregated to <=256 bucket rows pre-exchange) + one
+        # narrow map-literal score fold — expected ~linear in token
+        # volume, parallelism-absorbed
+        from netflix_data_ingestion_spark.operators.sample import (
+            dsir_llr_weights,
+        )
+        from pyspark.sql import functions as F
+
+        return dsir_llr_weights(
+            docs, "doc_id", "text", F.col("lang") == F.lit("en")
+        ).count()
+
     def cosine_dd():
         # the documented corpus-size knob: planes grows with log4(n) so
         # expected bucket occupancy stays constant — without it the
@@ -409,6 +423,7 @@ def ops(spark, sf_dir: str, copies: int):
         "ntile_ranged(customer)": (copies * 15_000, ntile),
         "cooldown_throttle(events)": (copies * 100_000, cooldown),
         "exact_dedup(documents)": (copies * 5_000, exact_dd),
+        "dsir_llr(documents)": (copies * 5_000, dsir),
         "prefix_jaccard(documents)": (copies * 5_000, prefix_jaccard),
         "containment(documents)": (copies * 5_000, containment),
         "cosine_lsh_dedup(embeddings)": (copies * 2_000, cosine_dd),
