@@ -321,3 +321,33 @@ def test_dsir_gumbel_topk_softmax_draw(spark):
     # deterministic re-draw
     again = [r["doc_id"] for r in dsir_gumbel_topk(df, "doc_id", "text", F.col("t"), n=8).collect()]
     assert sorted(again) == sorted(r["doc_id"] for r in out)
+
+
+def test_dsir_weights_partitioning_invariant(spark):
+    """Both dsir passes (count collect, score fold) must give the
+    byte-identical frame under any input partitioning — the two-pass
+    structure may not depend on split layout (the ffill
+    deterministic-source hazard class, pinned absent here)."""
+    from netflix_data_ingestion_spark.operators.sample import (
+        dsir_llr_weights,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (i, f"alpha{i % 5} beta{(i * 7) % 11} gamma{i % 3}", i % 4 == 0)
+            for i in range(200)
+        ],
+        "doc_id long, text string, t boolean",
+    )
+    a = dsir_llr_weights(df, "doc_id", "text", F.col("t")).orderBy("doc_id").collect()
+    b = (
+        dsir_llr_weights(df.repartition(7), "doc_id", "text", F.col("t"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    c = (
+        dsir_llr_weights(df.coalesce(1), "doc_id", "text", F.col("t"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert a == b == c
