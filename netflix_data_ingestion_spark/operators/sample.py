@@ -611,12 +611,18 @@ def dsir_llr_weights(
             *out_cols, F.lit(0).cast("long").alias("dsir_llr_micro")
         )
     m = F.create_map(*kv)
+    # try_element_at + coalesce: with a deterministic source every bucket
+    # key is present (both passes scan the same input), but a
+    # non-deterministic source could surface a key unseen by the count
+    # pass — plain element_at would raise MAP_KEY_DOES_NOT_EXIST under
+    # Spark 4's default ANSI mode; score it 0 like the join path does.
     return base.select(
         *out_cols,
         F.aggregate(
             "__bk",
             F.lit(0).cast("long"),
-            lambda acc, b: acc + F.element_at(m, b),
+            lambda acc, b: acc
+            + F.coalesce(F.try_element_at(m, b), F.lit(0).cast("long")),
         ).alias("dsir_llr_micro"),
     )
 

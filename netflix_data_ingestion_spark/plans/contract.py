@@ -1006,15 +1006,11 @@ _VERIFY_ROUND9: list[str] = [
 ]
 
 # ---------------------------------------------------------------------------
-# Round-10 rotation APPLIED: _VERIFY_ROUND10 becomes the registry head (the
-# driver samples the first 50 names).  After this window every registry
-# query's most recent driver row is r7, r8, r9 or r10.
-#
-# _APPLIED_ROTATION is the single source of truth for "which window is the
-# current registry head" — tests assert the head against THIS name so the
-# assertion can never go stale when a future round advances the window
-# (round-7 lesson: tests/test_entry_contract.py pinned the r6 list by name
-# and went red when 422ad6f applied the r7 head).
+# Round-10 head window (was the applied rotation in round 10; superseded by
+# the round-11 rotation below — kept for the audit trail).  The driver
+# samples the first 50 registry names each round (round-7 lesson:
+# tests/test_entry_contract.py must pin the head via _APPLIED_ROTATION, not
+# a round-named list, so the assertion can't go stale).
 #
 # Round-10 head window (drafted in round 8/9, applied at round-10 start).
 # The eight round-9 tail additions first (registered at the tail in r9 so
@@ -1081,26 +1077,18 @@ _VERIFY_ROUND10: list[str] = [
     "dedup_minhash_lsh",
 ]
 
-_APPLIED_ROTATION = _VERIFY_ROUND10
-
-REGISTRY = {
-    **{name: REGISTRY[name] for name in _APPLIED_ROTATION},
-    **{
-        name: spec
-        for name, spec in REGISTRY.items()
-        if name not in _APPLIED_ROTATION
-    },
-}
-
 # ---------------------------------------------------------------------------
-# ROUND-11 ROTATION DRAFT (apply at the START of round 11: rebind
-# _APPLIED_ROTATION to this list and re-run the head reorder).  The six
-# round-10 tail additions first (registered at the tail this round so the
-# frozen r10 window stayed byte-identical to the r9-drafted plan; ALL SIX
-# oracle-checked at sf0.01 AND sf0.1 locally at add time), then the oldest
-# remaining driver rows (latest sampling r7) in registry order, computed
-# from CORRECTNESS_r01..r09 + the applied r10 window — after this window
-# every registry query's latest driver row is r8, r9, r10 or r11.
+# Round-11 rotation APPLIED (drafted in round 10).  The six round-10 tail
+# additions first (registered at the tail in r10 so the frozen r10 window
+# stayed byte-identical to the r9-drafted plan; ALL SIX oracle-checked at
+# sf0.01 AND sf0.1 locally at add time AND independently re-verified at both
+# SFs by the r10 judge), then the oldest remaining driver rows (latest
+# sampling r7) in registry order, computed from CORRECTNESS_r01..r09 + the
+# applied r10 window.  NOTE (r10 advice): 46 r7-era rows remain but the
+# window holds 50 − 6 = 44, so TWO r7-era queries (doc_chunk_text,
+# doc_stratified_sample) slip to round 12 — they lead _VERIFY_ROUND12 below.
+# After this window every registry query's latest driver row is r8–r11
+# EXCEPT those two (still r7).
 # ---------------------------------------------------------------------------
 _VERIFY_ROUND11: list[str] = [
     # round-10 additions, never driver-sampled
@@ -1155,4 +1143,31 @@ _VERIFY_ROUND11: list[str] = [
     "user_hll_registers",
     "dedup_semantic",
     "doc_inverted_index",
+]
+
+# _APPLIED_ROTATION is the single source of truth for "which window is the
+# current registry head" — tests assert the head against THIS name so the
+# assertion can never go stale when a future round advances the window.
+_APPLIED_ROTATION = _VERIFY_ROUND11
+
+REGISTRY = {
+    **{name: REGISTRY[name] for name in _APPLIED_ROTATION},
+    **{
+        name: spec
+        for name, spec in REGISTRY.items()
+        if name not in _APPLIED_ROTATION
+    },
+}
+
+# ---------------------------------------------------------------------------
+# ROUND-12 ROTATION DRAFT (apply at the START of round 12: rebind
+# _APPLIED_ROTATION to this list).  The two r7-era rows that slipped out of
+# the r11 window lead (doc_chunk_text, doc_stratified_sample — latest driver
+# sampling r7); any round-11 tail additions should be inserted after them at
+# round-12 start, followed by the oldest remaining r8-era rows in registry
+# order to fill the 50-name window.
+# ---------------------------------------------------------------------------
+_VERIFY_ROUND12_HEAD: list[str] = [
+    "doc_chunk_text",
+    "doc_stratified_sample",
 ]

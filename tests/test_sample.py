@@ -10,6 +10,17 @@ from netflix_data_ingestion_spark.operators.sample import (
 )
 
 
+def _half_up(x: float) -> int:
+    """Replicate Spark's F.round on a double EXACTLY: Java
+    BigDecimal.valueOf(double) (shortest decimal repr, like Python's
+    repr) rounded HALF_UP (ties away from zero) — Python's built-in
+    round() is banker's rounding and would diverge on an exact .5
+    micro-nat boundary."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(Decimal(repr(x)).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+
 def test_quota_sample_caps_and_determinism(spark):
     df = spark.createDataFrame(
         [(i, f"s{i % 3}") for i in range(90)], "doc_id long, source string"
@@ -234,7 +245,7 @@ def test_dsir_llr_weights_hand_computed(spark):
                 ct[b] = ct.get(b, 0) + 1
     tt, tr = sum(ct.values()), sum(cr.values())
     llr = {
-        b: round(
+        b: _half_up(
             (
                 math.log((ct.get(b, 0) + 1) / (tt + 256))
                 - math.log((cr[b] + 1) / (tr + 256))
@@ -307,7 +318,7 @@ def test_dsir_gumbel_topk_softmax_draw(spark):
     def gumbel(i):
         h = int(hashlib.md5(f"dsir-v1|{i}".encode()).hexdigest()[:8], 16)
         u = (h + 0.5) / 4294967296.0
-        return round(-math.log(-math.log(u)) * 1e6)
+        return _half_up(-math.log(-math.log(u)) * 1e6)
 
     keys = sorted(
         ((llr[i] + gumbel(i), i) for i, _, _ in rows),
