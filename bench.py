@@ -73,6 +73,18 @@ def main() -> None:
     def _warm_py(batches):
         import numpy  # noqa: F401 — import cost is the point
 
+        # ...and the package's pure-Python codec/operator modules the
+        # Arrow stages import per worker (same session-scoped one-time
+        # cost class as the numpy import)
+        from netflix_data_ingestion_spark.operators import (  # noqa: F401
+            audio,
+            avi,
+            gif,
+            jpeg,
+            mp4,
+            multimodal,
+        )
+
         yield from batches
 
     spark.range(64).repartition(32).mapInPandas(_warm_py, "id long").collect()
@@ -83,9 +95,25 @@ def main() -> None:
 
     for t in TESTDATA_TABLES:
         try:
-            read_table(spark, SF_DIR, t).limit(1).collect()
+            # full-scan noop write: warms footers AND the data pages
+            # (page cache) so whichever query happens to touch a table
+            # first isn't charged the one-time first-touch IO
+            read_table(spark, SF_DIR, t).write.format("noop").mode(
+                "overwrite"
+            ).save()
         except Exception:
             pass  # missing table: the queries that need it will surface it
+
+    # staged quantizer models: trained once per corpus snapshot in
+    # production — build them up front so the *_staged rows measure the
+    # search path in both reps (training cost stays on the in-plan
+    # ann_ivf_topk / ann_pq_topk rows, which are the training record)
+    from netflix_data_ingestion_spark.plans import contract_llm
+
+    try:
+        contract_llm.warm_staged_models(spark, SF_DIR)
+    except Exception:
+        pass  # missing embeddings table: the staged rows will surface it
     names = BENCH_QUERIES or list(REGISTRY)
 
     import gc

@@ -1569,6 +1569,19 @@ def _staged_pq_codebooks(spark: SparkSession, sf_dir: str) -> dict:
     return {(r["sub"], r["code"]): list(r["codeword"]) for r in rows}
 
 
+def warm_staged_models(spark: SparkSession, sf_dir: str) -> None:
+    """Train-and-persist the staged quantizer models ahead of time.
+
+    At 100 TB these models are trained once per corpus snapshot and
+    persisted; within one process the first `*_staged` invocation pays
+    the build.  Benchmarks call this during session warm-up so the
+    staged rows measure what they claim to measure (the search path
+    alone) in BOTH reps — the training cost itself stays on the
+    deliberate in-plan twins (ann_ivf_topk / ann_pq_topk)."""
+    _staged_ivf_centroids(spark, sf_dir)
+    _staged_pq_codebooks(spark, sf_dir)
+
+
 def q_ann_ivf_topk_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ann_ivf_topk against a PRE-STAGED coarse quantizer: the persisted
     16-row centroid parquet (trained once per process by
@@ -4451,6 +4464,82 @@ ORDER BY user_id, day
 """
 
 
+def q_events_tumbling_window_stream(spark: SparkSession, sf_dir: str
+                                    ) -> DataFrame:
+    """The watermark/event-time-window surface driven through the
+    driver gate: read the static events parquet as a file-source
+    stream, run a WATERMARKED tumbling-window aggregate (1-hour
+    windows, 2-hour watermark) in APPEND mode under an availableNow
+    trigger into a memory sink.  Append mode emits exactly the CLOSED
+    windows — those whose end <= final watermark = max(ts) - 2h
+    (pinned empirically and by the stream==batch equality test) — so
+    the oracle is the batch tumbling aggregate restricted to that
+    boundary.  Unlike the throttle row (which neutralizes the
+    watermark with a ~20y horizon), the watermark here is
+    LOAD-BEARING: it is the append-mode emission gate.
+
+    Batching-invariance of the contract: per-window counts and the
+    int64 user_id sum accumulate in state (exact integer arithmetic,
+    order-free), and the emission set depends only on the GLOBAL max
+    event time; the single-file source makes availableNow one data
+    micro-batch, so the between-batch late-drop path (the one
+    batch-split-dependent behavior of a real watermark) cannot fire.
+    The no-data flush batch that follows performs the final emission.
+
+    Plan: one (window)-keyed shuffle with map-side partial aggregation
+    (the streaming twin of q_events_tumbling_window's shape); the
+    memory-sink drain is result-sized."""
+    import os
+
+    from netflix_data_ingestion_spark.streaming.ingest import (
+        run_to_memory,
+    )
+
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    reader = (
+        spark.readStream.format("parquet")
+        .schema(_t(spark, sf_dir, "events").schema)
+    )
+    if os.path.isdir(ev_path):
+        reader = reader.option("path", ev_path)
+    else:
+        reader = reader.option("path", sf_dir).option(
+            "pathGlobFilter", "events.parquet"
+        )
+    src = reader.load().withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        src.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("event_count"),
+            F.sum("user_id").cast("long").alias("user_id_sum"),
+        )
+        .select(
+            # cast back to NTZ: the session is pinned UTC, so this
+            # restores the exact wall times the DuckDB oracle sees
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_count",
+            "user_id_sum",
+        )
+    )
+    _STREAM_RUN_SEQ[0] += 1
+    name = f"__tumbling_window_stream_{os.getpid()}_{_STREAM_RUN_SEQ[0]}"
+    run_to_memory(agg, name, output_mode="append")
+    return spark.table(name).orderBy("window_start")
+
+
+ORACLE_TUMBLING_STREAM = """
+SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+       COUNT(*) AS event_count,
+       SUM(user_id)::BIGINT AS user_id_sum
+FROM events
+GROUP BY 1
+HAVING window_start + INTERVAL 1 HOUR
+       <= (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
+ORDER BY window_start
+"""
+
+
 def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-row (n_true, n_found, recall) — the production dedup path's
     MEASURED recall against the exhaustive all-pairs ground truth on a
@@ -6125,4 +6214,13 @@ REGISTRY_LLM = {
     # mixture/curation family was missing
     "doc_dsir_weights": (q_doc_dsir_weights, ORACLE_DSIR_WEIGHTS),
     "doc_dsir_resample": (q_doc_dsir_resample, ORACLE_DSIR_RESAMPLE),
+    # ...and the second driver row produced BY the streaming path: a
+    # watermarked event-time tumbling window in APPEND mode, where the
+    # watermark is the load-bearing emission gate (closed windows only)
+    # rather than neutralized — the oracle is the batch tumbling
+    # aggregate restricted to the closed-window boundary
+    "events_tumbling_window_stream": (
+        q_events_tumbling_window_stream,
+        ORACLE_TUMBLING_STREAM,
+    ),
 }

@@ -76,6 +76,41 @@ def test_tumbling_counts_match_batch(spark, source_dir):
     assert sum(got.values()) == 9  # dedup NOT applied here: 9 raw rows
 
 
+def test_tumbling_append_emits_closed_windows(spark, tmp_path):
+    """APPEND-mode watermarked tumbling windows emit exactly the CLOSED
+    set — windows whose end <= final watermark = max(ts) - delay, with
+    the boundary pinned INCLUSIVE by an event placing the watermark
+    exactly on a window end.  This is the semantics contract the
+    events_tumbling_window_stream driver row's oracle (batch tumbling
+    restricted to that boundary) relies on."""
+    rows = [
+        (i, BASE + datetime.timedelta(minutes=m), 1, "click", 1.0, "{}")
+        # max ts = minute 240 -> watermark = minute 120: [0,60) closed,
+        # [60,120) end == watermark (boundary case, emitted), [120,180)
+        # and [240,300) open
+        for i, m in enumerate([10, 70, 130, 240])
+    ]
+    d = str(tmp_path / "events_boundary")
+    df = spark.createDataFrame(rows, ingest.EVENT_SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    stream = ingest.stream_events(spark, d)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    ingest.run_to_memory(agg, "t_tumbling_append", output_mode="append")
+    got = {
+        r["window_start"]: r["n"]
+        for r in spark.sql("SELECT * FROM t_tumbling_append").collect()
+    }
+    assert got == {
+        BASE: 1,
+        BASE + datetime.timedelta(hours=1): 1,  # end == watermark: kept
+    }
+
+
 def test_streaming_dedup(spark, source_dir):
     stream = ingest.stream_events(spark, source_dir)
     ingest.run_to_memory(ingest.dedup_events(stream), "t_dedup")
