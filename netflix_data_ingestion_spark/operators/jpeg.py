@@ -15,14 +15,19 @@ Scope:
   AC refinement scans with interleaved correction bits — then ONE
   dequantize + IDCT pass at EOI (the most common quarantined payload
   class in a real web corpus's image column, now decoded real);
-- 8-bit samples, 1 or 3 components, sampling factors 1 or 2 per axis
+- 8-bit samples, plus 12-BIT samples in SOF1 extended sequential
+  (T.81 Table B.2 — the medical/scientific-corpus precision: DC DIFF
+  categories to 15, AC magnitudes to 14 per Tables F.1/F.2, level
+  shift 2^(P-1), 16-bit DQT) — output is the same int64 array with
+  0..4095 samples;
+- 1 or 3 components, sampling factors 1 or 2 per axis
   (4:4:4 / 4:2:2 / 4:4:0 / 4:2:0), Huffman coding only;
 - restart intervals (DRI + RSTn; DC predictors and EOB runs reset per
   segment, in every scan kind).
 
 Quarantined -> None, never an error (the untrusted-payload contract):
 lossless (SOF3/7), hierarchical (SOF5/6/13/14/15), arithmetic coding
-(SOF9-11), 12-bit precision, 4-component (CMYK) payloads, sampling
+(SOF9-11), 12-bit progressive, 4-component (CMYK) payloads, sampling
 factors > 2, truncated/corrupt entropy data, scans that violate the
 progressive ordering rules, and declared dimensions past the
 64M-pixel bomb cap.
@@ -214,12 +219,19 @@ def _parse(b: bytes):
                     raise ValueError("bad DHT class")
                 p += 17 + cnt
         elif marker in (0xC0, 0xC1, 0xC2):
-            # SOF0 / SOF1 (8-bit: identical) / SOF2 progressive
+            # SOF0 / SOF1 (8-bit: identical; 12-bit per T.81 Table B.2)
+            # / SOF2 progressive
             prec = seg[0]
             h, w = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
-            if prec != 8:
-                raise ValueError("only 8-bit precision")
+            if prec == 12:
+                # T.81: 12-bit is legal in extended sequential (SOF1)
+                # and progressive (SOF2) but NOT baseline (SOF0); the
+                # progressive 12-bit combination stays quarantined
+                if marker != 0xC1:
+                    raise ValueError("12-bit only in SOF1 scope")
+            elif prec != 8:
+                raise ValueError("8- or 12-bit precision only")
             if ncomp not in (1, 3):
                 raise ValueError("1 or 3 components only")
             if w <= 0 or h <= 0 or w * h > _PIXEL_CAP:
@@ -234,6 +246,7 @@ def _parse(b: bytes):
             frame = {
                 "w": w, "h": h, "comps": comps,
                 "progressive": marker == 0xC2,
+                "prec": prec,
             }
             if marker == 0xC2:
                 _prog_init(np, frame)
@@ -277,6 +290,7 @@ def _decode_scan(
     np, frame, scan, qt, huff_dc, huff_ac, restart_interval, segs
 ):
     w, h, comps = frame["w"], frame["h"], frame["comps"]
+    prec = frame.get("prec", 8)
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
@@ -290,6 +304,11 @@ def _decode_scan(
         c["dc"] = huff_dc[dc_t]
         c["ac"] = huff_ac[ac_t]
         c["q"] = qt[c["tq"]]
+        # T.81 Tables F.1/F.2: DC DIFF categories reach 15 and AC
+        # magnitudes 14 at 12-bit (11 / 10 at 8-bit); level shift is
+        # 2^(P-1) (A.3.1)
+        c["max_dc_s"] = 15 if prec == 12 else 11
+        c["center"] = float(1 << (prec - 1))
         c["plane"] = np.zeros(
             (mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64
         )
@@ -322,13 +341,17 @@ def _decode_scan(
             mcu_count += 1
     if mcu_count != total_mcus:
         raise ValueError("MCU count mismatch")
-    return _finish_planes(np, w, h, comps, hmax, vmax)
+    return _finish_planes(np, w, h, comps, hmax, vmax, prec)
 
 
-def _finish_planes(np, w, h, comps, hmax, vmax):
+def _finish_planes(np, w, h, comps, hmax, vmax, prec: int = 8):
     """Crop each component plane, replicate-upsample to full resolution,
     and convert to the output pixel array (shared by the baseline and
-    progressive paths)."""
+    progressive paths).  At 12-bit the chroma center and clip range
+    scale to 2^(P-1) / 2^P - 1 (JFIF YCbCr constants are
+    precision-independent)."""
+    center = float(1 << (prec - 1))
+    maxval = (1 << prec) - 1
     planes = []
     for c in comps:
         compw = (w * c["h"] + hmax - 1) // hmax
@@ -339,17 +362,17 @@ def _finish_planes(np, w, h, comps, hmax, vmax):
         )[:h, :w]
         planes.append(p)
     if len(planes) == 1:
-        gray = np.clip(np.round(planes[0]), 0, 255).astype(np.int64)
+        gray = np.clip(np.round(planes[0]), 0, maxval).astype(np.int64)
         return "jpeg", gray
     y, cb, cr = planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    bl = y + 1.772 * (cb - 128.0)
+    r = y + 1.402 * (cr - center)
+    g = y - 0.344136 * (cb - center) - 0.714136 * (cr - center)
+    bl = y + 1.772 * (cb - center)
     px = np.stack(
         [
-            np.clip(np.round(r), 0, 255),
-            np.clip(np.round(g), 0, 255),
-            np.clip(np.round(bl), 0, 255),
+            np.clip(np.round(r), 0, maxval),
+            np.clip(np.round(g), 0, maxval),
+            np.clip(np.round(bl), 0, maxval),
         ],
         axis=2,
     ).astype(np.int64)
@@ -562,7 +585,7 @@ def _prog_finish(np, frame, qt):
 def _decode_block(np, bits: _Bits, c) -> "object":
     coef = np.zeros(64, dtype=np.float64)
     s = _huff_decode(bits, c["dc"])
-    if s > 11:
+    if s > c.get("max_dc_s", 11):
         raise ValueError("bad DC magnitude")
     diff = _extend(bits.receive(s), s)
     c["pred"] += diff
@@ -582,7 +605,7 @@ def _decode_block(np, bits: _Bits, c) -> "object":
         coef[ZIGZAG[k]] = _extend(bits.receive(s), s) * c["q"][k]
         k += 1
     f = coef.reshape(8, 8)
-    return _A.T @ f @ _A + 128.0
+    return _A.T @ f @ _A + c.get("center", 128.0)
 
 
 def decode_jpeg(b: bytes):
@@ -663,14 +686,16 @@ def _marker_seg(marker: int, payload: bytes) -> bytes:
     )
 
 
-def _enc_quantized(px, luma_hv):
+def _enc_quantized(px, luma_hv, prec: int = 8):
     """pixels -> per-component MCU-padded grids of zigzag-order
-    quantized (all-ones table) coefficient lists, plus geometry."""
+    quantized (all-ones table) coefficient lists, plus geometry.
+    ``prec`` sets the level shift / chroma center to 2^(P-1)."""
     import numpy as np
 
     global _A
     if _A is None:
         _A = _idct_matrix()
+    center = float(1 << (prec - 1))
     gray = px.ndim == 2
     h, w = px.shape[:2]
     if gray:
@@ -681,8 +706,8 @@ def _enc_quantized(px, luma_hv):
         g = px[:, :, 1].astype(np.float64)
         b = px[:, :, 2].astype(np.float64)
         y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + center
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + center
         lh, lv = luma_hv
         if (lh, lv) != (1, 1):
             ch = (h + lv - 1) // lv
@@ -714,7 +739,7 @@ def _enc_quantized(px, luma_hv):
         for by in range(bh):
             for bx in range(bw):
                 blk = pad[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                f = _A @ (blk - 128.0) @ _A.T
+                f = _A @ (blk - center) @ _A.T
                 q = np.round(f).astype(np.int64)
                 grid[by][bx] = [int(q.flat[ZIGZAG[k]]) for k in range(64)]
         compw = (w * ch + hmax - 1) // hmax
@@ -941,5 +966,106 @@ def encode_jpeg_progressive(
     for ci in range(ncomp):
         sos([ci + 1], 1, 63, 1, 0)
         _emit_ac_refine_scan(out, comps[ci], 1, 63, 0, restart, ac_enc)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --- 12-bit extended-sequential encoder twin (T.81 Table B.2) -------------
+
+#: all 16 DC magnitude symbols (12-bit DIFF reaches category 15) at
+#: code length 5 (Kraft 16/32 <= 1)
+_E12_DC_BITS = bytes([0, 0, 0, 0, 16] + [0] * 11)
+_E12_DC_VALS = bytes(range(16))
+#: EOB, ZRL and every (run, size) with size 1..14 (12-bit AC magnitude
+#: cap per Table F.2) at length 8 — 226 codes, Kraft 226/256 <= 1
+_E12_AC_VALS = bytes(
+    [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 15)]
+)
+_E12_AC_BITS = bytes([0] * 7 + [len(_E12_AC_VALS)] + [0] * 8)
+
+
+def encode_jpeg_12bit(
+    px, luma_hv: tuple[int, int] = (1, 1), restart: int = 0
+) -> bytes:
+    """12-bit extended-sequential (SOF1) JPEG with all-ones quant
+    tables (written as a 16-bit DQT, which 12-bit requires) and a
+    single interleaved scan — the encoder twin that pins the 12-bit
+    decode path the way the baseline/progressive twins pin theirs.
+    Samples are 0..4095; the only loss is coefficient rounding, so
+    8x8-constant tiles round-trip EXACTLY.  Raises if a coefficient
+    exceeds the T.81 12-bit magnitude caps (DC DIFF category 15 /
+    AC 14) — unencodable, not silently clamped."""
+    comps, hv, h, w, mcux, mcuy = _enc_quantized(px, luma_hv, prec=12)
+    dc_enc = {
+        v: lc for lc, v in _build_huffman(_E12_DC_BITS, _E12_DC_VALS).items()
+    }
+    ac_enc = {
+        v: lc for lc, v in _build_huffman(_E12_AC_BITS, _E12_AC_VALS).items()
+    }
+    ncomp = len(comps)
+
+    out = bytearray(b"\xff\xd8")
+    # Pq=1: 16-bit table entries, all ones
+    out += _marker_seg(
+        0xDB, bytes([0x10]) + b"".join(struct.pack(">H", 1) for _ in range(64))
+    )
+    sof = bytes([12]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci, (ch, cv) in enumerate(hv):
+        sof += bytes([ci + 1, (ch << 4) | cv, 0])
+    out += _marker_seg(0xC1, sof)
+    out += _marker_seg(0xC4, bytes([0x00]) + _E12_DC_BITS + _E12_DC_VALS)
+    out += _marker_seg(0xC4, bytes([0x10]) + _E12_AC_BITS + _E12_AC_VALS)
+    if restart:
+        out += _marker_seg(0xDD, struct.pack(">H", restart))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += _marker_seg(0xDA, sos)
+
+    w_ = _BitWriter()
+    preds = [0] * ncomp
+    cnt = rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and cnt and cnt % restart == 0:
+                out += w_.flush()
+                out += _rst_marker(rst)
+                rst += 1
+                preds = [0] * ncomp
+            for ci in range(ncomp):
+                c = comps[ci]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = c["grid"][my * c["v"] + by][mx * c["h"] + bx]
+                        s, bitsv = _mag_bits(zz[0] - preds[ci])
+                        if s > 15:
+                            raise ValueError("DC diff past 12-bit cap")
+                        preds[ci] = zz[0]
+                        ln, code = dc_enc[s]
+                        w_.write(code, ln)
+                        if s:
+                            w_.write(bitsv, s)
+                        run = 0
+                        for k in range(1, 64):
+                            if zz[k] == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                ln, code = ac_enc[0xF0]
+                                w_.write(code, ln)
+                                run -= 16
+                            s, bitsv = _mag_bits(zz[k])
+                            if s > 14:
+                                raise ValueError("AC past 12-bit cap")
+                            ln, code = ac_enc[(run << 4) | s]
+                            w_.write(code, ln)
+                            w_.write(bitsv, s)
+                            run = 0
+                        if run:
+                            ln, code = ac_enc[0x00]
+                            w_.write(code, ln)
+            cnt += 1
+    out += w_.flush()
     out += b"\xff\xd9"
     return bytes(out)

@@ -2614,6 +2614,88 @@ ORDER BY media_id
 """
 
 
+def q_multimodal_jpeg_12bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 12-bit extended-sequential (SOF1) JPEG end-to-end,
+    hash-checked — the medical/scientific-corpus precision T.81 allows
+    outside baseline.  Per document a 16x16 grayscale mosaic of four
+    8x8-CONSTANT tiles whose values span the FULL 12-bit range
+    (code-point * 16 + a distinct offset, mod 4096), encoded through
+    operators/jpeg.encode_jpeg_12bit (16-bit DQT, SOF1, magnitude
+    categories to 15/14) and decoded by the SAME decode_real_features
+    stage every other image codec rides.  Constant tiles are DC-only
+    and all-ones quantization preserves them exactly, so the codec's
+    output is SQL-predictable: mean_luma_milli == 250*(v0+v1+v2+v3).
+    The general-content profile (nonzero ACs, wide magnitudes) is
+    pinned by tests/test_jpeg_decode.py round-trip bounds.
+
+    Plan: two narrow Arrow stages, no shuffle before the display
+    orderBy (ensure_parallelism guards the one-split documents scan).
+    """
+    import numpy as np
+
+    from netflix_data_ingestion_spark.operators.jpeg import (
+        encode_jpeg_12bit,
+    )
+    from netflix_data_ingestion_spark.operators.multimodal import (
+        decode_real_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    offsets = (7, 1031, 2063, 3089)
+
+    def synth(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                t = text or ""
+                n = len(t)
+                tiles = [
+                    ((ord(t[j % n]) if n else 0) % 256 * 16 + off) % 4096
+                    for j, off in enumerate(offsets)
+                ]
+                vals = np.array(tiles, dtype=np.int64).reshape(2, 2)
+                px = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+                ids.append(doc_id)
+                payloads.append(bytes(encode_jpeg_12bit(px)))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = ensure_parallelism(docs).mapInPandas(
+        synth, "media_id long, payload binary"
+    )
+    return (
+        decode_real_features(media)
+        .select("media_id", "codec", "width", "height", "mean_luma_milli")
+        .orderBy("media_id")
+    )
+
+
+ORACLE_JPEG_12BIT = """
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t,
+         length(coalesce(text, '')) AS n
+  FROM documents
+),
+tiles AS (
+  SELECT doc_id,
+         list_sum(list_transform([0, 1, 2, 3],
+           j -> ((CASE WHEN n > 0
+                       THEN unicode(t[(j % n) + 1]) % 256
+                       ELSE 0 END) * 16
+                 + [7, 1031, 2063, 3089][j + 1]) % 4096)) AS vsum
+  FROM base
+)
+SELECT doc_id::BIGINT AS media_id,
+       'jpeg' AS codec,
+       16::INT AS width,
+       16::INT AS height,
+       (250 * vsum)::BIGINT AS mean_luma_milli
+FROM tiles
+ORDER BY media_id
+"""
+
+
 def q_doc_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/sample.source_mixture_plan: the temperature-scaled
     (alpha=0.5 via IEEE sqrt — bit-exact in any engine) data-mixture
@@ -6222,5 +6304,12 @@ REGISTRY_LLM = {
     "events_tumbling_window_stream": (
         q_events_tumbling_window_stream,
         ORACLE_TUMBLING_STREAM,
+    ),
+    # ...and 12-bit extended-sequential JPEG (SOF1) decoded real —
+    # quarantine narrows to lossless/hierarchical/arithmetic/CMYK/
+    # 12-bit-progressive
+    "multimodal_jpeg_12bit": (
+        q_multimodal_jpeg_12bit,
+        ORACLE_JPEG_12BIT,
     ),
 }

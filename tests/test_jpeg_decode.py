@@ -412,3 +412,70 @@ def test_progressive_quarantines_corrupt():
     flip = bytearray(base)
     flip[base.find(b"\xff\xc0") + 1] = 0xC2
     assert decode_jpeg(bytes(flip)) is None
+
+
+# --- 12-bit extended sequential (SOF1) ------------------------------------
+
+
+def test_jpeg12_gray_roundtrip_tight_bound():
+    from netflix_data_ingestion_spark.operators.jpeg import (
+        encode_jpeg_12bit,
+    )
+
+    px = _rng(21).integers(0, 4096, size=(24, 17), dtype=np.int64)
+    got = decode_jpeg(encode_jpeg_12bit(px))
+    assert got is not None and got[0] == "jpeg"
+    assert got[1].shape == (24, 17)
+    # all-ones quant: only coefficient rounding survives — the SAME
+    # bound as the 8-bit path, in 12-bit sample units
+    assert np.abs(got[1] - px).max() <= 4
+    assert np.abs(got[1] - px).mean() <= 1.0
+    # the decode genuinely uses the 12-bit range
+    assert got[1].max() > 255
+
+
+def test_jpeg12_constant_tiles_exact():
+    from netflix_data_ingestion_spark.operators.jpeg import (
+        encode_jpeg_12bit,
+    )
+
+    vals = np.array([[5, 2047], [3000, 4095]], dtype=np.int64)
+    px = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+    got = decode_jpeg(encode_jpeg_12bit(px))
+    assert got is not None
+    # DC-only blocks survive all-ones quantization exactly
+    assert np.array_equal(got[1], px)
+
+
+def test_jpeg12_rgb_and_restart():
+    from netflix_data_ingestion_spark.operators.jpeg import (
+        encode_jpeg_12bit,
+    )
+
+    px = _rng(22).integers(0, 4096, size=(16, 16, 3), dtype=np.int64)
+    got = decode_jpeg(encode_jpeg_12bit(px))
+    assert got is not None and got[1].shape == (16, 16, 3)
+    assert np.abs(got[1] - px).max() <= 6
+    gray = _rng(23).integers(0, 4096, size=(32, 24), dtype=np.int64)
+    plain = decode_jpeg(encode_jpeg_12bit(gray))
+    rst = decode_jpeg(encode_jpeg_12bit(gray, restart=3))
+    assert np.array_equal(plain[1], rst[1])
+
+
+def test_jpeg12_scope_quarantines():
+    from netflix_data_ingestion_spark.operators.jpeg import (
+        encode_jpeg_12bit,
+    )
+
+    px = _rng(24).integers(0, 4096, size=(16, 16), dtype=np.int64)
+    good = encode_jpeg_12bit(px)
+    assert decode_jpeg(good) is not None
+    # 12-bit is SOF1-only scope: flipping the frame marker to SOF0
+    # (baseline forbids 12-bit) or SOF2 (progressive 12-bit stays
+    # quarantined) must quarantine, not crash
+    for marker in (0xC0, 0xC2):
+        flip = bytearray(good)
+        flip[good.find(b"\xff\xc1") + 1] = marker
+        assert decode_jpeg(bytes(flip)) is None
+    # truncated entropy data quarantines like every other profile
+    assert decode_jpeg(good[: len(good) - 20]) is None

@@ -405,6 +405,81 @@ def ops(spark, sf_dir: str, copies: int):
             docs, "doc_id", "text", n=3, threshold=0.9, max_df=5
         ).count()
 
+    def pack_chunks_op():
+        # doc_pack_chunks shape: token sizing (narrow) + per-source
+        # running prefix sum via prefix_sum_ranged — range-partitioned
+        # partial sums + broadcast bases, never a single-task window;
+        # should be linear in docs
+        from netflix_data_ingestion_spark.operators.sample import (
+            pack_chunks,
+        )
+        from netflix_data_ingestion_spark.operators.textstats import (
+            tokens,
+        )
+
+        sized = docs.select(
+            "doc_id",
+            "source",
+            F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        )
+        return pack_chunks(
+            sized, "source", "doc_id", "n_tokens", budget=512
+        ).count()
+
+    def pack_windows_op():
+        # doc_pack_windows shape: GPT-style cross-doc fixed-window
+        # layout — global exclusive prefix sum (prefix_sum_ranged) +
+        # integer span arithmetic + a window-id explode whose output is
+        # token-volume-bound; should be linear in token volume
+        from netflix_data_ingestion_spark.operators.packing import (
+            pack_windows,
+        )
+
+        return pack_windows(docs, "doc_id", "text", window=16).count()
+
+    def length_batches_op():
+        # doc_length_batches shape: 64-wide length buckets, md5-shuffled
+        # in-bucket rank via the DISTRIBUTED prefix_sum_ranged (broadcast
+        # bucket bases) — a hot bucket cannot concentrate a sort
+        from netflix_data_ingestion_spark.operators.context import (
+            length_bucket_batches,
+        )
+
+        return length_bucket_batches(docs).count()
+
+    def training_export_op():
+        # the capstone chain a real pretraining run lives in: curate
+        # ladder -> re-attach text -> length-sorted balanced shards +
+        # JSONL + order-invariant digest.  min_quality=0.0 for the same
+        # reason as curate_corpus above; rows_per_file scales with
+        # copies so shard COUNT (a layout choice) stays fixed while
+        # shard size grows — the 100 TB posture is fixed shard size /
+        # growing count, but here a fixed count isolates the chain's
+        # compute from tiny-file listing overhead
+        import shutil as _sh
+
+        from netflix_data_ingestion_spark.training_export import (
+            export_training_data,
+        )
+
+        sf_link = f"{WORK}/export_sf_x{copies}"
+        os.makedirs(sf_link, exist_ok=True)
+        link = os.path.join(sf_link, "documents.parquet")
+        if not os.path.exists(link):
+            os.symlink(
+                os.path.abspath(f"{WORK}/documents_x{copies}"), link
+            )
+        out = f"{WORK}/export_out_x{copies}"
+        _sh.rmtree(out, ignore_errors=True)
+        m = export_training_data(
+            spark,
+            sf_link,
+            out,
+            target_rows_per_file=200 * copies,
+            min_quality=0.0,
+        )
+        return m["n_curated"]
+
     def skew():
         # the r6 rewrite: top-k via global_rank over the per-key counts
         # frame — one keyed groupBy over the fact plus rank machinery
@@ -428,6 +503,10 @@ def ops(spark, sf_dir: str, copies: int):
         "containment(documents)": (copies * 5_000, containment),
         "cosine_lsh_dedup(embeddings)": (copies * 2_000, cosine_dd),
         "curate_corpus(documents)": (copies * 5_000, curate),
+        "pack_chunks(documents)": (copies * 5_000, pack_chunks_op),
+        "pack_windows(documents)": (copies * 5_000, pack_windows_op),
+        "length_batches(documents)": (copies * 5_000, length_batches_op),
+        "training_export(documents)": (copies * 5_000, training_export_op),
         "bpe_train(documents)": (copies * 5_000, bpe),
         "bpe_segment(documents)": (copies * 5_000, bpe_seg),
         "gif_codec(documents)": (copies * 5_000, gif_codec),
