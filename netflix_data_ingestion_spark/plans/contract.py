@@ -1084,11 +1084,13 @@ _VERIFY_ROUND10: list[str] = [
 # sf0.01 AND sf0.1 locally at add time AND independently re-verified at both
 # SFs by the r10 judge), then the oldest remaining driver rows (latest
 # sampling r7) in registry order, computed from CORRECTNESS_r01..r09 + the
-# applied r10 window.  NOTE (r10 advice): 46 r7-era rows remain but the
-# window holds 50 − 6 = 44, so TWO r7-era queries (doc_chunk_text,
-# doc_stratified_sample) slip to round 12 — they lead _VERIFY_ROUND12 below.
-# After this window every registry query's latest driver row is r8–r11
-# EXCEPT those two (still r7).
+# applied r10 window.  NOTE (r10 advice, corrected against the full
+# CORRECTNESS_r01..r10 history at r11 start): 50 r7-era rows remained but
+# the window holds 50 − 6 = 44, so SIX r7-era queries slip to round 12
+# (doc_chunk_text, doc_stratified_sample, user_event_cms,
+# events_sliding_window, user_retention_cohorts, events_ewma) — they lead
+# _VERIFY_ROUND12 below.  After this window every registry query's latest
+# driver row is r8–r11 EXCEPT those six (still r7).
 # ---------------------------------------------------------------------------
 _VERIFY_ROUND11: list[str] = [
     # round-10 additions, never driver-sampled
@@ -1161,13 +1163,67 @@ REGISTRY = {
 
 # ---------------------------------------------------------------------------
 # ROUND-12 ROTATION DRAFT (apply at the START of round 12: rebind
-# _APPLIED_ROTATION to this list).  The two r7-era rows that slipped out of
-# the r11 window lead (doc_chunk_text, doc_stratified_sample — latest driver
-# sampling r7); any round-11 tail additions should be inserted after them at
-# round-12 start, followed by the oldest remaining r8-era rows in registry
-# order to fill the 50-name window.
+# _APPLIED_ROTATION to this list and re-run the head reorder).  The round-11
+# tail additions first (registered at the tail this round so the frozen r11
+# window stayed byte-identical to the r10-drafted plan; BOTH oracle-checked
+# at sf0.01 AND sf0.1 locally at add time), then the six r7-era rows that
+# slipped out of the r11 window, then the oldest remaining r8-era rows in
+# registry order (computed from CORRECTNESS_r01..r10 + the applied r11
+# window) to fill the 50-name window.  Any further round-11 tail additions
+# must be inserted at the head at round-12 start.
 # ---------------------------------------------------------------------------
-_VERIFY_ROUND12_HEAD: list[str] = [
+_VERIFY_ROUND12: list[str] = [
+    # round-11 additions, never driver-sampled
+    "events_tumbling_window_stream",
+    "multimodal_jpeg_12bit",
+    # r7-era rows that slipped out of the r11 window
     "doc_chunk_text",
     "doc_stratified_sample",
+    "user_event_cms",
+    "events_sliding_window",
+    "user_retention_cohorts",
+    "events_ewma",
+    # oldest remaining driver rows (latest sampling r8), registry order
+    "user_state_history",
+    "approx_distinct_users_daily",
+    "customer_balance_quartiles",
+    "order_price_equidepth",
+    "user_decile_lift",
+    "customer_rfm_segments",
+    "order_price_auc",
+    "doc_bpe_token_stats",
+    "doc_pps_sample",
+    "user_context_window",
+    "events_pit_state",
+    "user_heavy_hitters",
+    "events_throttled_daily",
+    "customer_part_negatives",
+    "embedding_top_pcs",
+    "doc_bpe_encode",
+    "embedding_pca_project",
+    "doc_lm_perplexity",
+    "weekly_active_users",
+    "user_funnel",
+    "events_asof_view_attribution",
+    "error_context_range_join",
+    "part_revenue_rank_in_brand",
+    "running_event_total",
+    "events_sessionization",
+    "pivot_event_types",
+    "orders_rollup",
+    "order_price_mad_outliers",
+    "customer_busy_periods",
+    "part_name_fuzzy_pairs",
+    "customer_supplier_pagerank",
+    "orders_expectations",
+    "orders_zorder_key",
+    "order_price_outliers",
+    "lineitem_bloom_semi",
+    "customer_merge_upsert",
+    "customer_snapshot_diff",
+    "daily_summary_incremental",
+    "brand_quantity_salted",
+    "order_price_quantiles",
+    "regional_revenue",
+    "user_event_gaps",
 ]
