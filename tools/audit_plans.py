@@ -174,6 +174,12 @@ SANCTIONED: dict[str, str] = {
         "multi-scan decode), no shuffle before the display orderBy; "
         "codec round-trip is the point of the query (gif/avi/mp4 shape)"
     ),
+    "multimodal_jpeg_12bit": (
+        "two narrow Arrow stages (12-bit SOF1 synthesize + real "
+        "extended-sequential decode), no shuffle before the display "
+        "orderBy; codec round-trip is the point of the query "
+        "(jpeg_progressive shape)"
+    ),
     "order_price_equidepth": "1-row total broadcast; rank offsets now DISTRIBUTED (prefix_sum_ranged inside global_rank)",
     "orders_expectations": "1-row report aggregates (constant output)",
     "orders_profile": "single 1-row profile aggregate, constant output",
