@@ -114,6 +114,44 @@ def main() -> None:
         contract_llm.warm_staged_models(spark, SF_DIR)
     except Exception:
         pass  # missing embeddings table: the staged rows will surface it
+
+    # Arrow BINARY-column path: the multimodal codec stages ship binary
+    # payloads through Arrow in both directions; the JVM Arrow writers/
+    # readers for binary vectors JIT on first use (measured ~3s landing
+    # on whichever codec row runs first)
+    def _warm_bin(batches):
+        for pdf in batches:
+            yield pdf
+
+    (
+        spark.range(64)
+        .repartition(32)
+        .selectExpr("id", "cast(cast(id as string) as binary) as payload")
+        .mapInPandas(_warm_bin, "id long, payload binary")
+        .write.format("noop").mode("overwrite").save()
+    )
+
+    # streaming machinery: state-store provider init, streaming-query
+    # planner, memory-sink plumbing — session-scoped one-time costs a
+    # long-running cluster pays once, not per query (measured ~2.5s on
+    # the first streaming row otherwise)
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    _sd = tempfile.mkdtemp(prefix="bench_stream_warm_")
+    spark.range(8).selectExpr(
+        "id", "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id) as ts"
+    ).write.mode("overwrite").parquet(_sd)
+    _wq = (
+        spark.readStream.schema("id long, ts timestamp").parquet(_sd)
+        .withWatermark("ts", "1 second")
+        .groupBy(F.window("ts", "2 seconds"))
+        .agg(F.count("*").alias("n"))
+        .writeStream.format("memory").queryName("__bench_stream_warm")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    _wq.awaitTermination()
     names = BENCH_QUERIES or list(REGISTRY)
 
     import gc

@@ -20,17 +20,23 @@ Scope:
   categories to 15, AC magnitudes to 14 per Tables F.1/F.2, level
   shift 2^(P-1), 16-bit DQT) — output is the same int64 array with
   0..4095 samples;
+- SOF3 lossless sequential (T.81 Annex H): spatial DPCM over all
+  seven H.1 predictors with modulo-65536 reconstruction and point
+  transform, 8/12/16-bit samples, decode bit-EXACT (components carry
+  no color transform; 3-component output is RGB planes directly);
 - 1 or 3 components, sampling factors 1 or 2 per axis
   (4:4:4 / 4:2:2 / 4:4:0 / 4:2:0), Huffman coding only;
 - restart intervals (DRI + RSTn; DC predictors and EOB runs reset per
-  segment, in every scan kind).
+  segment, in every DCT scan kind — lossless scans with DRI set stay
+  quarantined: the restart/row-structure interaction is ambiguous
+  across implementations).
 
 Quarantined -> None, never an error (the untrusted-payload contract):
-lossless (SOF3/7), hierarchical (SOF5/6/13/14/15), arithmetic coding
-(SOF9-11), 12-bit progressive, 4-component (CMYK) payloads, sampling
-factors > 2, truncated/corrupt entropy data, scans that violate the
-progressive ordering rules, and declared dimensions past the
-64M-pixel bomb cap.
+differential lossless (SOF7), hierarchical (SOF5/6/13/14/15),
+arithmetic coding (SOF9-11), 12-bit progressive, 4-component (CMYK)
+payloads, sampling factors > 2 (or != 1 in lossless), truncated/
+corrupt entropy data, scans that violate the progressive ordering
+rules, and declared dimensions past the 64M-pixel bomb cap.
 
 Like the PNG path, decode errors of ANY kind quarantine: the public
 ``decode_jpeg`` wraps the parser in a broad except and returns None.
@@ -250,7 +256,31 @@ def _parse(b: bytes):
             }
             if marker == 0xC2:
                 _prog_init(np, frame)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker == 0xC3:
+            # SOF3 lossless sequential (T.81 Annex H): spatial DPCM,
+            # no DCT/quantization — P up to 16 bits
+            prec = seg[0]
+            h, w = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            if prec not in (8, 12, 16):
+                raise ValueError("lossless precision out of scope")
+            if ncomp not in (1, 3):
+                raise ValueError("1 or 3 components only")
+            if w <= 0 or h <= 0 or w * h > _PIXEL_CAP:
+                raise ValueError("dimension bomb")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                if hv != 0x11:
+                    # subsampling has no meaning without a transform
+                    # domain; lossless scope is 1:1 grids only
+                    raise ValueError("lossless subsampling out of scope")
+                comps.append({"id": cid, "h": 1, "v": 1, "tq": tq})
+            frame = {
+                "w": w, "h": h, "comps": comps,
+                "progressive": False, "lossless": True, "prec": prec,
+            }
+        elif marker in (0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("non-baseline SOF")
         elif marker == 0xDD:  # DRI
@@ -265,6 +295,22 @@ def _parse(b: bytes):
                 scan[cs] = (tables >> 4, tables & 15)
             ecs_start = i + 2 + seg_len
             segs, used = _split_ecs(b[ecs_start:])
+            if frame.get("lossless"):
+                if ns != len(frame["comps"]):
+                    raise ValueError("multi-scan out of scope")
+                if restart_interval:
+                    # restart prediction-reset rules interact with the
+                    # row structure ambiguously across implementations;
+                    # out of scope (quarantine, never a wrong pixel)
+                    raise ValueError("lossless restart out of scope")
+                ss = seg[1 + 2 * ns]          # predictor selector
+                se = seg[2 + 2 * ns]
+                pt = seg[3 + 2 * ns] & 15     # point transform
+                if not (1 <= ss <= 7) or se != 0:
+                    raise ValueError("bad lossless scan header")
+                return _decode_lossless_scan(
+                    np, frame, scan, huff_dc, segs, ss, pt
+                )
             if not frame["progressive"]:
                 if ns != len(frame["comps"]):
                     raise ValueError("multi-scan out of scope")
@@ -342,6 +388,76 @@ def _decode_scan(
     if mcu_count != total_mcus:
         raise ValueError("MCU count mismatch")
     return _finish_planes(np, w, h, comps, hmax, vmax, prec)
+
+
+def _lossless_predict(plane, r: int, c: int, sel: int, default: int) -> int:
+    """T.81 H.1.2 prediction for sample (r, c): a=left, b=above,
+    c=above-left; the first scan sample uses the default, the rest of
+    the first line predictor 1 (left), the first column of later lines
+    predictor 2 (above), everything else the selected predictor 1-7."""
+    if r == 0:
+        return default if c == 0 else int(plane[0][c - 1])
+    if c == 0:
+        return int(plane[r - 1][0])
+    a = int(plane[r][c - 1])
+    b = int(plane[r - 1][c])
+    cc = int(plane[r - 1][c - 1])
+    if sel == 1:
+        return a
+    if sel == 2:
+        return b
+    if sel == 3:
+        return cc
+    if sel == 4:
+        return a + b - cc
+    if sel == 5:
+        return a + ((b - cc) >> 1)
+    if sel == 6:
+        return b + ((a - cc) >> 1)
+    return (a + b) >> 1  # sel == 7
+
+
+def _decode_lossless_scan(np, frame, scan, huff_dc, segs, sel, pt):
+    """SOF3 lossless sequential decode (T.81 Annex H): per-sample
+    Huffman-coded prediction differences, modulo-65536 reconstruction
+    (H.1.2.1), samples emitted as value << Pt.  Components are stored
+    without a defined color transform, so 3-component output is taken
+    as RGB directly (the PIL/libjpeg convention) — no YCbCr inverse."""
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    prec = frame["prec"]
+    default = 1 << (prec - pt - 1)
+    maxval = (1 << prec) - 1
+    if len(segs) != 1:
+        raise ValueError("lossless restart out of scope")
+    bits = _Bits(segs[0])
+    planes = []
+    for c in comps:
+        t = scan.get(c["id"])
+        if t is None or t[0] not in huff_dc:
+            raise ValueError("missing Huffman table")
+        c["dc"] = huff_dc[t[0]]
+        planes.append([[0] * w for _ in range(h)])
+    for r in range(h):
+        for col in range(w):
+            for ci, c in enumerate(comps):
+                s = _huff_decode(bits, c["dc"])
+                if s > 16:
+                    raise ValueError("bad lossless magnitude")
+                # SSSS=16: difference is 32768 with no appended bits
+                diff = 32768 if s == 16 else _extend(bits.receive(s), s)
+                pred = _lossless_predict(planes[ci], r, col, sel, default)
+                planes[ci][r][col] = (pred + diff) & 0xFFFF
+    arrs = [
+        (np.array(p, dtype=np.int64) << pt) & ((1 << 16) - 1)
+        for p in planes
+    ]
+    if any(int(a.max()) > maxval for a in arrs):
+        # only a corrupt/mismatched stream can leave the declared
+        # sample range after mod-2^16 reconstruction -> quarantine
+        raise ValueError("lossless sample past declared precision")
+    if len(arrs) == 1:
+        return "jpeg", arrs[0]
+    return "jpeg", np.stack(arrs, axis=2)
 
 
 def _finish_planes(np, w, h, comps, hmax, vmax, prec: int = 8):
@@ -1066,6 +1182,74 @@ def encode_jpeg_12bit(
                             ln, code = ac_enc[0x00]
                             w_.write(code, ln)
             cnt += 1
+    out += w_.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --- lossless (SOF3) encoder twin (T.81 Annex H) ---------------------------
+
+#: all 17 lossless magnitude symbols (SSSS 0..16; 16 = the +32768
+#: special) at code length 5 (Kraft 17/32 <= 1)
+_E_LL_BITS = bytes([0, 0, 0, 0, 17] + [0] * 11)
+_E_LL_VALS = bytes(range(17))
+
+
+def encode_jpeg_lossless(px, predictor: int = 4, prec: int = 8) -> bytes:
+    """Lossless (SOF3) JPEG: spatial DPCM with the selected T.81 H.1
+    predictor (1-7), Huffman-coded modulo-65536 differences, Pt=0 —
+    the encoder twin that pins the lossless decode path.  ``px`` is an
+    HxW gray or HxWx3 array of 0..2^prec-1 samples; decode is EXACT
+    (bit-for-bit), which is the point of the profile.  Components are
+    stored without a color transform (3-component = RGB planes
+    directly)."""
+    import numpy as np
+
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor 1-7")
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    planes = (
+        [np.asarray(px, dtype=np.int64)]
+        if gray
+        else [np.asarray(px[:, :, k], dtype=np.int64) for k in range(3)]
+    )
+    ncomp = len(planes)
+    default = 1 << (prec - 1)
+
+    ll_enc = {
+        v: lc for lc, v in _build_huffman(_E_LL_BITS, _E_LL_VALS).items()
+    }
+    out = bytearray(b"\xff\xd8")
+    sof = bytes([prec]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += _marker_seg(0xC3, sof)
+    out += _marker_seg(0xC4, bytes([0x00]) + _E_LL_BITS + _E_LL_VALS)
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([predictor, 0, 0])  # Ss=predictor, Se=0, Ah<<4|Al(Pt)=0
+    out += _marker_seg(0xDA, sos)
+
+    w_ = _BitWriter()
+    for r in range(h):
+        for col in range(w):
+            for p in planes:
+                pred = _lossless_predict(p, r, col, predictor, default)
+                diff = (int(p[r][col]) - pred) & 0xFFFF
+                if diff >= 32768:
+                    diff -= 65536
+                if diff == -32768:
+                    # SSSS=16: +32768 == -32768 mod 2^16, no value bits
+                    ln, code = ll_enc[16]
+                    w_.write(code, ln)
+                    continue
+                s, bitsv = _mag_bits(diff)
+                ln, code = ll_enc[s]
+                w_.write(code, ln)
+                if s:
+                    w_.write(bitsv, s)
     out += w_.flush()
     out += b"\xff\xd9"
     return bytes(out)

@@ -1176,6 +1176,8 @@ _VERIFY_ROUND12: list[str] = [
     # round-11 additions, never driver-sampled
     "events_tumbling_window_stream",
     "multimodal_jpeg_12bit",
+    "events_sliding_window_stream",
+    "multimodal_jpeg_lossless",
     # r7-era rows that slipped out of the r11 window
     "doc_chunk_text",
     "doc_stratified_sample",
@@ -1224,6 +1226,4 @@ _VERIFY_ROUND12: list[str] = [
     "daily_summary_incremental",
     "brand_quantity_salted",
     "order_price_quantiles",
-    "regional_revenue",
-    "user_event_gaps",
 ]

@@ -2696,6 +2696,82 @@ ORDER BY media_id
 """
 
 
+def q_multimodal_jpeg_lossless(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """REAL lossless (SOF3) JPEG end-to-end, hash-checked on ARBITRARY
+    content — no constant-tile crutch needed because the profile is
+    bit-exact by construction.  Per document a 16x16 grayscale image
+    whose 256 pixels are the text's code points mod 256 (position-
+    varying, full-range), encoded through operators/jpeg.
+    encode_jpeg_lossless with the Paeth-like predictor 4 (a+b-c) and
+    decoded by the SAME decode_real_features stage as every other
+    codec; the oracle recomputes the exact integer mean luma straight
+    from the text.  Pins the whole DPCM chain: predictor arithmetic,
+    modulo-65536 reconstruction, per-sample Huffman magnitudes.
+
+    Plan: two narrow Arrow stages, no shuffle before the display
+    orderBy."""
+    import numpy as np
+
+    from netflix_data_ingestion_spark.operators.jpeg import (
+        encode_jpeg_lossless,
+    )
+    from netflix_data_ingestion_spark.operators.multimodal import (
+        decode_real_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                t = text or ""
+                n = len(t)
+                px = np.array(
+                    [(ord(t[j % n]) if n else 0) % 256 for j in range(256)],
+                    dtype=np.int64,
+                ).reshape(16, 16)
+                ids.append(doc_id)
+                payloads.append(bytes(encode_jpeg_lossless(px, predictor=4)))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = ensure_parallelism(docs).mapInPandas(
+        synth, "media_id long, payload binary"
+    )
+    return (
+        decode_real_features(media)
+        .select("media_id", "codec", "width", "height", "mean_luma_milli")
+        .orderBy("media_id")
+    )
+
+
+ORACLE_JPEG_LOSSLESS = """
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t,
+         length(coalesce(text, '')) AS n
+  FROM documents
+),
+px AS (
+  SELECT doc_id,
+         list_sum(list_transform(range(256),
+           j -> CASE WHEN n > 0
+                     THEN unicode(t[(j % n) + 1]) % 256
+                     ELSE 0 END)) AS psum
+  FROM base
+)
+SELECT doc_id::BIGINT AS media_id,
+       'jpeg' AS codec,
+       16::INT AS width,
+       16::INT AS height,
+       ((1000 * psum) // 256)::BIGINT AS mean_luma_milli
+FROM px
+ORDER BY media_id
+"""
+
+
 def q_doc_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/sample.source_mixture_plan: the temperature-scaled
     (alpha=0.5 via IEEE sqrt — bit-exact in any engine) data-mixture
@@ -4622,6 +4698,77 @@ ORDER BY window_start
 """
 
 
+def q_events_sliding_window_stream(spark: SparkSession, sf_dir: str
+                                   ) -> DataFrame:
+    """The OVERLAPPING-window streaming surface driven through the
+    driver gate: 2-hour windows sliding every 1 hour (each event lands
+    in exactly two windows) with a 2-hour watermark, APPEND mode under
+    availableNow.  Same closed-window emission contract as the
+    tumbling row (end <= final watermark = max(ts) - 2h, inclusive
+    boundary pinned by test_streaming) — the oracle replays the
+    2-window fan-out explicitly and restricts to that boundary, so the
+    overlap semantics AND the watermark gate are both hash-checked
+    through the streaming path.  Batching-invariance: order-free int64
+    state + single-file source = one data micro-batch (see the
+    tumbling row's docstring).
+
+    Plan: the window fan-out is an in-task 2x explode; one
+    (window)-keyed shuffle with map-side partial aggregation."""
+    import os
+
+    from netflix_data_ingestion_spark.streaming.ingest import (
+        run_to_memory,
+    )
+
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    reader = (
+        spark.readStream.format("parquet")
+        .schema(_t(spark, sf_dir, "events").schema)
+    )
+    if os.path.isdir(ev_path):
+        reader = reader.option("path", ev_path)
+    else:
+        reader = reader.option("path", sf_dir).option(
+            "pathGlobFilter", "events.parquet"
+        )
+    src = reader.load().withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        src.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("event_count"),
+            F.sum("user_id").cast("long").alias("user_id_sum"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_count",
+            "user_id_sum",
+        )
+    )
+    _STREAM_RUN_SEQ[0] += 1
+    name = f"__sliding_window_stream_{os.getpid()}_{_STREAM_RUN_SEQ[0]}"
+    run_to_memory(agg, name, output_mode="append")
+    return spark.table(name).orderBy("window_start")
+
+
+ORACLE_SLIDING_STREAM = """
+WITH contrib AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, ts)
+           - (r.k * INTERVAL 1 HOUR) AS window_start,
+         user_id
+  FROM events, (SELECT unnest(range(0, 2)) AS k) r
+)
+SELECT window_start,
+       COUNT(*) AS event_count,
+       SUM(user_id)::BIGINT AS user_id_sum
+FROM contrib
+GROUP BY 1
+HAVING window_start + INTERVAL 2 HOUR
+       <= (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
+ORDER BY window_start
+"""
+
+
 def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-row (n_true, n_found, recall) — the production dedup path's
     MEASURED recall against the exhaustive all-pairs ground truth on a
@@ -6311,5 +6458,19 @@ REGISTRY_LLM = {
     "multimodal_jpeg_12bit": (
         q_multimodal_jpeg_12bit,
         ORACLE_JPEG_12BIT,
+    ),
+    # ...and the overlapping-window streaming surface (2h/1h sliding,
+    # append mode, closed-window emission) — the third driver row
+    # executed through the streaming path
+    "events_sliding_window_stream": (
+        q_events_sliding_window_stream,
+        ORACLE_SLIDING_STREAM,
+    ),
+    # ...and lossless (SOF3) JPEG decoded real and bit-exact on
+    # arbitrary content — quarantine narrows to differential-lossless/
+    # hierarchical/arithmetic/CMYK/12-bit-progressive
+    "multimodal_jpeg_lossless": (
+        q_multimodal_jpeg_lossless,
+        ORACLE_JPEG_LOSSLESS,
     ),
 }

@@ -462,6 +462,51 @@ def test_jpeg12_rgb_and_restart():
     assert np.array_equal(plain[1], rst[1])
 
 
+# --- lossless (SOF3) -------------------------------------------------------
+
+
+def test_jpeg_lossless_bit_exact_all_predictors_all_precisions():
+    from netflix_data_ingestion_spark.operators.jpeg import (
+        encode_jpeg_lossless,
+    )
+
+    rng = _rng(31)
+    for prec, hi in [(8, 256), (12, 4096), (16, 65536)]:
+        px = rng.integers(0, hi, size=(23, 17), dtype=np.int64)
+        for pred in range(1, 8):
+            got = decode_jpeg(encode_jpeg_lossless(px, predictor=pred,
+                                                   prec=prec))
+            assert got is not None and got[0] == "jpeg"
+            # lossless means EXACT — every predictor, every precision
+            assert np.array_equal(got[1], px), (prec, pred)
+
+
+def test_jpeg_lossless_rgb_and_scope_quarantines():
+    from netflix_data_ingestion_spark.operators.jpeg import (
+        encode_jpeg_lossless,
+    )
+
+    px3 = _rng(32).integers(0, 256, size=(9, 11, 3), dtype=np.int64)
+    got = decode_jpeg(encode_jpeg_lossless(px3, predictor=7))
+    # components carry no color transform: output is the RGB planes
+    assert np.array_equal(got[1], px3)
+
+    px = _rng(33).integers(0, 256, size=(8, 8), dtype=np.int64)
+    good = encode_jpeg_lossless(px)
+    assert decode_jpeg(good) is not None
+    # differential lossless (SOF7) stays quarantined
+    flip = bytearray(good)
+    flip[good.find(b"\xff\xc3") + 1] = 0xC7
+    assert decode_jpeg(bytes(flip)) is None
+    # truncated entropy data quarantines
+    assert decode_jpeg(good[: len(good) - 8]) is None
+    # a DRI segment before the lossless scan quarantines (restart
+    # interaction out of scope), never decodes wrong pixels
+    sos_at = good.find(b"\xff\xda")
+    dri = b"\xff\xdd\x00\x04\x00\x02"
+    assert decode_jpeg(good[:sos_at] + dri + good[sos_at:]) is None
+
+
 def test_jpeg12_scope_quarantines():
     from netflix_data_ingestion_spark.operators.jpeg import (
         encode_jpeg_12bit,
