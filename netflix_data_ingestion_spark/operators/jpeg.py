@@ -15,11 +15,11 @@ Scope:
   AC refinement scans with interleaved correction bits — then ONE
   dequantize + IDCT pass at EOI (the most common quarantined payload
   class in a real web corpus's image column, now decoded real);
-- 8-bit samples, plus 12-BIT samples in SOF1 extended sequential
-  (T.81 Table B.2 — the medical/scientific-corpus precision: DC DIFF
-  categories to 15, AC magnitudes to 14 per Tables F.1/F.2, level
-  shift 2^(P-1), 16-bit DQT) — output is the same int64 array with
-  0..4095 samples;
+- 8-bit samples, plus 12-BIT samples in SOF1 extended sequential AND
+  SOF2 progressive (T.81 Table B.2 — the medical/scientific-corpus
+  precision: DC DIFF categories to 15, AC magnitudes to 14 per Tables
+  F.1/F.2, level shift 2^(P-1), 16-bit DQT) — output is the same
+  int64 array with 0..4095 samples;
 - SOF3 lossless sequential (T.81 Annex H): spatial DPCM over all
   seven H.1 predictors with modulo-65536 reconstruction and point
   transform, 8/12/16-bit samples, decode bit-EXACT (components carry
@@ -33,10 +33,10 @@ Scope:
 
 Quarantined -> None, never an error (the untrusted-payload contract):
 differential lossless (SOF7), hierarchical (SOF5/6/13/14/15),
-arithmetic coding (SOF9-11), 12-bit progressive, 4-component (CMYK)
-payloads, sampling factors > 2 (or != 1 in lossless), truncated/
-corrupt entropy data, scans that violate the progressive ordering
-rules, and declared dimensions past the 64M-pixel bomb cap.
+arithmetic coding (SOF9-11), 4-component (CMYK) payloads, sampling
+factors > 2 (or != 1 in lossless), truncated/corrupt entropy data,
+scans that violate the progressive ordering rules, and declared
+dimensions past the 64M-pixel bomb cap.
 
 Like the PNG path, decode errors of ANY kind quarantine: the public
 ``decode_jpeg`` wraps the parser in a broad except and returns None.
@@ -232,10 +232,9 @@ def _parse(b: bytes):
             ncomp = seg[5]
             if prec == 12:
                 # T.81: 12-bit is legal in extended sequential (SOF1)
-                # and progressive (SOF2) but NOT baseline (SOF0); the
-                # progressive 12-bit combination stays quarantined
-                if marker != 0xC1:
-                    raise ValueError("12-bit only in SOF1 scope")
+                # and progressive (SOF2) but NOT baseline (SOF0)
+                if marker == 0xC0:
+                    raise ValueError("12-bit illegal in baseline SOF0")
             elif prec != 8:
                 raise ValueError("8- or 12-bit precision only")
             if ncomp not in (1, 3):
@@ -509,11 +508,14 @@ def _prog_init(np, frame) -> None:
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     frame["mcux"], frame["mcuy"] = mcux, mcuy
+    prec = frame.get("prec", 8)
     for c in comps:
         c["coef"] = np.zeros(
             (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32
         )
         c["pred"] = 0
+        # T.81 Table F.1: DC DIFF categories reach 15 at 12-bit
+        c["max_dc_s"] = 15 if prec == 12 else 11
         compw = (w * c["h"] + hmax - 1) // hmax
         comph = (h * c["v"] + vmax - 1) // vmax
         c["nbw"] = (compw + 7) // 8
@@ -523,7 +525,7 @@ def _prog_init(np, frame) -> None:
 def _dc_decode(bits: _Bits, c, blk, ah: int, al: int) -> None:
     if ah == 0:  # first DC scan: diff-coded, point transform << al
         s = _huff_decode(bits, c["dcT"])
-        if s > 11:
+        if s > c.get("max_dc_s", 11):
             raise ValueError("bad DC magnitude")
         c["pred"] += _extend(bits.receive(s), s)
         blk[0] = c["pred"] << al
@@ -681,6 +683,8 @@ def _prog_finish(np, frame, qt):
     component), one batched IDCT, then the shared crop/upsample/color
     tail."""
     w, h, comps = frame["w"], frame["h"], frame["comps"]
+    prec = frame.get("prec", 8)
+    center = float(1 << (prec - 1))
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     zz = np.array(ZIGZAG)
@@ -693,9 +697,9 @@ def _prog_finish(np, frame, qt):
         nat = np.zeros_like(deq)
         nat[:, :, zz] = deq
         blocks = nat.reshape(bh, bw, 8, 8)
-        spat = _A.T @ blocks @ _A + 128.0  # batched separable IDCT
+        spat = _A.T @ blocks @ _A + center  # batched separable IDCT
         c["plane"] = spat.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
-    return _finish_planes(np, w, h, comps, hmax, vmax)
+    return _finish_planes(np, w, h, comps, hmax, vmax, prec)
 
 
 def _decode_block(np, bits: _Bits, c) -> "object":
@@ -1033,7 +1037,8 @@ def _emit_ac_refine_scan(out, c, ss, se, al, restart, ac_enc) -> None:
 
 
 def encode_jpeg_progressive(
-    px, luma_hv: tuple[int, int] = (1, 1), restart: int = 0
+    px, luma_hv: tuple[int, int] = (1, 1), restart: int = 0,
+    prec: int = 8,
 ) -> bytes:
     """Progressive (SOF2) JPEG with all-ones quant tables and a
     libjpeg-style scan script: DC first at Al=1 (interleaved), spectral-
@@ -1041,19 +1046,43 @@ def encode_jpeg_progressive(
     refinement passes to Al=0.  The coefficients equal the baseline
     test encoder's exactly (same DCT, same rounding), so progressive
     and baseline decodes of the same pixels are bit-identical —
-    asserted by tests/test_jpeg_decode.py."""
-    comps, hv, h, w, mcux, mcuy = _enc_quantized(px, luma_hv)
-    dc_enc, ac_enc = _enc_tables()
+    asserted by tests/test_jpeg_decode.py.  ``prec=12`` emits the
+    12-bit progressive profile (T.81 Table B.2: 16-bit DQT, DC
+    categories to 15 / AC to 14 — the _E12 tables)."""
+    comps, hv, h, w, mcux, mcuy = _enc_quantized(px, luma_hv, prec=prec)
+    if prec == 12:
+        dc_enc = {
+            v: lc
+            for lc, v in _build_huffman(_E12_DC_BITS, _E12_DC_VALS).items()
+        }
+        # progressive needs every EOBn symbol (r<<4 with s==0), which
+        # the sequential 12-bit table lacks beyond EOB/ZRL: use the
+        # full (run, size<=14) grid at length 8 — 16*15=240 <= 256
+        ac_vals = bytes([(r << 4) | s for r in range(16) for s in range(15)])
+        ac_bits = bytes([0] * 7 + [len(ac_vals)] + [0] * 8)
+        ac_enc = {
+            v: lc for lc, v in _build_huffman(ac_bits, ac_vals).items()
+        }
+        dht_dc = bytes([0x00]) + _E12_DC_BITS + _E12_DC_VALS
+        dht_ac = bytes([0x10]) + ac_bits + ac_vals
+        dqt = bytes([0x10]) + b"".join(
+            struct.pack(">H", 1) for _ in range(64)
+        )
+    else:
+        dc_enc, ac_enc = _enc_tables()
+        dht_dc = bytes([0x00]) + _E_DC_BITS + _E_DC_VALS
+        dht_ac = bytes([0x10]) + _E_AC_BITS + _E_AC_VALS
+        dqt = bytes([0x00]) + bytes([1] * 64)
     ncomp = len(comps)
 
     out = bytearray(b"\xff\xd8")
-    out += _marker_seg(0xDB, bytes([0x00]) + bytes([1] * 64))
-    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    out += _marker_seg(0xDB, dqt)
+    sof = bytes([prec]) + struct.pack(">HH", h, w) + bytes([ncomp])
     for ci, (ch, cv) in enumerate(hv):
         sof += bytes([ci + 1, (ch << 4) | cv, 0])
     out += _marker_seg(0xC2, sof)
-    out += _marker_seg(0xC4, bytes([0x00]) + _E_DC_BITS + _E_DC_VALS)
-    out += _marker_seg(0xC4, bytes([0x10]) + _E_AC_BITS + _E_AC_VALS)
+    out += _marker_seg(0xC4, dht_dc)
+    out += _marker_seg(0xC4, dht_ac)
     if restart:
         out += _marker_seg(0xDD, struct.pack(">H", restart))
 

@@ -1178,6 +1178,7 @@ _VERIFY_ROUND12: list[str] = [
     "multimodal_jpeg_12bit",
     "events_sliding_window_stream",
     "multimodal_jpeg_lossless",
+    "multimodal_jpeg_prog12",
     # r7-era rows that slipped out of the r11 window
     "doc_chunk_text",
     "doc_stratified_sample",
@@ -1225,5 +1226,4 @@ _VERIFY_ROUND12: list[str] = [
     "customer_snapshot_diff",
     "daily_summary_incremental",
     "brand_quantity_salted",
-    "order_price_quantiles",
 ]

@@ -2772,6 +2772,84 @@ ORDER BY media_id
 """
 
 
+def q_multimodal_jpeg_prog12(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """12-bit PROGRESSIVE (SOF2 at precision 12) decoded real: the
+    multi-scan machinery (DC successive approximation, spectral
+    selection, AC refinement) running over 12-bit magnitudes (DC
+    categories to 15, the full EOBn grid at size<=14).  Constant-tile
+    mosaic spanning the full 12-bit range with offsets distinct from
+    the sequential 12-bit row; the twin-identity test additionally
+    pins prog-12 decode bit-identical to sequential-12 on general
+    content.  Plan: two narrow Arrow stages (jpeg_progressive shape).
+    """
+    import numpy as np
+
+    from netflix_data_ingestion_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+    from netflix_data_ingestion_spark.operators.multimodal import (
+        decode_real_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    offsets = (13, 977, 2111, 3203)
+
+    def synth(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                t = text or ""
+                n = len(t)
+                tiles = [
+                    ((ord(t[j % n]) if n else 0) % 256 * 16 + off) % 4096
+                    for j, off in enumerate(offsets)
+                ]
+                vals = np.array(tiles, dtype=np.int64).reshape(2, 2)
+                px = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+                ids.append(doc_id)
+                payloads.append(
+                    bytes(encode_jpeg_progressive(px, prec=12))
+                )
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = ensure_parallelism(docs).mapInPandas(
+        synth, "media_id long, payload binary"
+    )
+    return (
+        decode_real_features(media)
+        .select("media_id", "codec", "width", "height", "mean_luma_milli")
+        .orderBy("media_id")
+    )
+
+
+ORACLE_JPEG_PROG12 = """
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t,
+         length(coalesce(text, '')) AS n
+  FROM documents
+),
+tiles AS (
+  SELECT doc_id,
+         list_sum(list_transform([0, 1, 2, 3],
+           j -> ((CASE WHEN n > 0
+                       THEN unicode(t[(j % n) + 1]) % 256
+                       ELSE 0 END) * 16
+                 + [13, 977, 2111, 3203][j + 1]) % 4096)) AS vsum
+  FROM base
+)
+SELECT doc_id::BIGINT AS media_id,
+       'jpeg' AS codec,
+       16::INT AS width,
+       16::INT AS height,
+       (250 * vsum)::BIGINT AS mean_luma_milli
+FROM tiles
+ORDER BY media_id
+"""
+
+
 def q_doc_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/sample.source_mixture_plan: the temperature-scaled
     (alpha=0.5 via IEEE sqrt — bit-exact in any engine) data-mixture
@@ -6472,5 +6550,11 @@ REGISTRY_LLM = {
     "multimodal_jpeg_lossless": (
         q_multimodal_jpeg_lossless,
         ORACLE_JPEG_LOSSLESS,
+    ),
+    # ...and 12-bit progressive — the last 12-bit profile; quarantine
+    # narrows to differential-lossless/hierarchical/arithmetic/CMYK
+    "multimodal_jpeg_prog12": (
+        q_multimodal_jpeg_prog12,
+        ORACLE_JPEG_PROG12,
     ),
 }

@@ -515,12 +515,41 @@ def test_jpeg12_scope_quarantines():
     px = _rng(24).integers(0, 4096, size=(16, 16), dtype=np.int64)
     good = encode_jpeg_12bit(px)
     assert decode_jpeg(good) is not None
-    # 12-bit is SOF1-only scope: flipping the frame marker to SOF0
-    # (baseline forbids 12-bit) or SOF2 (progressive 12-bit stays
-    # quarantined) must quarantine, not crash
+    # flipping the frame marker to SOF0 (baseline forbids 12-bit) or
+    # SOF2 (now a progressive frame whose single Ss=0..Se=63 scan is
+    # illegal in a progressive stream) must quarantine, not crash
     for marker in (0xC0, 0xC2):
         flip = bytearray(good)
         flip[good.find(b"\xff\xc1") + 1] = marker
         assert decode_jpeg(bytes(flip)) is None
     # truncated entropy data quarantines like every other profile
     assert decode_jpeg(good[: len(good) - 20]) is None
+
+
+def test_jpeg12_progressive_roundtrip_and_twin_identity():
+    """12-bit PROGRESSIVE (SOF2 at precision 12): round-trips within
+    the coefficient-rounding bound and decodes BIT-IDENTICAL to the
+    12-bit sequential twin on the same pixels — the multi-scan
+    accumulation and the single-scan path must agree exactly."""
+    from netflix_data_ingestion_spark.operators.jpeg import (
+        encode_jpeg_12bit,
+        encode_jpeg_progressive,
+    )
+
+    px = _rng(25).integers(0, 4096, size=(24, 17), dtype=np.int64)
+    prog = decode_jpeg(encode_jpeg_progressive(px, prec=12))
+    assert prog is not None
+    assert np.abs(prog[1] - px).max() <= 4
+    seq = decode_jpeg(encode_jpeg_12bit(px))
+    assert np.array_equal(prog[1], seq[1])
+    # constant tiles exact; restart segmentation invisible
+    vals = np.array([[10, 2000], [3000, 4095]], dtype=np.int64)
+    tile = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+    got = decode_jpeg(encode_jpeg_progressive(tile, prec=12))
+    assert np.array_equal(got[1], tile)
+    rst = decode_jpeg(encode_jpeg_progressive(px, prec=12, restart=2))
+    assert np.array_equal(rst[1], prog[1])
+    # 12-bit RGB progressive
+    px3 = _rng(26).integers(0, 4096, size=(16, 16, 3), dtype=np.int64)
+    g3 = decode_jpeg(encode_jpeg_progressive(px3, prec=12))
+    assert np.abs(g3[1] - px3).max() <= 6

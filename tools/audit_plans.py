@@ -186,6 +186,12 @@ SANCTIONED: dict[str, str] = {
         "orderBy; codec round-trip is the point of the query "
         "(jpeg_progressive shape)"
     ),
+    "multimodal_jpeg_prog12": (
+        "two narrow Arrow stages (12-bit SOF2 synthesize + real "
+        "multi-scan 12-bit decode), no shuffle before the display "
+        "orderBy; codec round-trip is the point of the query "
+        "(jpeg_progressive shape)"
+    ),
     "order_price_equidepth": "1-row total broadcast; rank offsets now DISTRIBUTED (prefix_sum_ranged inside global_rank)",
     "orders_expectations": "1-row report aggregates (constant output)",
     "orders_profile": "single 1-row profile aggregate, constant output",
