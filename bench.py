@@ -189,6 +189,12 @@ def main() -> None:
         "audit_queries": audit,
         "audit_sec": round(sum(audit.values()), 3),
         "sf": sf,
+        # r11 changed the warm-up (full-scan page-cache prime, staged
+        # quantizer pre-train, binary-Arrow/streaming pre-JIT), so
+        # first_runs/jit_sec measure LESS one-time cost than rounds
+        # 1-10 — cross-round jit_sec deltas vs r10-and-earlier records
+        # are apples-to-oranges; the headline min-of-two is unaffected
+        "jit_instrument_epoch": "r11-warmup",
     }
     line = json.dumps(payload)
     # stdout for the driver, plus a file so log noise (e.g. WindowExec

@@ -60,6 +60,12 @@ ZIGZAG = [
 ]
 
 _PIXEL_CAP = 64_000_000  # same bomb cap as the PNG path
+# SOF3 runs a pure-Python per-SAMPLE Huffman loop (the DCT paths loop
+# per 8x8 BLOCK, ~64x fewer Python-level decodes for the same declared
+# dimensions), so the lossless path gets a 64x tighter budget to keep
+# the worst-case CPU amplification of a hostile payload comparable:
+# w*h*ncomp decoded samples, not w*h pixels.
+_LOSSLESS_SAMPLE_CAP = _PIXEL_CAP // 64  # 1M decoded samples
 
 
 def _idct_matrix():
@@ -265,7 +271,7 @@ def _parse(b: bytes):
                 raise ValueError("lossless precision out of scope")
             if ncomp not in (1, 3):
                 raise ValueError("1 or 3 components only")
-            if w <= 0 or h <= 0 or w * h > _PIXEL_CAP:
+            if w <= 0 or h <= 0 or w * h * ncomp > _LOSSLESS_SAMPLE_CAP:
                 raise ValueError("dimension bomb")
             comps = []
             for c in range(ncomp):
@@ -436,9 +442,20 @@ def _decode_lossless_scan(np, frame, scan, huff_dc, segs, sel, pt):
             raise ValueError("missing Huffman table")
         c["dc"] = huff_dc[t[0]]
         planes.append([[0] * w for _ in range(h)])
+    # T.81 H.2: the entropy stream interleaves samples in SOS component
+    # order, which may differ from SOF frame order — walking frame order
+    # against such a stream silently mis-assigns tables/planes.  `scan`
+    # is an insertion-ordered dict built while parsing the SOS, so its
+    # key order IS the stream order.
+    id_to_idx = {c["id"]: i for i, c in enumerate(comps)}
+    scan_order = []
+    for cid in scan:
+        if cid not in id_to_idx:
+            raise ValueError("SOS component not in frame")
+        scan_order.append((id_to_idx[cid], comps[id_to_idx[cid]]))
     for r in range(h):
         for col in range(w):
-            for ci, c in enumerate(comps):
+            for ci, c in scan_order:
                 s = _huff_decode(bits, c["dc"])
                 if s > 16:
                     raise ValueError("bad lossless magnitude")

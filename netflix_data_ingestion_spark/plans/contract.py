@@ -1147,30 +1147,16 @@ _VERIFY_ROUND11: list[str] = [
     "doc_inverted_index",
 ]
 
-# _APPLIED_ROTATION is the single source of truth for "which window is the
-# current registry head" — tests assert the head against THIS name so the
-# assertion can never go stale when a future round advances the window.
-_APPLIED_ROTATION = _VERIFY_ROUND11
-
-REGISTRY = {
-    **{name: REGISTRY[name] for name in _APPLIED_ROTATION},
-    **{
-        name: spec
-        for name, spec in REGISTRY.items()
-        if name not in _APPLIED_ROTATION
-    },
-}
+_VERIFY_ROUND11_APPLIED = _VERIFY_ROUND11  # kept for history/audit
 
 # ---------------------------------------------------------------------------
-# ROUND-12 ROTATION DRAFT (apply at the START of round 12: rebind
-# _APPLIED_ROTATION to this list and re-run the head reorder).  The round-11
-# tail additions first (registered at the tail this round so the frozen r11
-# window stayed byte-identical to the r10-drafted plan; BOTH oracle-checked
-# at sf0.01 AND sf0.1 locally at add time), then the six r7-era rows that
-# slipped out of the r11 window, then the oldest remaining r8-era rows in
-# registry order (computed from CORRECTNESS_r01..r10 + the applied r11
-# window) to fill the 50-name window.  Any further round-11 tail additions
-# must be inserted at the head at round-12 start.
+# Round-12 rotation APPLIED (drafted in round 11).  The round-11 tail
+# additions first (registered at the tail in r11 so the frozen r11 window
+# stayed byte-identical to the r10-drafted plan; BOTH oracle-checked at
+# sf0.01 AND sf0.1 locally at add time AND independently re-verified at
+# both SFs by the r11 judge), then the six r7-era rows that slipped out of
+# the r11 window, then the oldest remaining r8-era rows in registry order
+# (computed from CORRECTNESS_r01..r11) to fill the 50-name window.
 # ---------------------------------------------------------------------------
 _VERIFY_ROUND12: list[str] = [
     # round-11 additions, never driver-sampled
@@ -1227,3 +1213,17 @@ _VERIFY_ROUND12: list[str] = [
     "daily_summary_incremental",
     "brand_quantity_salted",
 ]
+
+# _APPLIED_ROTATION is the single source of truth for "which window is the
+# current registry head" — tests assert the head against THIS name so the
+# assertion can never go stale when a future round advances the window.
+_APPLIED_ROTATION = _VERIFY_ROUND12
+
+REGISTRY = {
+    **{name: REGISTRY[name] for name in _APPLIED_ROTATION},
+    **{
+        name: spec
+        for name, spec in REGISTRY.items()
+        if name not in _APPLIED_ROTATION
+    },
+}

@@ -2030,6 +2030,185 @@ def q_orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report.orderBy("check", "column")
 
 
+_DL_RUN_SEQ = [0]
+
+
+def q_ratings_dead_letters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERMISSIVE-reader + CHECK-validation control plane driven
+    end-to-end through the driver gate: render a deliberately-dirtied
+    ratings CSV from orders (key corrupted to a non-numeric token when
+    o_orderkey%13==0 -> PERMISSIVE corrupt record; rating empty when
+    %11==0 -> NULL int; otherwise rating = o_orderkey%8, so 0/6/7 are
+    in-schema but CHECK-violating), write it as real files, scan it
+    back through sources.readers.read_csv (declared schema, PERMISSIVE,
+    columnNameOfCorruptRecord), split with split_dead_letters, then run
+    schemas.validate(..., "fact_ratings") on the clean side.  The
+    summary row reconciles the whole ladder exactly:
+    total == dead_letters + valid + invalid, and NULL ratings land on
+    the invalid side (validate's three-valued-logic coalesce).
+
+    Mirrors the reference's two-tier safety surface (PERMISSIVE parse
+    accounting + DB CHECK constraints, etl_pipeline_spark.py:1163-1172,
+    schema.sql CHECKs) as one hash-checked row.
+
+    Plan: one narrow projection + distributed text write, one CSV scan,
+    then three 1-row aggregates crossJoined (constant output)."""
+    import os
+    import tempfile
+
+    from netflix_data_ingestion_spark import schemas
+    from netflix_data_ingestion_spark.sources.readers import (
+        read_csv,
+        split_dead_letters,
+    )
+
+    k = F.col("o_orderkey")
+    lines = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.concat_ws(
+                ",",
+                F.when(k % 13 == 0, F.concat(F.lit("X"), k.cast("string")))
+                .otherwise(k.cast("string")),
+                F.col("o_custkey").cast("string"),
+                # empty string, not NULL: concat_ws SKIPS nulls, which
+                # would shift fields left; an empty CSV field reads as
+                # a NULL int, which is the shape under test
+                F.when(k % 11 == 0, F.lit(""))
+                .otherwise((k % 8).cast("string")),
+                F.col("o_orderdate").cast("string"),
+            ).alias("value")
+        )
+    )
+    _DL_RUN_SEQ[0] += 1
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"ratings_dead_letters_{os.getpid()}_{_DL_RUN_SEQ[0]}",
+    )
+    lines.write.mode("overwrite").text(out)
+    raw = read_csv(
+        spark,
+        out,
+        "customer_id bigint, helper_key bigint, rating int, rated_at date",
+        header=False,
+    )
+    clean, dead = split_dead_letters(raw)
+    valid, invalid = schemas.validate(clean, "fact_ratings")
+    dead_agg = dead.agg(F.count(F.lit(1)).alias("dead_letters"))
+    val_agg = valid.agg(
+        F.count(F.lit(1)).alias("valid_rows"),
+        F.sum("rating").cast("long").alias("sum_valid_rating"),
+    )
+    inv_agg = invalid.agg(
+        F.count(F.lit(1)).alias("invalid_rows"),
+        F.sum(F.col("rating").isNull().cast("long"))
+        .cast("long")
+        .alias("null_rating_rows"),
+    )
+    # 1-row report aggregates crossJoined — constant output, same
+    # sanctioned shape as orders_expectations / dedup_lsh_recall
+    return dead_agg.crossJoin(val_agg).crossJoin(inv_agg).select(
+        "dead_letters",
+        "valid_rows",
+        "sum_valid_rating",
+        "invalid_rows",
+        "null_rating_rows",
+    )
+
+
+ORACLE_RATINGS_DEAD_LETTERS = """
+WITH cls AS (
+  SELECT o_orderkey AS k,
+         (o_orderkey % 13 = 0) AS dead,
+         CASE WHEN o_orderkey % 11 = 0 THEN NULL
+              ELSE (o_orderkey % 8)::INT END AS rating
+  FROM orders
+)
+SELECT
+  (SELECT count(*) FROM cls WHERE dead)::BIGINT AS dead_letters,
+  (SELECT count(*) FROM cls
+     WHERE NOT dead AND rating BETWEEN 1 AND 5)::BIGINT AS valid_rows,
+  (SELECT sum(rating) FROM cls
+     WHERE NOT dead AND rating BETWEEN 1 AND 5)::BIGINT AS sum_valid_rating,
+  (SELECT count(*) FROM cls
+     WHERE NOT dead
+       AND NOT coalesce(rating BETWEEN 1 AND 5, FALSE))::BIGINT
+    AS invalid_rows,
+  (SELECT count(*) FROM cls
+     WHERE NOT dead AND rating IS NULL)::BIGINT AS null_rating_rows
+"""
+
+
+def q_calendar_check_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schemas.check_report driven through the driver gate: per-rule
+    CHECK-violation counts over a deliberately-dirtied dim_date-shaped
+    frame (every dirtying condition keyed on o_orderkey so the DuckDB
+    oracle replays it exactly: month +12 when %17==0, day +31 when
+    %19==0, quarter +4 when %23==0, day_of_week forced to -1 when
+    %29==0, else o_orderkey%7).  Answers the operational question the
+    reference's DB-side CHECK constraints answer via error logs —
+    WHICH constraint fails and how often — without aborting the load.
+
+    Plan: ONE aggregation pass (all four rules fused into a single
+    map-side-combinable agg), then a constant-height stack."""
+    from netflix_data_ingestion_spark import schemas
+
+    k = F.col("o_orderkey")
+    frame = _t(spark, sf_dir, "orders").select(
+        (F.month("o_orderdate")
+         + F.when(k % 17 == 0, 12).otherwise(0)).alias("month"),
+        (F.dayofmonth("o_orderdate")
+         + F.when(k % 19 == 0, 31).otherwise(0)).alias("day"),
+        (F.quarter("o_orderdate")
+         + F.when(k % 23 == 0, 4).otherwise(0)).alias("quarter"),
+        F.when(k % 29 == 0, F.lit(-1).cast("long"))
+        .otherwise(k % 7)
+        .alias("day_of_week"),
+    )
+    return schemas.check_report(frame, "dim_date").orderBy("rule")
+
+
+ORACLE_CALENDAR_CHECK_REPORT = """
+WITH f AS (
+  SELECT month(o_orderdate)
+           + CASE WHEN o_orderkey % 17 = 0 THEN 12 ELSE 0 END AS m,
+         day(o_orderdate)
+           + CASE WHEN o_orderkey % 19 = 0 THEN 31 ELSE 0 END AS d,
+         quarter(o_orderdate)
+           + CASE WHEN o_orderkey % 23 = 0 THEN 4 ELSE 0 END AS q,
+         CASE WHEN o_orderkey % 29 = 0 THEN -1
+              ELSE o_orderkey % 7 END AS dw
+  FROM orders
+)
+SELECT rule, violations, rows_scanned FROM (
+  SELECT 'month_range' AS rule,
+         (count(*) FILTER (WHERE NOT coalesce(m BETWEEN 1 AND 12,
+                                              FALSE)))::BIGINT AS violations,
+         count(*)::BIGINT AS rows_scanned
+  FROM f
+  UNION ALL
+  SELECT 'day_range',
+         (count(*) FILTER (WHERE NOT coalesce(d BETWEEN 1 AND 31,
+                                              FALSE)))::BIGINT,
+         count(*)::BIGINT
+  FROM f
+  UNION ALL
+  SELECT 'quarter_range',
+         (count(*) FILTER (WHERE NOT coalesce(q BETWEEN 1 AND 4,
+                                              FALSE)))::BIGINT,
+         count(*)::BIGINT
+  FROM f
+  UNION ALL
+  SELECT 'day_of_week_range',
+         (count(*) FILTER (WHERE NOT coalesce(dw BETWEEN 0 AND 6,
+                                              FALSE)))::BIGINT,
+         count(*)::BIGINT
+  FROM f
+)
+ORDER BY rule
+"""
+
+
 ORACLE_EXPECTATIONS = """
 WITH n AS (SELECT count(*)::BIGINT AS n_rows FROM orders),
 checks AS (
@@ -2776,6 +2955,14 @@ REGISTRY_EXTRA = {
         ORACLE_PAGERANK,
     ),
     "orders_expectations": (q_orders_expectations, ORACLE_EXPECTATIONS),
+    "ratings_dead_letters": (
+        q_ratings_dead_letters,
+        ORACLE_RATINGS_DEAD_LETTERS,
+    ),
+    "calendar_check_report": (
+        q_calendar_check_report,
+        ORACLE_CALENDAR_CHECK_REPORT,
+    ),
     "orders_zorder_key": (q_orders_zorder_key, ORACLE_ZORDER),
     "order_price_outliers": (q_order_price_outliers, ORACLE_PRICE_OUTLIERS),
     "lineitem_bloom_semi": (q_lineitem_bloom_semi, ORACLE_BLOOM_SEMI),

@@ -4719,7 +4719,9 @@ def q_events_tumbling_window_stream(spark: SparkSession, sf_dir: str
     order-free), and the emission set depends only on the GLOBAL max
     event time; the single-file source makes availableNow one data
     micro-batch, so the between-batch late-drop path (the one
-    batch-split-dependent behavior of a real watermark) cannot fire.
+    batch-split-dependent behavior of a real watermark) cannot fire —
+    and run_to_memory(max_data_batches=1) ENFORCES that from the
+    query's own progress records instead of merely documenting it.
     The no-data flush batch that follows performs the final emission.
 
     Plan: one (window)-keyed shuffle with map-side partial aggregation
@@ -4760,7 +4762,7 @@ def q_events_tumbling_window_stream(spark: SparkSession, sf_dir: str
     )
     _STREAM_RUN_SEQ[0] += 1
     name = f"__tumbling_window_stream_{os.getpid()}_{_STREAM_RUN_SEQ[0]}"
-    run_to_memory(agg, name, output_mode="append")
+    run_to_memory(agg, name, output_mode="append", max_data_batches=1)
     return spark.table(name).orderBy("window_start")
 
 
@@ -4787,8 +4789,9 @@ def q_events_sliding_window_stream(spark: SparkSession, sf_dir: str
     2-window fan-out explicitly and restricts to that boundary, so the
     overlap semantics AND the watermark gate are both hash-checked
     through the streaming path.  Batching-invariance: order-free int64
-    state + single-file source = one data micro-batch (see the
-    tumbling row's docstring).
+    state + single-file source = one data micro-batch, ENFORCED via
+    run_to_memory(max_data_batches=1) (see the tumbling row's
+    docstring).
 
     Plan: the window fan-out is an in-task 2x explode; one
     (window)-keyed shuffle with map-side partial aggregation."""
@@ -4825,7 +4828,7 @@ def q_events_sliding_window_stream(spark: SparkSession, sf_dir: str
     )
     _STREAM_RUN_SEQ[0] += 1
     name = f"__sliding_window_stream_{os.getpid()}_{_STREAM_RUN_SEQ[0]}"
-    run_to_memory(agg, name, output_mode="append")
+    run_to_memory(agg, name, output_mode="append", max_data_batches=1)
     return spark.table(name).orderBy("window_start")
 
 
@@ -4844,6 +4847,100 @@ GROUP BY 1
 HAVING window_start + INTERVAL 2 HOUR
        <= (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
 ORDER BY window_start
+"""
+
+
+def q_events_session_window_stream(spark: SparkSession, sf_dir: str
+                                   ) -> DataFrame:
+    """The MERGING-state streaming surface driven through the driver
+    gate: per-user session windows (30-minute gap) with a 2-hour
+    watermark, APPEND mode under availableNow — the one windowed
+    aggregate whose STATE MERGES (two sessions fuse when a bridging
+    event arrives), unlike the fixed-bucket tumbling/sliding rows.
+    Append mode emits exactly the CLOSED sessions: those whose end =
+    last_event_ts + 30min <= final watermark = max(ts) - 2h (same
+    inclusive boundary as the tumbling row, pinned by the
+    stream==batch equality test).  The oracle replays gaps-and-islands
+    sessionization (">=" split matching Spark's half-open merge rule,
+    as pinned by the batch twin events_sessionization) restricted to
+    that boundary — so session MERGE semantics and the watermark gate
+    are both hash-checked through the real streaming path.
+
+    Batching-invariance: exact-integer state (count + int64 event_id
+    sum — deliberately NOT the float value sum, whose accumulation
+    order would differ between the streaming state and the batch
+    oracle), and the emission set depends only on the global max event
+    time given one data micro-batch, ENFORCED via
+    run_to_memory(max_data_batches=1).
+
+    Plan: one (user, session)-keyed shuffle into the session-merging
+    state store; the memory-sink drain is result-sized."""
+    import os
+
+    from netflix_data_ingestion_spark.streaming.ingest import (
+        run_to_memory,
+    )
+
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    reader = (
+        spark.readStream.format("parquet")
+        .schema(_t(spark, sf_dir, "events").schema)
+    )
+    if os.path.isdir(ev_path):
+        reader = reader.option("path", ev_path)
+    else:
+        reader = reader.option("path", sf_dir).option(
+            "pathGlobFilter", "events.parquet"
+        )
+    src = reader.load().withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        src.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count("*").alias("events_in_session"),
+            F.sum("event_id").cast("long").alias("event_id_sum"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            "events_in_session",
+            "event_id_sum",
+        )
+    )
+    _STREAM_RUN_SEQ[0] += 1
+    name = f"__session_window_stream_{os.getpid()}_{_STREAM_RUN_SEQ[0]}"
+    run_to_memory(agg, name, output_mode="append", max_data_batches=1)
+    return spark.table(name).orderBy("user_id", "session_start")
+
+
+ORACLE_SESSION_WINDOW_STREAM = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+islands AS (
+  SELECT user_id, ts, event_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       COUNT(*) AS events_in_session,
+       SUM(event_id)::BIGINT AS event_id_sum
+FROM islands
+GROUP BY user_id, session_id
+HAVING MAX(ts) + INTERVAL 30 MINUTE
+       <= (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
+ORDER BY user_id, session_start
 """
 
 
@@ -6556,5 +6653,12 @@ REGISTRY_LLM = {
     "multimodal_jpeg_prog12": (
         q_multimodal_jpeg_prog12,
         ORACLE_JPEG_PROG12,
+    ),
+    # r12: the MERGING-state streaming surface (per-user session
+    # windows, append mode, closed-session emission) — the fourth
+    # stateful streaming family under the hash-checked oracle
+    "events_session_window_stream": (
+        q_events_session_window_stream,
+        ORACLE_SESSION_WINDOW_STREAM,
     ),
 }

@@ -107,3 +107,35 @@ def validate(df: DataFrame, table: str) -> tuple[DataFrame, DataFrame]:
     # coalesce to FALSE so such rows land on the invalid side and the
     # drop accounting stays exact (valid + invalid == input)
     return df.filter(pred), df.filter(~F.coalesce(pred, F.lit(False)))
+
+
+def check_report(df: DataFrame, table: str) -> DataFrame:
+    """Per-rule CHECK-violation counts: one row per rule with
+    ``(rule, violations, rows_scanned)``.
+
+    ``validate`` answers "which rows pass ALL checks"; this answers the
+    operational question the reference's DB-side CHECKs answer via error
+    logs — WHICH constraint is being violated and how often — without
+    aborting the load.  NULL-evaluating predicates count as violations
+    (same three-valued-logic posture as ``validate``, so the two reports
+    reconcile).
+
+    Plan shape: ONE aggregation pass over the frame (all rules fused
+    into a single map-side-combinable agg — no per-rule scans), then a
+    constant-height ``stack`` to long form.  Scales as a single global
+    aggregate regardless of rule count."""
+    table_checks = checks().get(table, {})
+    if not table_checks:
+        raise ValueError(f"no CHECK rules declared for table {table!r}")
+    wide = df.agg(
+        F.count(F.lit(1)).alias("__rows__"),
+        *[
+            F.sum((~F.coalesce(c, F.lit(False))).cast("long")).alias(name)
+            for name, c in table_checks.items()
+        ],
+    )
+    pairs = ", ".join(f"'{n}', coalesce({n}, 0L)" for n in table_checks)
+    return wide.selectExpr(
+        f"stack({len(table_checks)}, {pairs}) AS (rule, violations)",
+        "__rows__ AS rows_scanned",
+    )

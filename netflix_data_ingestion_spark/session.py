@@ -31,6 +31,35 @@ def default_parallelism() -> int:
     return os.cpu_count() or 8
 
 
+# Ingest-plane Python-worker watchdog (COVERAGE.md "honest flake record",
+# r11): one 800M-row run in four parked a fact-stage task 19+ minutes in
+# epoll on the socket of a VANISHED ffill-Arrow Python worker (daemon
+# alive, no worker children, zero Python CPU).  Local mode has no
+# speculative-execution reaper, and the deterministic-ffill contract
+# (ffill.py localCheckpoint) forbids recompute-based retry — so the right
+# posture is fast, diagnosable failure, not a silent infinite hang:
+#   - idleTimeoutSeconds + killOnIdleTimeout: the JVM-side monitor kills a
+#     worker that produced no socket activity for 10 min (the ffill stage
+#     exchanges Arrow batches every few seconds; the whole 800M fact stage
+#     is ~7 min, so a 10-min silent window is unambiguous death), which
+#     closes the socket and fails the task promptly instead of 19+ min.
+#   - faulthandler: if the worker CRASHES (vs being externally killed),
+#     capture its stack in the task error so the next occurrence is
+#     diagnosable rather than a bare EOF.
+#   - killWorkerOnFlushFailure: don't swallow output-flush failures into
+#     a zombie worker; die loudly so Spark relaunches and retries.
+# Scoped to the ingest plane (measure_ingest / StarPipeline callers pass
+# this as extra_conf) rather than globally: the watchdog semantics are
+# tuned to the ingest stages' batch cadence, and contract/bench sessions
+# shouldn't silently change behavior mid-round.
+INGEST_WORKER_WATCHDOG_CONF: dict[str, str] = {
+    "spark.python.worker.idleTimeoutSeconds": "600",
+    "spark.python.worker.killOnIdleTimeout": "true",
+    "spark.python.worker.faulthandler.enabled": "true",
+    "spark.python.daemon.killWorkerOnFlushFailure": "true",
+}
+
+
 def build_session(
     app_name: str = DEFAULT_APP_NAME,
     master: str | None = None,

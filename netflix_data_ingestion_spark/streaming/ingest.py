@@ -206,11 +206,24 @@ def join_clicks_to_errors(
 
 
 def run_to_memory(
-    stream_df: DataFrame, query_name: str, output_mode: str = "append"
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "append",
+    max_data_batches: int | None = None,
 ) -> None:
     """Drain a stream into an in-memory table with availableNow (for tests
     and batch-over-stream replays); blocks until all available data is
-    processed."""
+    processed.
+
+    ``max_data_batches`` enforces a load-bearing batching assumption:
+    some closed-window oracles are only valid when availableNow yields a
+    single DATA micro-batch (a multi-file source plus any
+    maxFilesPerTrigger setting, or a Spark default change, would let
+    between-batch watermark advancement late-drop rows).  Pass 1 to turn
+    that documented assumption into a hard failure instead of a silent
+    wrong answer — the count comes from the query's own progress
+    records (data batch = numInputRows > 0; the trailing no-data flush
+    batch doesn't count)."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
@@ -219,6 +232,17 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+    if max_data_batches is not None:
+        data_batches = sum(
+            1 for p in q.recentProgress if int(p.numInputRows) > 0
+        )
+        if data_batches > max_data_batches:
+            raise RuntimeError(
+                f"stream {query_name!r} ran {data_batches} data "
+                f"micro-batches (max {max_data_batches}): the "
+                "closed-window oracle's single-batch assumption is "
+                "violated — check maxFilesPerTrigger / source layout"
+            )
 
 
 STREAK_STATE_SCHEMA = T.StructType(

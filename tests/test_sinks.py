@@ -77,6 +77,45 @@ def test_validate_routes_null_predicate_rows_to_invalid(spark):
     assert valid.count() + invalid.count() == df.count()
 
 
+def test_check_report_per_rule_counts_one_pass(spark):
+    """check_report gives per-rule violation counts (NULL counts as a
+    violation, matching validate's 3VL posture) from ONE aggregation
+    pass, and reconciles with validate: a row is invalid iff it
+    violates at least one rule."""
+    df = spark.createDataFrame(
+        [
+            (1, 1, 1, 0),      # clean
+            (13, 1, 1, 0),     # month out of range
+            (2, 40, 1, 0),     # day out of range
+            (3, 2, 9, -1),     # quarter AND dow out of range
+            (None, 2, 2, 2),   # NULL month -> month_range violation
+        ],
+        "month int, day int, quarter int, day_of_week int",
+    )
+    rep = {
+        r["rule"]: (r["violations"], r["rows_scanned"])
+        for r in schemas.check_report(df, "dim_date").collect()
+    }
+    assert rep == {
+        "month_range": (2, 5),
+        "day_range": (1, 5),
+        "quarter_range": (1, 5),
+        "day_of_week_range": (1, 5),
+    }
+    valid, invalid = schemas.validate(df, "dim_date")
+    assert valid.count() == 1 and invalid.count() == 4
+
+    with pytest.raises(ValueError, match="no CHECK rules"):
+        schemas.check_report(df, "no_such_table")
+
+    # empty frame: zero violations per rule, zero rows scanned
+    rep0 = {
+        r["rule"]: (r["violations"], r["rows_scanned"])
+        for r in schemas.check_report(df.limit(0), "dim_date").collect()
+    }
+    assert all(v == (0, 0) for v in rep0.values()) and len(rep0) == 4
+
+
 def test_read_jdbc_partition_bounds_required(spark):
     with pytest.raises(ValueError, match="lower_bound"):
         read_jdbc(spark, "jdbc:derby:memory:x", "t", partition_column="id")

@@ -111,6 +111,84 @@ def test_tumbling_append_emits_closed_windows(spark, tmp_path):
     }
 
 
+def test_session_append_emits_closed_sessions_and_merges(spark, tmp_path):
+    """APPEND-mode watermarked SESSION windows emit exactly the CLOSED
+    set — sessions whose end = last_event_ts + gap <= final watermark
+    = max(ts) - delay, boundary INCLUSIVE (an event places the
+    watermark exactly on a session end).  Also pins the MERGE
+    semantics: two events 20 minutes apart fuse into one session under
+    a 30-minute gap.  This is the contract the
+    events_session_window_stream driver row's oracle (gaps-and-islands
+    batch sessionization restricted to that boundary) relies on."""
+    rows = [
+        # user 1: events at minutes 0 and 20 merge (gap 20 < 30) into
+        # one session ending at minute 50; max ts = minute 170 ->
+        # watermark = minute 50: end == watermark, boundary case, KEPT
+        (0, BASE, 1, "click", 1.0, "{}"),
+        (1, BASE + datetime.timedelta(minutes=20), 1, "click", 1.0, "{}"),
+        # user 2: event at minute 30 -> session ends minute 60 > wm: open
+        (2, BASE + datetime.timedelta(minutes=30), 2, "click", 1.0, "{}"),
+        # user 3: the watermark-setting event; its own session is open
+        (3, BASE + datetime.timedelta(minutes=170), 3, "click", 1.0, "{}"),
+    ]
+    d = str(tmp_path / "events_session_boundary")
+    df = spark.createDataFrame(rows, ingest.EVENT_SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    stream = ingest.stream_events(spark, d)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n")
+    )
+    ingest.run_to_memory(
+        agg, "t_session_append", output_mode="append", max_data_batches=1
+    )
+    got = {
+        (r["user_id"], r["session_start"]): r["n"]
+        for r in spark.sql("SELECT * FROM t_session_append").collect()
+    }
+    # ONLY user 1's merged 2-event session (end == watermark: kept)
+    assert got == {(1, BASE): 2}
+
+
+def test_run_to_memory_max_data_batches_guard(spark, tmp_path):
+    """run_to_memory(max_data_batches=1) raises when availableNow
+    splits the source into multiple data micro-batches (here forced
+    with maxFilesPerTrigger=1 over a 2-file source) — the enforcement
+    that protects the closed-window oracles' single-batch assumption."""
+    rows = [
+        (i, BASE + datetime.timedelta(minutes=i), 1, "click", 1.0, "{}")
+        for i in range(4)
+    ]
+    d = str(tmp_path / "events_two_files")
+    spark.createDataFrame(rows, ingest.EVENT_SCHEMA).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(d)
+    stream = (
+        spark.readStream.schema(ingest.EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    agg = stream.groupBy("user_id").count()
+    with pytest.raises(RuntimeError, match="data micro-batches"):
+        ingest.run_to_memory(
+            agg, "t_two_batches", output_mode="complete", max_data_batches=1
+        )
+    # and the same source without the cap passes the guard
+    stream2 = spark.readStream.schema(ingest.EVENT_SCHEMA).parquet(d)
+    ingest.run_to_memory(
+        stream2.groupBy("user_id").count(),
+        "t_one_batch",
+        output_mode="complete",
+        max_data_batches=1,
+    )
+    assert spark.sql("SELECT * FROM t_one_batch").count() == 1
+
+
 def test_streaming_dedup(spark, source_dir):
     stream = ingest.stream_events(spark, source_dir)
     ingest.run_to_memory(ingest.dedup_events(stream), "t_dedup")

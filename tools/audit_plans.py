@@ -194,6 +194,11 @@ SANCTIONED: dict[str, str] = {
     ),
     "order_price_equidepth": "1-row total broadcast; rank offsets now DISTRIBUTED (prefix_sum_ranged inside global_rank)",
     "orders_expectations": "1-row report aggregates (constant output)",
+    "ratings_dead_letters": (
+        "1-row report aggregates crossJoined (constant output, "
+        "orders_expectations shape); the CSV render/scan legs are "
+        "distributed"
+    ),
     "orders_profile": "single 1-row profile aggregate, constant output",
     "orders_zorder_key": "1-row min/max bounds broadcast, doc'd",
     "orphan_lineitems": "global 1-row audit aggregate",

@@ -84,7 +84,10 @@ def main() -> None:
     target = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
 
     from netflix_data_ingestion_spark.pipeline import StarPipeline
-    from netflix_data_ingestion_spark.session import build_session
+    from netflix_data_ingestion_spark.session import (
+        INGEST_WORKER_WATCHDOG_CONF,
+        build_session,
+    )
 
     # SPARK_GRAFT_INGEST_DATA: persistent input dir — generation and
     # measurement can run as separate invocations (a 200M-row dataset
@@ -122,7 +125,12 @@ def main() -> None:
             print(json.dumps({"generated": n_rows, "root": root,
                               "gen_s": meta.get("gen_s")}))
             return
-        spark = build_session(app_name="ingest-bench")
+        # watchdog: turn the recorded 1-in-4 800M dead-worker socket hang
+        # into a prompt, diagnosable task failure (session.py rationale)
+        spark = build_session(
+            app_name="ingest-bench",
+            extra_conf=INGEST_WORKER_WATCHDOG_CONF,
+        )
         spark.range(1000).selectExpr("sum(id)").collect()  # JVM warm-up
         t0 = time.time()
         pipe = StarPipeline(

@@ -490,6 +490,46 @@ def ops(spark, sf_dir: str, copies: int):
 
         return skew_report(li, ["l_orderkey"], top=10).count()
 
+    def _stream_sf() -> str:
+        # the streaming contract rows take an sf_dir and read
+        # {sf_dir}/events.parquet — hand them a dir whose events.parquet
+        # symlinks the scaled copy (training_export's trick)
+        sf_link = f"{WORK}/stream_sf_x{copies}"
+        os.makedirs(sf_link, exist_ok=True)
+        link = os.path.join(sf_link, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.abspath(f"{WORK}/events_x{copies}"), link)
+        return sf_link
+
+    # The r12 rotation family: the streaming rows' cost model is
+    # ASSERTED to be fixed machinery (query startup, Python state
+    # workers, memory-sink drain) + a linear data term — these cases
+    # measure it.  Expected: exponent well under 1 at these sizes
+    # (startup dominates); any super-linear STATE growth (the throttle
+    # row keys state per (user, day), which scales with copies) is a
+    # real finding.
+
+    def stream_tumbling():
+        from netflix_data_ingestion_spark.plans.contract_llm import (
+            q_events_tumbling_window_stream,
+        )
+
+        return q_events_tumbling_window_stream(spark, _stream_sf()).count()
+
+    def stream_sliding():
+        from netflix_data_ingestion_spark.plans.contract_llm import (
+            q_events_sliding_window_stream,
+        )
+
+        return q_events_sliding_window_stream(spark, _stream_sf()).count()
+
+    def stream_throttle():
+        from netflix_data_ingestion_spark.plans.contract_llm import (
+            q_events_throttled_daily_stream,
+        )
+
+        return q_events_throttled_daily_stream(spark, _stream_sf()).count()
+
     return {
         "scan_agg(lineitem)": (copies * 600_000, scan_agg),
         "join_agg(orders*cust)": (copies * 150_000, join_agg),
@@ -512,6 +552,9 @@ def ops(spark, sf_dir: str, copies: int):
         "gif_codec(documents)": (copies * 5_000, gif_codec),
         "mp4_codec(documents)": (copies * 5_000, mp4_codec),
         "skew_report(lineitem)": (copies * 600_000, skew),
+        "stream_tumbling(events)": (copies * 100_000, stream_tumbling),
+        "stream_sliding(events)": (copies * 100_000, stream_sliding),
+        "stream_throttle(events)": (copies * 100_000, stream_throttle),
         "triangle_counts(lineitem)": (copies * 600_000, triangles),
         "kcore(lineitem)": (copies * 600_000, kcore_peel),
         "pagerank(orders*lineitem)": (copies * 600_000, pr),
