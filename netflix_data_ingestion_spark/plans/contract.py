@@ -1214,6 +1214,72 @@ _VERIFY_ROUND12: list[str] = [
     "brand_quantity_salted",
 ]
 
+# ---------------------------------------------------------------------------
+# ROUND-13 ROTATION DRAFT (apply at the START of round 13: rebind
+# _APPLIED_ROTATION to this list).  The four round-12 tail additions first
+# (registered at the tail this round so the frozen r12 window stayed
+# byte-identical to the r11-drafted plan; ALL FOUR oracle-checked at
+# sf0.01 AND sf0.1 locally at add time), then the oldest remaining driver
+# rows (latest sampling r8, then r9) in registry order, computed from
+# CORRECTNESS_r01..r11 + the applied r12 window.  Any further round-12
+# tail additions must be inserted at the head at round-13 start.
+# ---------------------------------------------------------------------------
+_VERIFY_ROUND13: list[str] = [
+    # round-12 additions, never driver-sampled
+    "events_session_window_stream",
+    "orders_cdc_snapshot_stream",
+    "ratings_dead_letters",
+    "calendar_check_report",
+    # oldest remaining driver rows (latest sampling r8), registry order
+    "order_price_quantiles",
+    "regional_revenue",
+    "user_event_gaps",
+    "retained_customers_intersect",
+    "orders_cube",
+    "lineitem_grouping_sets",
+    "customers_with_urgent_orders",
+    "lapsed_customers_except",
+    "brand_priciest_part",
+    "median_order_by_segment",
+    "orders_above_customer_avg",
+    # then the oldest r9-era rows, registry order
+    "orders_price_drift",
+    "part_abc_classes",
+    "price_quantity_ols",
+    "ann_multiprobe_topk",
+    "dedup_simhash_pairs",
+    "dedup_lsh_recall",
+    "time_to_purchase_labels",
+    "dedup_prefix_jaccard",
+    "doc_class_balance",
+    "dedup_containment",
+    "ann_pq_topk",
+    "events_ohlc_hourly",
+    "brand_top_price_levels",
+    "orders_join_delta",
+    "corpus_bigram_lm",
+    "doc_quality_source_cut",
+    "corpus_vocab_growth",
+    "part_cooccurrence",
+    "purchase_view_attribution",
+    "embedding_random_projection",
+    "part_triangle_counts",
+    "part_kcore",
+    "user_churn_labels",
+    "part_skyline_by_brand",
+    "top_session_paths",
+    "orders_lineitem_join_size",
+    "doc_kfold",
+    "doc_token_ids",
+    "doc_padded_tokens",
+    "embedding_int8_quantize",
+    "doc_pack_windows",
+    "doc_model_scores",
+    "customer_pseudonymized",
+    "orders_unpivot",
+    "customer_balance_percentile",
+]
+
 # _APPLIED_ROTATION is the single source of truth for "which window is the
 # current registry head" — tests assert the head against THIS name so the
 # assertion can never go stale when a future round advances the window.

@@ -4916,6 +4916,108 @@ def q_events_session_window_stream(spark: SparkSession, sf_dir: str
     return spark.table(name).orderBy("user_id", "session_start")
 
 
+def q_orders_cdc_snapshot_stream(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    """The CDC-apply streaming path driven through the driver gate:
+    replay orders as a change stream (key = o_custkey, change order =
+    o_orderkey, tombstone when the change row's o_orderstatus = 'P')
+    through streaming/ingest.apply_cdc_stream — the real
+    foreachBatch + checkpoint + alternating-dir atomic-swap machinery —
+    then aggregate the CONVERGED snapshot per status.  The snapshot is
+    the batching-invariant contract surface: per key, the surviving row
+    is the max-o_orderkey change (within-batch collapse by order_col),
+    deleted if that change is a tombstone — exactly the batch MERGE
+    twin the oracle replays with a window.  One data micro-batch is
+    ENFORCED (assert_data_batches) because cross-batch convergence
+    additionally requires change order to respect order_col, which an
+    arbitrary file split would not guarantee — the enforced assumption
+    is documented, not silent.
+
+    Plan: the per-batch collapse is one (key)-keyed window inside
+    foreachBatch; the merge is one full-outer join against the (empty,
+    first-batch) snapshot; the returned aggregate runs on the
+    result-sized snapshot parquet."""
+    import os
+    import shutil
+    import tempfile
+
+    from netflix_data_ingestion_spark.streaming.ingest import (
+        apply_cdc_stream,
+        assert_data_batches,
+        read_cdc_snapshot,
+    )
+
+    ord_path = os.path.join(sf_dir, "orders.parquet")
+    reader = (
+        spark.readStream.format("parquet")
+        .schema(_t(spark, sf_dir, "orders").schema)
+    )
+    if os.path.isdir(ord_path):
+        reader = reader.option("path", ord_path)
+    else:
+        reader = reader.option("path", sf_dir).option(
+            "pathGlobFilter", "orders.parquet"
+        )
+    changes = (
+        reader.load()
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_orderstatus") == "P").alias("is_delete"),
+        )
+    )
+    _STREAM_RUN_SEQ[0] += 1
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"cdc_snapshot_stream_{os.getpid()}_{_STREAM_RUN_SEQ[0]}",
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    snap_dir = os.path.join(work, "snapshot")
+    os.makedirs(snap_dir, exist_ok=True)
+    q = (
+        apply_cdc_stream(
+            changes,
+            snap_dir,
+            os.path.join(work, "checkpoint"),
+            key_cols=["o_custkey"],
+            value_cols=["o_orderkey", "o_orderstatus"],
+            tombstone_col="is_delete",
+            order_col="o_orderkey",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert_data_batches(q, "orders_cdc_snapshot_stream", 1)
+    return (
+        read_cdc_snapshot(spark, snap_dir)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("o_orderkey").cast("long").alias("orderkey_sum"),
+        )
+        .orderBy("status")
+    )
+
+
+ORACLE_CDC_SNAPSHOT_STREAM = """
+WITH latest AS (
+  SELECT o_custkey, o_orderkey, o_orderstatus,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderkey DESC) AS rn
+  FROM orders
+)
+SELECT o_orderstatus AS status,
+       count(*)::BIGINT AS n_keys,
+       sum(o_orderkey)::BIGINT AS orderkey_sum
+FROM latest
+WHERE rn = 1 AND o_orderstatus <> 'P'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 ORACLE_SESSION_WINDOW_STREAM = """
 WITH flagged AS (
   SELECT user_id, ts, event_id,
@@ -6660,5 +6762,13 @@ REGISTRY_LLM = {
     "events_session_window_stream": (
         q_events_session_window_stream,
         ORACLE_SESSION_WINDOW_STREAM,
+    ),
+    # r12: the CDC-apply path (foreachBatch + checkpoint + atomic-swap
+    # snapshot, within-batch latest-by-order collapse, tombstone
+    # deletes) — the converged snapshot hash-checked against the batch
+    # MERGE twin
+    "orders_cdc_snapshot_stream": (
+        q_orders_cdc_snapshot_stream,
+        ORACLE_CDC_SNAPSHOT_STREAM,
     ),
 }

@@ -59,6 +59,25 @@ INGEST_WORKER_WATCHDOG_CONF: dict[str, str] = {
     "spark.python.daemon.killWorkerOnFlushFailure": "true",
 }
 
+# Large-state streaming posture (100 TB): the default
+# HDFSBackedStateStoreProvider keeps EVERY key's state on the executor
+# JVM heap — at billions of (user, window) keys that is an OOM wall, not
+# a tuning problem.  The RocksDB provider keeps working state off-heap /
+# on local disk with block-cache reads, and changelog checkpointing
+# ships only each batch's delta to the checkpoint location instead of
+# re-uploading full SST snapshots.  Results are provider-independent
+# (pinned by test_streaming's RocksDB parity test); the conf is
+# runtime-settable, so callers flip it per large-state query rather
+# than session-wide.
+ROCKSDB_STATE_CONF: dict[str, str] = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+    "spark.sql.streaming.stateStore.rocksdb."
+    "changelogCheckpointing.enabled": "true",
+}
+
 
 def build_session(
     app_name: str = DEFAULT_APP_NAME,

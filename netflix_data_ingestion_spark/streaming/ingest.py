@@ -233,16 +233,24 @@ def run_to_memory(
     )
     q.awaitTermination()
     if max_data_batches is not None:
-        data_batches = sum(
-            1 for p in q.recentProgress if int(p.numInputRows) > 0
+        assert_data_batches(q, query_name, max_data_batches)
+
+
+def assert_data_batches(q, name: str, max_data_batches: int) -> None:
+    """Raise if a finished streaming query ran more DATA micro-batches
+    than the caller's oracle tolerates (data batch = numInputRows > 0;
+    trailing no-data flush batches don't count).  Shared by
+    run_to_memory and the foreachBatch-sink contract rows."""
+    data_batches = sum(
+        1 for p in q.recentProgress if int(p.numInputRows) > 0
+    )
+    if data_batches > max_data_batches:
+        raise RuntimeError(
+            f"stream {name!r} ran {data_batches} data "
+            f"micro-batches (max {max_data_batches}): the "
+            "closed-window oracle's single-batch assumption is "
+            "violated — check maxFilesPerTrigger / source layout"
         )
-        if data_batches > max_data_batches:
-            raise RuntimeError(
-                f"stream {query_name!r} ran {data_batches} data "
-                f"micro-batches (max {max_data_batches}): the "
-                "closed-window oracle's single-batch assumption is "
-                "violated — check maxFilesPerTrigger / source layout"
-            )
 
 
 STREAK_STATE_SCHEMA = T.StructType(

@@ -155,6 +155,56 @@ def test_session_append_emits_closed_sessions_and_merges(spark, tmp_path):
     assert got == {(1, BASE): 2}
 
 
+def test_session_append_rocksdb_state_store_parity(spark, tmp_path):
+    """The same closed-session emission under the RocksDB state-store
+    provider (the 100 TB large-state posture: off-heap/disk state +
+    changelog checkpointing instead of every key on the JVM heap) —
+    results must be provider-independent."""
+    from netflix_data_ingestion_spark.session import ROCKSDB_STATE_CONF
+
+    rows = [
+        (0, BASE, 1, "click", 1.0, "{}"),
+        (1, BASE + datetime.timedelta(minutes=20), 1, "click", 1.0, "{}"),
+        (2, BASE + datetime.timedelta(minutes=30), 2, "click", 1.0, "{}"),
+        (3, BASE + datetime.timedelta(minutes=170), 3, "click", 1.0, "{}"),
+    ]
+    d = str(tmp_path / "events_rocksdb")
+    spark.createDataFrame(rows, ingest.EVENT_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d)
+    saved = {
+        k: spark.conf.get(k, None) for k in ROCKSDB_STATE_CONF
+    }
+    for k, v in ROCKSDB_STATE_CONF.items():
+        spark.conf.set(k, v)
+    try:
+        stream = ingest.stream_events(spark, d)
+        agg = (
+            stream.withWatermark("ts", "2 hours")
+            .groupBy(
+                F.session_window("ts", "30 minutes").alias("w"),
+                F.col("user_id"),
+            )
+            .agg(F.count("*").alias("n"))
+            .select("user_id", F.col("w.start").alias("session_start"), "n")
+        )
+        ingest.run_to_memory(
+            agg, "t_session_rocksdb", output_mode="append", max_data_batches=1
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    got = {
+        (r["user_id"], r["session_start"]): r["n"]
+        for r in spark.sql("SELECT * FROM t_session_rocksdb").collect()
+    }
+    # identical emission to the default-provider test above
+    assert got == {(1, BASE): 2}
+
+
 def test_run_to_memory_max_data_batches_guard(spark, tmp_path):
     """run_to_memory(max_data_batches=1) raises when availableNow
     splits the source into multiple data micro-batches (here forced

@@ -199,6 +199,10 @@ SANCTIONED: dict[str, str] = {
         "orders_expectations shape); the CSV render/scan legs are "
         "distributed"
     ),
+    "calendar_check_report": (
+        "single global agg exchange on the fused per-rule counts "
+        "(map-side combined; constant 4-row output via stack)"
+    ),
     "orders_profile": "single 1-row profile aggregate, constant output",
     "orders_zorder_key": "1-row min/max bounds broadcast, doc'd",
     "orphan_lineitems": "global 1-row audit aggregate",
