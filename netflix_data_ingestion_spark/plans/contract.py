@@ -1228,6 +1228,7 @@ _VERIFY_ROUND13: list[str] = [
     # round-12 additions, never driver-sampled
     "events_session_window_stream",
     "orders_cdc_snapshot_stream",
+    "events_ohlc_hourly_stream",
     "ratings_dead_letters",
     "calendar_check_report",
     # oldest remaining driver rows (latest sampling r8), registry order
@@ -1277,7 +1278,6 @@ _VERIFY_ROUND13: list[str] = [
     "doc_model_scores",
     "customer_pseudonymized",
     "orders_unpivot",
-    "customer_balance_percentile",
 ]
 
 # _APPLIED_ROTATION is the single source of truth for "which window is the

@@ -5001,6 +5001,86 @@ def q_orders_cdc_snapshot_stream(spark: SparkSession, sf_dir: str
     )
 
 
+def q_events_ohlc_hourly_stream(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """The ORDER-STATISTIC streaming state surface driven through the
+    driver gate: streaming/ingest.ohlc_stream (watermarked hourly OHLC
+    bars per event type — combinable min_by/max_by over a
+    (ts, event_id) tiebreak struct) in APPEND mode under availableNow.
+    Same closed-window emission contract as the tumbling row (window
+    end <= final watermark = max(ts) - 2h, inclusive) — the oracle is
+    the batch OHLC twin (events_ohlc_hourly's rank-based SQL)
+    restricted to that boundary.
+
+    Batching-invariance: open/high/low/close are SELECTED values, not
+    accumulations — min_by/max_by over a total (ts, event_id) order is
+    order-free state, so the DOUBLE column round-trips bit-exactly
+    (same discipline as the batch row); one data micro-batch ENFORCED
+    via run_to_memory(max_data_batches=1).
+
+    Plan: one (window, key)-keyed shuffle with map-side partial
+    aggregation; the memory-sink drain is bar-sized."""
+    import os
+
+    from netflix_data_ingestion_spark.streaming.ingest import (
+        ohlc_stream,
+        run_to_memory,
+    )
+
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    reader = (
+        spark.readStream.format("parquet")
+        .schema(_t(spark, sf_dir, "events").schema)
+    )
+    if os.path.isdir(ev_path):
+        reader = reader.option("path", ev_path)
+    else:
+        reader = reader.option("path", sf_dir).option(
+            "pathGlobFilter", "events.parquet"
+        )
+    src = reader.load().withColumn("ts", F.col("ts").cast("timestamp"))
+    bars = ohlc_stream(src, key_col="event_type").select(
+        F.col("bucket").cast("timestamp_ntz").alias("bucket"),
+        "event_type",
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_events",
+    )
+    _STREAM_RUN_SEQ[0] += 1
+    name = f"__ohlc_hourly_stream_{os.getpid()}_{_STREAM_RUN_SEQ[0]}"
+    run_to_memory(bars, name, output_mode="append", max_data_batches=1)
+    return spark.table(name).orderBy("event_type", "bucket")
+
+
+ORACLE_OHLC_STREAM = """
+WITH b AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, ts, event_id, value
+  FROM events WHERE ts IS NOT NULL
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type, bucket
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, bucket
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM b
+)
+SELECT bucket, event_type,
+       MIN(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MIN(CASE WHEN rn_d = 1 THEN value END) AS close,
+       COUNT(*)::BIGINT AS n_events
+FROM r
+GROUP BY 1, 2
+HAVING bucket + INTERVAL 1 HOUR
+       <= (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
+ORDER BY 2, 1
+"""
+
+
 ORACLE_CDC_SNAPSHOT_STREAM = """
 WITH latest AS (
   SELECT o_custkey, o_orderkey, o_orderstatus,
@@ -6770,5 +6850,12 @@ REGISTRY_LLM = {
     "orders_cdc_snapshot_stream": (
         q_orders_cdc_snapshot_stream,
         ORACLE_CDC_SNAPSHOT_STREAM,
+    ),
+    # r12: the ORDER-STATISTIC streaming state surface (watermarked
+    # OHLC bars, append mode, closed-window emission) — min_by/max_by
+    # picks round-trip the DOUBLE column bit-exactly
+    "events_ohlc_hourly_stream": (
+        q_events_ohlc_hourly_stream,
+        ORACLE_OHLC_STREAM,
     ),
 }
