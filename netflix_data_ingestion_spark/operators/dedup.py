@@ -48,14 +48,27 @@ def tokens(text: Column) -> Column:
 
 
 def word_ngrams(tok: Column, n: int) -> Column:
-    """ALL word n-grams (space-joined, duplicates kept) from a token array."""
-    return F.when(
-        F.size(tok) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(tok) - (n - 1)),
-            lambda i: F.array_join(F.slice(tok, i, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    """ALL word n-grams (space-joined, duplicates kept) from a token array.
+
+    ``tok`` is let-bound through a single-element ``transform`` before the
+    per-gram lambda references it: a higher-order-function lambda re-evaluates
+    any OUTER expression it captures once PER ELEMENT, so an inline
+    ``tokens(text)`` argument would be re-tokenized for every gram — O(G)
+    regex splits per row instead of 1 (measured 13-20x on sf0.1 documents).
+    The binding costs one 1-element array per row and keeps every call site
+    (inline expression or materialized column) at one evaluation of ``tok``.
+    """
+
+    def from_bound(t: Column) -> Column:
+        return F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                lambda i: F.array_join(F.slice(t, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(tok), from_bound), 1)
 
 
 def shingles(tok: Column, n: int) -> Column:
