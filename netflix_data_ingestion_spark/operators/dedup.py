@@ -47,16 +47,26 @@ def tokens(text: Column) -> Column:
     )
 
 
+def bind_once(expr: Column, build) -> Column:
+    """Evaluate ``expr`` ONCE per row and pass it to ``build`` as a bound
+    lambda variable.
+
+    A higher-order-function lambda re-evaluates any OUTER expression it
+    captures once PER ELEMENT, so an expression like ``tokens(text)``
+    referenced inside a per-element lambda is re-tokenized for every
+    element — O(G) regex splits per row instead of 1 (measured 13-20x on
+    sf0.1 documents).  Wrapping it in a single-element ``transform``
+    let-binds it: the bound variable is a plain attribute inside
+    ``build``'s lambdas.  Costs one 1-element array per row.
+    """
+    return F.element_at(F.transform(F.array(expr), build), 1)
+
+
 def word_ngrams(tok: Column, n: int) -> Column:
     """ALL word n-grams (space-joined, duplicates kept) from a token array.
 
-    ``tok`` is let-bound through a single-element ``transform`` before the
-    per-gram lambda references it: a higher-order-function lambda re-evaluates
-    any OUTER expression it captures once PER ELEMENT, so an inline
-    ``tokens(text)`` argument would be re-tokenized for every gram — O(G)
-    regex splits per row instead of 1 (measured 13-20x on sf0.1 documents).
-    The binding costs one 1-element array per row and keeps every call site
-    (inline expression or materialized column) at one evaluation of ``tok``.
+    ``tok`` is let-bound (see ``bind_once``) so an inline ``tokens(text)``
+    argument is evaluated once per row, not once per gram.
     """
 
     def from_bound(t: Column) -> Column:
@@ -68,7 +78,30 @@ def word_ngrams(tok: Column, n: int) -> Column:
             ),
         ).otherwise(F.array().cast("array<string>"))
 
-    return F.element_at(F.transform(F.array(tok), from_bound), 1)
+    return bind_once(tok, from_bound)
+
+
+def bigram_pairs(tok: Column) -> Column:
+    """Adjacent token pairs as array<struct<w1,w2>> (duplicates kept).
+
+    Shared by the bigram-LM builders (textstats.cooccur / lm.perplexity);
+    ``tok`` is let-bound (see ``bind_once``) because the per-pair lambda
+    references it twice per element.
+    """
+
+    def from_bound(t: Column) -> Column:
+        return F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.struct(
+                    F.element_at(t, i).alias("w1"),
+                    F.element_at(t, i + 1).alias("w2"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+    return bind_once(tok, from_bound)
 
 
 def shingles(tok: Column, n: int) -> Column:

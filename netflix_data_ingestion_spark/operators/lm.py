@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from netflix_data_ingestion_spark.operators.dedup import bigram_pairs
 from netflix_data_ingestion_spark.operators.textstats import (
     bigram_lm_counts,
     tokens,
@@ -70,17 +71,7 @@ def doc_perplexity(
         F.count_distinct("w2").cast("long").alias("v_size"),
     )
 
-    tok = tokens(F.col(text_col))
-    pairs = F.when(
-        F.size(tok) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(tok) - 1),
-            lambda i: F.struct(
-                F.element_at(tok, i).alias("w1"),
-                F.element_at(tok, i + 1).alias("w2"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pairs = bigram_pairs(tokens(F.col(text_col)))
     doc_bg = (
         ensure_parallelism(df)
         .select(F.col(id_col), F.explode(pairs).alias("bg"))

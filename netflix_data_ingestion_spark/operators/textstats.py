@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from netflix_data_ingestion_spark.operators.dedup import (
+    bigram_pairs,
     shingles,
     tokens,
     word_ngrams,
@@ -279,15 +280,7 @@ def winnow_fingerprint(
     tok = tokens(F.col(text_col))
     grams = ensure_parallelism(df).select(
         F.col(id_col),
-        F.posexplode(
-            F.when(
-                F.size(tok) >= n,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(tok) - (n - 1)),
-                    lambda i: F.array_join(F.slice(tok, i, n), " "),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("pos", "gram"),
+        F.posexplode(word_ngrams(tok, n)).alias("pos", "gram"),
     ).withColumn("h", F.md5("gram"))
 
     w = (
@@ -465,17 +458,7 @@ def bigram_lm_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     cont_w2 is COUNT(*) per w2 over the count table — one row per
     distinct (w1, w2) makes that exactly the distinct-context count.
     """
-    tok = tokens(F.col(text_col))
-    pairs = F.when(
-        F.size(tok) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(tok) - 1),
-            lambda i: F.struct(
-                F.element_at(tok, i).alias("w1"),
-                F.element_at(tok, i + 1).alias("w2"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pairs = bigram_pairs(tokens(F.col(text_col)))
     counts = (
         ensure_parallelism(df)
         .select(F.explode(pairs).alias("bg"))
