@@ -1216,13 +1216,14 @@ _VERIFY_ROUND12: list[str] = [
 
 # ---------------------------------------------------------------------------
 # ROUND-13 ROTATION DRAFT (apply at the START of round 13: rebind
-# _APPLIED_ROTATION to this list).  The four round-12 tail additions first
-# (registered at the tail this round so the frozen r12 window stayed
-# byte-identical to the r11-drafted plan; ALL FOUR oracle-checked at
-# sf0.01 AND sf0.1 locally at add time), then the oldest remaining driver
-# rows (latest sampling r8, then r9) in registry order, computed from
-# CORRECTNESS_r01..r11 + the applied r12 window.  Any further round-12
-# tail additions must be inserted at the head at round-13 start.
+# _APPLIED_ROTATION to this list).  The seven round-12 tail additions
+# first (registered at the tail this round so the frozen r12 window
+# stayed byte-identical to the r11-drafted plan; ALL SEVEN
+# oracle-checked at sf0.01 AND sf0.1 locally at add time), then the
+# oldest remaining driver rows (latest sampling r8, then r9) in
+# registry order, computed from CORRECTNESS_r01..r11 + the applied r12
+# window.  Any further round-12 tail additions must be inserted at the
+# head at round-13 start.
 # ---------------------------------------------------------------------------
 _VERIFY_ROUND13: list[str] = [
     # round-12 additions, never driver-sampled
@@ -1231,6 +1232,8 @@ _VERIFY_ROUND13: list[str] = [
     "events_ohlc_hourly_stream",
     "ratings_dead_letters",
     "calendar_check_report",
+    "corpus_unigram_vocab",
+    "doc_unigram_segmented",
     # oldest remaining driver rows (latest sampling r8), registry order
     "order_price_quantiles",
     "regional_revenue",
@@ -1276,8 +1279,6 @@ _VERIFY_ROUND13: list[str] = [
     "embedding_int8_quantize",
     "doc_pack_windows",
     "doc_model_scores",
-    "customer_pseudonymized",
-    "orders_unpivot",
 ]
 
 # _APPLIED_ROTATION is the single source of truth for "which window is the

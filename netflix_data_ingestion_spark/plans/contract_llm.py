@@ -6626,6 +6626,226 @@ LIMIT 100
 """
 
 
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (operators/unigram.py — SentencePiece-style
+# hard-EM, Kudo ACL 2018).  The determinism contract that makes both
+# oracles hash-exact: integer micro-nat piece scores (the lm.py/DSIR
+# round-6 ln pin) and Viterbi keyed on (score, boundary-bitmask) —
+# the oracle enumerates every segmentation path of each modeled word
+# (bounded: words are capped at _UNI_MAX_WORD chars) and takes the
+# same lexicographic argmax the linear-time DP computes.
+# ---------------------------------------------------------------------------
+
+_UNI_MAX_WORD = 20
+_UNI_MAX_PIECE = 6
+_UNI_SEED_MULTIS = 64
+_UNI_VOCAB_SIZE = 40
+
+
+def _unigram_oracle(mode: str) -> str:
+    """DuckDB twin of the unigram trainer/segmenter: shared CTEs build
+    the word table, the seed vocabulary with micro-nat scores, the
+    per-word path enumeration, and the (score DESC, mask DESC) argmax
+    with mask-decoded pieces; the tail is either the pruned-vocabulary
+    M-step (``mode='vocab'``) or the per-doc segmentation stats
+    (``mode='segment'``)."""
+    regex = r"'''[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'"
+    w, l, k, v = (
+        _UNI_MAX_WORD,
+        _UNI_MAX_PIECE,
+        _UNI_SEED_MULTIS,
+        _UNI_VOCAB_SIZE,
+    )
+    ctes = f"""
+w0 AS (
+  SELECT w, COUNT(*)::BIGINT AS cnt
+  FROM (SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+          {regex})) AS w
+        FROM documents) u
+  WHERE len(w) <= {w}
+  GROUP BY w
+),
+sub AS (
+  SELECT substr(w, i::INT, pl::INT) AS piece, SUM(cnt)::BIGINT AS cnt
+  FROM w0,
+       unnest(range(1, len(w) + 1)) AS t(i),
+       unnest(range(1, least({l}, len(w) - i + 1) + 1)) AS t2(pl)
+  GROUP BY 1
+),
+multis AS (
+  SELECT piece, cnt FROM sub WHERE len(piece) >= 2
+  ORDER BY cnt DESC, piece ASC LIMIT {k}
+),
+seed AS (
+  SELECT piece, cnt FROM sub WHERE len(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM multis
+),
+stot AS (SELECT SUM(cnt)::DOUBLE AS t FROM seed),
+vocab AS (
+  SELECT piece,
+         CAST(ROUND(LN(cnt::DOUBLE / stot.t) * 1000000) AS BIGINT) AS s
+  FROM seed, stot
+),
+paths AS (
+  SELECT w, 0::BIGINT AS pos, 0::BIGINT AS score, 0::BIGINT AS mask
+  FROM w0
+  UNION ALL
+  SELECT p.w, p.pos + len(v.piece), p.score + v.s,
+         p.mask | (CASE WHEN p.pos > 0
+                        THEN (1::BIGINT << p.pos::INT)
+                        ELSE 0::BIGINT END)
+  FROM paths p JOIN vocab v
+    ON p.pos < len(p.w)
+   AND len(v.piece) <= len(p.w) - p.pos
+   AND substr(p.w, (p.pos + 1)::INT, len(v.piece)::INT) = v.piece
+),
+best AS (
+  SELECT w, score, mask FROM (
+    SELECT w, score, mask,
+           ROW_NUMBER() OVER (PARTITION BY w
+                              ORDER BY score DESC, mask DESC) AS rn
+    FROM paths WHERE pos = len(w)) r
+  WHERE rn = 1
+),
+wp AS (
+  SELECT w, score,
+         list_transform(range(1, len(bs)),
+           kk -> substr(w, (bs[kk] + 1)::INT, (bs[kk + 1] - bs[kk])::INT))
+           AS pieces
+  FROM (SELECT w, score,
+               list_sort(list_concat([0::BIGINT, len(w)::BIGINT],
+                 list_filter(range(1, len(w)),
+                   b -> ((mask >> b::INT) & 1) = 1))) AS bs
+        FROM best) b
+)"""
+    if mode == "vocab":
+        return (
+            "WITH RECURSIVE "
+            + ctes
+            + f""",
+used AS (
+  SELECT up.piece AS piece, SUM(w0.cnt)::BIGINT AS used
+  FROM wp JOIN w0 USING (w), unnest(wp.pieces) AS up(piece)
+  GROUP BY 1
+),
+nch AS (SELECT COUNT(*)::BIGINT AS n FROM seed WHERE len(piece) = 1),
+ranked AS (
+  SELECT s.piece, COALESCE(u.used, 0)::BIGINT AS used,
+         ROW_NUMBER() OVER (ORDER BY COALESCE(u.used, 0) DESC,
+                            s.piece ASC) AS rn
+  FROM seed s LEFT JOIN used u ON s.piece = u.piece
+  WHERE len(s.piece) >= 2
+),
+kept AS (
+  SELECT s.piece, COALESCE(u.used, 0)::BIGINT AS used
+  FROM seed s LEFT JOIN used u ON s.piece = u.piece
+  WHERE len(s.piece) = 1
+  UNION ALL
+  SELECT piece, used FROM ranked, nch WHERE rn <= {v} - nch.n
+),
+ktot AS (SELECT SUM(used)::BIGINT AS t, COUNT(*)::BIGINT AS k FROM kept)
+SELECT piece, len(piece)::BIGINT AS piece_len, used AS used_cnt,
+       CAST(ROUND(LN((used + 1)::DOUBLE / (t + k)::DOUBLE) * 1000000)
+            AS BIGINT) AS score_mnat
+FROM kept, ktot
+ORDER BY score_mnat DESC, piece ASC"""
+        )
+    return (
+        "WITH RECURSIVE "
+        + ctes
+        + f""",
+docw AS (
+  SELECT doc_id, w, COUNT(*)::BIGINT AS occ
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(lower(coalesce(text, '')),
+                 {regex})) AS w
+        FROM documents) u
+  WHERE len(w) <= {w}
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT d.doc_id,
+         SUM(d.occ)::BIGINT AS n_words,
+         SUM(d.occ * len(wp.pieces))::BIGINT AS n_pieces,
+         SUM(d.occ * wp.score)::BIGINT AS score_mnat
+  FROM docw d JOIN wp USING (w)
+  GROUP BY 1
+),
+dd AS (
+  SELECT d.doc_id, COUNT(DISTINCT up.piece)::BIGINT AS ndp
+  FROM docw d JOIN wp USING (w), unnest(wp.pieces) AS up(piece)
+  GROUP BY 1
+)
+SELECT doc.doc_id,
+       COALESCE(a.n_words, 0)::BIGINT AS n_words,
+       COALESCE(a.n_pieces, 0)::BIGINT AS n_pieces,
+       COALESCE(dd.ndp, 0)::BIGINT AS n_distinct_pieces,
+       COALESCE(a.score_mnat, 0)::BIGINT AS score_mnat
+FROM documents doc
+LEFT JOIN agg a ON doc.doc_id = a.doc_id
+LEFT JOIN dd ON doc.doc_id = dd.doc_id
+ORDER BY doc.doc_id"""
+    )
+
+
+ORACLE_UNIGRAM_VOCAB = _unigram_oracle("vocab")
+ORACLE_UNIGRAM_SEGMENTED = _unigram_oracle("segment")
+
+
+def q_corpus_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/unigram.unigram_train: one hard-EM round of the
+    SentencePiece-style unigram tokenizer — seed vocabulary (every
+    character + top substrings), Viterbi E-step over the distinct-word
+    frame (one Arrow stage, broadcast integer-score model), prune to
+    _UNI_VOCAB_SIZE by realized usage, re-score with add-one smoothing.
+    Output is the final vocabulary with exact usage counts and integer
+    micro-nat scores."""
+    from netflix_data_ingestion_spark.operators.unigram import (
+        unigram_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_train(
+        docs,
+        "text",
+        vocab_size=_UNI_VOCAB_SIZE,
+        seed_multis=_UNI_SEED_MULTIS,
+        max_piece_len=_UNI_MAX_PIECE,
+        max_word_len=_UNI_MAX_WORD,
+    ).orderBy(F.desc("score_mnat"), "piece")
+
+
+def q_doc_unigram_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/unigram.unigram_segment: tokenizer-apply under the
+    seed unigram model (the E-step segmentation contract) — per-doc
+    modeled-word count, Viterbi piece count, distinct pieces, and the
+    document's total segmentation score in exact integer micro-nats
+    (the unigram-LM log-likelihood, the domain-fit signal).  One Arrow
+    stage over one corpus pass, memoized per distinct word."""
+    from netflix_data_ingestion_spark.operators.unigram import (
+        unigram_seed_scores,
+        unigram_segment,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    score = unigram_seed_scores(
+        docs,
+        "text",
+        seed_multis=_UNI_SEED_MULTIS,
+        max_piece_len=_UNI_MAX_PIECE,
+        max_word_len=_UNI_MAX_WORD,
+    )
+    return unigram_segment(
+        docs,
+        score,
+        id_col="doc_id",
+        text_col="text",
+        max_piece_len=_UNI_MAX_PIECE,
+        max_word_len=_UNI_MAX_WORD,
+    ).orderBy("doc_id")
+
+
 REGISTRY_LLM = {
     "corpus_bpe_merges": (q_corpus_bpe_merges, ORACLE_BPE_MERGES),
     "embedding_top_pc": (q_embedding_top_pc, ORACLE_TOP_PC),
@@ -6857,5 +7077,18 @@ REGISTRY_LLM = {
     "events_ohlc_hourly_stream": (
         q_events_ohlc_hourly_stream,
         ORACLE_OHLC_STREAM,
+    ),
+    # r12: the unigram-LM tokenizer family (operators/unigram.py) —
+    # the second real subword tokenizer next to BPE, held to the same
+    # fully-unrolled-oracle bar: the M-step pruned vocabulary and the
+    # per-doc Viterbi segmentation stats, both hash-exact via integer
+    # micro-nat scores + (score, boundary-mask) tie-breaks
+    "corpus_unigram_vocab": (
+        q_corpus_unigram_vocab,
+        ORACLE_UNIGRAM_VOCAB,
+    ),
+    "doc_unigram_segmented": (
+        q_doc_unigram_segmented,
+        ORACLE_UNIGRAM_SEGMENTED,
     ),
 }

@@ -236,6 +236,16 @@ SANCTIONED: dict[str, str] = {
         "corpus-stats shape); succ/cont sides are vocabulary-sized "
         "broadcasts; the (doc, bigram) shuffle is the distributed pass"
     ),
+    # (corpus_unigram_vocab runs its Arrow Viterbi E-step and its
+    # seed-vocab-sized collects DRIVER-side while building the model;
+    # the returned frame is the final local vocabulary, so the audited
+    # plan is a clean LocalTableScan — no sanction entry needed or
+    # allowed here, the doc_bpe_encode precedent)
+    "doc_unigram_segmented": (
+        "Arrow broadcast-model tokenizer apply (unigram_segment): one "
+        "mapInPandas over one corpus pass, DP memoized per distinct "
+        "word — the bpe_segment license"
+    ),
 }
 
 

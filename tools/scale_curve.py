@@ -530,6 +530,28 @@ def ops(spark, sf_dir: str, copies: int):
 
         return q_events_throttled_daily_stream(spark, _stream_sf()).count()
 
+    def unigram_tr():
+        # expected: the corpus word-count pass is the only data-sized
+        # term (linear, parallelism-absorbed); candidates/E-step run on
+        # the DISTINCT-word frame, which the per-copy salt grows only
+        # by one zq{i} token per copy — near-flat
+        from netflix_data_ingestion_spark.operators.unigram import (
+            unigram_train,
+        )
+
+        return unigram_train(docs).count()
+
+    def unigram_seg():
+        # expected: ~linear — one corpus Arrow pass; the DP memo keys
+        # on distinct words, so per-row cost is a dict hit
+        from netflix_data_ingestion_spark.operators.unigram import (
+            unigram_seed_scores,
+            unigram_segment,
+        )
+
+        score = unigram_seed_scores(docs)
+        return unigram_segment(docs, score).count()
+
     return {
         "scan_agg(lineitem)": (copies * 600_000, scan_agg),
         "join_agg(orders*cust)": (copies * 150_000, join_agg),
@@ -549,6 +571,8 @@ def ops(spark, sf_dir: str, copies: int):
         "training_export(documents)": (copies * 5_000, training_export_op),
         "bpe_train(documents)": (copies * 5_000, bpe),
         "bpe_segment(documents)": (copies * 5_000, bpe_seg),
+        "unigram_train(documents)": (copies * 5_000, unigram_tr),
+        "unigram_segment(documents)": (copies * 5_000, unigram_seg),
         "gif_codec(documents)": (copies * 5_000, gif_codec),
         "mp4_codec(documents)": (copies * 5_000, mp4_codec),
         "skew_report(lineitem)": (copies * 600_000, skew),
