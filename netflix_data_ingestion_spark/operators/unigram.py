@@ -376,3 +376,75 @@ def unigram_segment(
         ]
     )
     return pre.mapInPandas(batches, schema)
+
+
+def unigram_encode(
+    df: DataFrame,
+    score: dict[str, int],
+    ids: dict[str, int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_piece_len: int = MAX_PIECE_LEN,
+    max_word_len: int = MAX_WORD_LEN,
+) -> DataFrame:
+    """(id, n_tokens, ids) — each document as its space-joined
+    token-id sequence under a (typically pruned) unigram vocabulary:
+    Viterbi-segment every modeled word with ``score``, then map each
+    piece through the ``ids`` table (piece -> integer id).  The
+    doc_bpe_encode twin for this tokenizer family; the downstream
+    contract hashes ``ids``, so the sequence itself (piece order
+    within words, word order within the doc) is what's pinned.
+
+    Same shape as ``unigram_segment``: one Arrow stage, DP memoized
+    per distinct word, no shuffle."""
+    pre = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.filter(
+            bpe_pretokenize(F.lower(F.col(text_col))),
+            lambda w: F.length(w) <= max_word_len,
+        ).alias("__ws"),
+    )
+    id_field = df.schema[id_col]
+
+    def batches(it):
+        import pandas as pd
+
+        memo: dict = {}
+        for pdf in it:
+            out_ids, nts, strs = [], [], []
+            for doc_id, ws in zip(pdf[id_col], pdf["__ws"]):
+                toks: list[str] = []
+                for w in ws if ws is not None else ():
+                    got = memo.get(w)
+                    if got is None:
+                        seg = viterbi_segment(w, score, max_piece_len)
+                        got = memo[w] = (
+                            None
+                            if seg is None
+                            else [str(ids[p]) for p in seg[0]]
+                        )
+                    if got is None:
+                        continue
+                    toks.extend(got)
+                out_ids.append(doc_id)
+                nts.append(len(toks))
+                strs.append(" ".join(toks))
+            yield pd.DataFrame(
+                {id_col: out_ids, "n_tokens": nts, "ids": strs}
+            ).astype({"n_tokens": "int64"})
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField(id_col, id_field.dataType, id_field.nullable),
+            StructField("n_tokens", LongType()),
+            StructField("ids", StringType()),
+        ]
+    )
+    return pre.mapInPandas(batches, schema)

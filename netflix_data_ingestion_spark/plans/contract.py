@@ -1216,9 +1216,9 @@ _VERIFY_ROUND12: list[str] = [
 
 # ---------------------------------------------------------------------------
 # ROUND-13 ROTATION DRAFT (apply at the START of round 13: rebind
-# _APPLIED_ROTATION to this list).  The seven round-12 tail additions
+# _APPLIED_ROTATION to this list).  The eight round-12 tail additions
 # first (registered at the tail this round so the frozen r12 window
-# stayed byte-identical to the r11-drafted plan; ALL SEVEN
+# stayed byte-identical to the r11-drafted plan; ALL EIGHT
 # oracle-checked at sf0.01 AND sf0.1 locally at add time), then the
 # oldest remaining driver rows (latest sampling r8, then r9) in
 # registry order, computed from CORRECTNESS_r01..r11 + the applied r12
@@ -1234,6 +1234,7 @@ _VERIFY_ROUND13: list[str] = [
     "calendar_check_report",
     "corpus_unigram_vocab",
     "doc_unigram_segmented",
+    "doc_unigram_encode",
     # oldest remaining driver rows (latest sampling r8), registry order
     "order_price_quantiles",
     "regional_revenue",
@@ -1278,7 +1279,6 @@ _VERIFY_ROUND13: list[str] = [
     "doc_padded_tokens",
     "embedding_int8_quantize",
     "doc_pack_windows",
-    "doc_model_scores",
 ]
 
 # _APPLIED_ROTATION is the single source of truth for "which window is the

@@ -6751,6 +6751,106 @@ SELECT piece, len(piece)::BIGINT AS piece_len, used AS used_cnt,
 FROM kept, ktot
 ORDER BY score_mnat DESC, piece ASC"""
         )
+    if mode == "encode":
+        # the vocab-mode prune (kept/ktot) feeds a SECOND enumeration
+        # under the re-scored pruned vocabulary, whose per-word argmax
+        # becomes the doc token-id sequence (the doc_bpe_encode tail:
+        # word position x piece position orders the string_agg)
+        return (
+            "WITH RECURSIVE "
+            + ctes
+            + f""",
+used AS (
+  SELECT up.piece AS piece, SUM(w0.cnt)::BIGINT AS used
+  FROM wp JOIN w0 USING (w), unnest(wp.pieces) AS up(piece)
+  GROUP BY 1
+),
+nch AS (SELECT COUNT(*)::BIGINT AS n FROM seed WHERE len(piece) = 1),
+ranked AS (
+  SELECT s.piece, COALESCE(u.used, 0)::BIGINT AS used,
+         ROW_NUMBER() OVER (ORDER BY COALESCE(u.used, 0) DESC,
+                            s.piece ASC) AS rn
+  FROM seed s LEFT JOIN used u ON s.piece = u.piece
+  WHERE len(s.piece) >= 2
+),
+kept AS (
+  SELECT s.piece, COALESCE(u.used, 0)::BIGINT AS used
+  FROM seed s LEFT JOIN used u ON s.piece = u.piece
+  WHERE len(s.piece) = 1
+  UNION ALL
+  SELECT piece, used FROM ranked, nch WHERE rn <= {v} - nch.n
+),
+ktot AS (SELECT SUM(used)::BIGINT AS t, COUNT(*)::BIGINT AS k FROM kept),
+vocab2 AS (
+  SELECT piece,
+         CAST(ROUND(LN((used + 1)::DOUBLE / (t + k)::DOUBLE) * 1000000)
+              AS BIGINT) AS s2,
+         ROW_NUMBER() OVER (
+           ORDER BY CAST(ROUND(LN((used + 1)::DOUBLE / (t + k)::DOUBLE)
+                               * 1000000) AS BIGINT) DESC,
+                    piece ASC) - 1 AS tok_id
+  FROM kept, ktot
+),
+paths2 AS (
+  SELECT w, 0::BIGINT AS pos, 0::BIGINT AS score, 0::BIGINT AS mask
+  FROM w0
+  UNION ALL
+  SELECT p.w, p.pos + len(v.piece), p.score + v.s2,
+         p.mask | (CASE WHEN p.pos > 0
+                        THEN (1::BIGINT << p.pos::INT)
+                        ELSE 0::BIGINT END)
+  FROM paths2 p JOIN vocab2 v
+    ON p.pos < len(p.w)
+   AND len(v.piece) <= len(p.w) - p.pos
+   AND substr(p.w, (p.pos + 1)::INT, len(v.piece)::INT) = v.piece
+),
+best2 AS (
+  SELECT w, mask FROM (
+    SELECT w, mask,
+           ROW_NUMBER() OVER (PARTITION BY w
+                              ORDER BY score DESC, mask DESC) AS rn
+    FROM paths2 WHERE pos = len(w)) r
+  WHERE rn = 1
+),
+wp2 AS (
+  SELECT w,
+         list_transform(range(1, len(bs)),
+           kk -> substr(w, (bs[kk] + 1)::INT, (bs[kk + 1] - bs[kk])::INT))
+           AS pieces
+  FROM (SELECT w,
+               list_sort(list_concat([0::BIGINT, len(w)::BIGINT],
+                 list_filter(range(1, len(w)),
+                   b -> ((mask >> b::INT) & 1) = 1))) AS bs
+        FROM best2) b
+),
+docws AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')),
+           {regex}) AS ws
+  FROM documents
+),
+seq AS (
+  SELECT d.doc_id, t.i AS wpos, f.pieces AS pieces
+  FROM docws d, unnest(range(1, len(d.ws) + 1)) AS t(i)
+  JOIN wp2 f ON f.w = d.ws[t.i]
+),
+tok AS (
+  SELECT s.doc_id, s.wpos, u.j AS spos, vb.tok_id
+  FROM seq s, unnest(range(1, len(s.pieces) + 1)) AS u(j)
+  JOIN vocab2 vb ON vb.piece = s.pieces[u.j]
+),
+enc AS (
+  SELECT doc_id,
+         COUNT(*)::BIGINT AS n_tokens,
+         string_agg(tok_id::VARCHAR, ' ' ORDER BY wpos, spos) AS ids
+  FROM tok GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(e.n_tokens, 0)::BIGINT AS n_tokens,
+       md5(COALESCE(e.ids, '')) AS ids_md5
+FROM documents d LEFT JOIN enc e ON d.doc_id = e.doc_id
+ORDER BY d.doc_id"""
+        )
     return (
         "WITH RECURSIVE "
         + ctes
@@ -6791,6 +6891,7 @@ ORDER BY doc.doc_id"""
 
 ORACLE_UNIGRAM_VOCAB = _unigram_oracle("vocab")
 ORACLE_UNIGRAM_SEGMENTED = _unigram_oracle("segment")
+ORACLE_UNIGRAM_ENCODE = _unigram_oracle("encode")
 
 
 def q_corpus_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6844,6 +6945,52 @@ def q_doc_unigram_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_piece_len=_UNI_MAX_PIECE,
         max_word_len=_UNI_MAX_WORD,
     ).orderBy("doc_id")
+
+
+def q_doc_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/unigram.unigram_encode: the id-sequence contract under
+    the PRUNED vocabulary — train to _UNI_VOCAB_SIZE pieces, assign ids
+    by (score DESC, piece ASC) rank, Viterbi-encode every document, and
+    hash the space-joined id sequence (the doc_bpe_encode shape: the
+    md5 pins piece order within words and word order within docs, so
+    any segmentation or ranking drift fails the row)."""
+    from netflix_data_ingestion_spark.operators.unigram import (
+        unigram_encode,
+        unigram_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = (
+        unigram_train(
+            docs,
+            "text",
+            vocab_size=_UNI_VOCAB_SIZE,
+            seed_multis=_UNI_SEED_MULTIS,
+            max_piece_len=_UNI_MAX_PIECE,
+            max_word_len=_UNI_MAX_WORD,
+        )
+        .orderBy(F.desc("score_mnat"), "piece")
+        .collect()
+    )
+    score = {r["piece"]: int(r["score_mnat"]) for r in vocab}
+    ids = {r["piece"]: i for i, r in enumerate(vocab)}
+    return (
+        unigram_encode(
+            docs,
+            score,
+            ids,
+            id_col="doc_id",
+            text_col="text",
+            max_piece_len=_UNI_MAX_PIECE,
+            max_word_len=_UNI_MAX_WORD,
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.md5(F.coalesce("ids", F.lit(""))).alias("ids_md5"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 REGISTRY_LLM = {
@@ -7090,5 +7237,9 @@ REGISTRY_LLM = {
     "doc_unigram_segmented": (
         q_doc_unigram_segmented,
         ORACLE_UNIGRAM_SEGMENTED,
+    ),
+    "doc_unigram_encode": (
+        q_doc_unigram_encode,
+        ORACLE_UNIGRAM_ENCODE,
     ),
 }

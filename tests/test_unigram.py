@@ -12,6 +12,7 @@ from netflix_data_ingestion_spark.operators.unigram import (
     MAX_PIECE_LEN,
     mnat_scores,
     seed_vocab,
+    unigram_encode,
     unigram_seed_scores,
     unigram_segment,
     unigram_train,
@@ -178,3 +179,31 @@ def test_segment_contract(spark):
     assert r0["n_pieces"] == want_pieces
     assert r0["score_mnat"] == want_score
     assert r0["n_distinct_pieces"] == len(distinct)
+
+
+def test_encode_contract(spark):
+    """The id sequence preserves word order within the doc and piece
+    order within words, under the pruned vocabulary's (score DESC,
+    piece ASC) ranking; unreachable-by-cap and empty docs encode to
+    the empty sequence."""
+    df = spark.createDataFrame(
+        [(0, "the cat the"), (1, ""), (2, "y" * 25)],
+        ["doc_id", "text"],
+    )
+    vocab = sorted(
+        unigram_train(df, vocab_size=8, seed_multis=4).collect(),
+        key=lambda r: (-r["score_mnat"], r["piece"]),
+    )
+    score = {r["piece"]: r["score_mnat"] for r in vocab}
+    ids = {r["piece"]: i for i, r in enumerate(vocab)}
+    out = {
+        r["doc_id"]: r for r in unigram_encode(df, score, ids).collect()
+    }
+    want: list[str] = []
+    for w in ("the", "cat", "the"):
+        pieces, _ = viterbi_segment(w, score)
+        want.extend(str(ids[p]) for p in pieces)
+    assert out[0]["ids"] == " ".join(want)
+    assert out[0]["n_tokens"] == len(want)
+    for d in (1, 2):
+        assert out[d]["ids"] == "" and out[d]["n_tokens"] == 0

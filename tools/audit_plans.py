@@ -246,6 +246,11 @@ SANCTIONED: dict[str, str] = {
         "mapInPandas over one corpus pass, DP memoized per distinct "
         "word — the bpe_segment license"
     ),
+    "doc_unigram_encode": (
+        "same Arrow tokenizer-apply stage as doc_unigram_segmented "
+        "(unigram_encode); the pruned-vocab training collects are "
+        "driver-side and seed-vocab-sized"
+    ),
 }
 
 
