@@ -1216,9 +1216,9 @@ _VERIFY_ROUND12: list[str] = [
 
 # ---------------------------------------------------------------------------
 # ROUND-13 ROTATION DRAFT (apply at the START of round 13: rebind
-# _APPLIED_ROTATION to this list).  The eight round-12 tail additions
+# _APPLIED_ROTATION to this list).  The nine round-12 tail additions
 # first (registered at the tail this round so the frozen r12 window
-# stayed byte-identical to the r11-drafted plan; ALL EIGHT
+# stayed byte-identical to the r11-drafted plan; ALL NINE
 # oracle-checked at sf0.01 AND sf0.1 locally at add time), then the
 # oldest remaining driver rows (latest sampling r8, then r9) in
 # registry order, computed from CORRECTNESS_r01..r11 + the applied r12
@@ -1235,6 +1235,7 @@ _VERIFY_ROUND13: list[str] = [
     "corpus_unigram_vocab",
     "doc_unigram_segmented",
     "doc_unigram_encode",
+    "events_error_clicks_stream",
     # oldest remaining driver rows (latest sampling r8), registry order
     "order_price_quantiles",
     "regional_revenue",
@@ -1278,7 +1279,6 @@ _VERIFY_ROUND13: list[str] = [
     "doc_token_ids",
     "doc_padded_tokens",
     "embedding_int8_quantize",
-    "doc_pack_windows",
 ]
 
 # _APPLIED_ROTATION is the single source of truth for "which window is the

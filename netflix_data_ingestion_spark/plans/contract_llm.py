@@ -6993,6 +6993,78 @@ def q_doc_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_error_clicks_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The STREAM-STREAM JOIN surface driven through the driver gate
+    (streaming/ingest.join_clicks_to_errors): read the static events
+    parquet as a file-source stream TWICE (click leg + error leg, both
+    watermarked), inner-join each error to the same user's clicks in
+    the preceding 60 minutes, availableNow into a memory sink.
+
+    Batching-invariance of the contract: an INNER stream-stream join
+    emits a pair the moment both sides are buffered — the watermark
+    only EXPIRES state between micro-batches (that is what bounds the
+    join buffer at 100 TB/day; the time-bound join condition is what
+    makes the expiry sound) — so with the single-file source's one
+    data micro-batch (ENFORCED via run_to_memory(max_data_batches=1))
+    the emitted set is exactly the batch join, and the oracle is the
+    plain time-bounded self-join.  The fifth stateful streaming family
+    under the hash-checked oracle (windows, sessions, CDC, OHLC, and
+    now join state); tests/test_streaming.py pins stream == batch on a
+    multi-batch rate source independently."""
+    import os
+
+    from netflix_data_ingestion_spark.streaming.ingest import (
+        join_clicks_to_errors,
+        run_to_memory,
+    )
+
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    reader = (
+        spark.readStream.format("parquet")
+        .schema(_t(spark, sf_dir, "events").schema)
+    )
+    if os.path.isdir(ev_path):
+        reader = reader.option("path", ev_path)
+    else:
+        reader = reader.option("path", sf_dir).option(
+            "pathGlobFilter", "events.parquet"
+        )
+    src = reader.load().withColumn("ts", F.col("ts").cast("timestamp"))
+    joined = join_clicks_to_errors(
+        src, lookback="60 minutes", watermark="2 hours"
+    ).select(
+        "error_id",
+        "e_user",
+        # cast back to NTZ: the session is pinned UTC, so this restores
+        # the exact wall times the DuckDB oracle sees
+        F.col("e_ts").cast("timestamp_ntz").alias("e_ts"),
+        "click_id",
+        F.col("c_ts").cast("timestamp_ntz").alias("c_ts"),
+    )
+    _STREAM_RUN_SEQ[0] += 1
+    name = f"__error_clicks_stream_{os.getpid()}_{_STREAM_RUN_SEQ[0]}"
+    run_to_memory(joined, name, output_mode="append", max_data_batches=1)
+    return spark.table(name).orderBy("error_id", "click_id")
+
+
+ORACLE_ERROR_CLICKS_STREAM = """
+SELECT e.event_id AS error_id,
+       e.user_id AS e_user,
+       e.ts AS e_ts,
+       c.event_id AS click_id,
+       c.ts AS c_ts
+FROM events e
+JOIN events c
+  ON c.user_id = e.user_id
+ AND e.event_type = 'error'
+ AND c.event_type = 'click'
+ AND c.ts BETWEEN e.ts - INTERVAL 60 MINUTE AND e.ts
+ORDER BY error_id, click_id
+"""
+
+
 REGISTRY_LLM = {
     "corpus_bpe_merges": (q_corpus_bpe_merges, ORACLE_BPE_MERGES),
     "embedding_top_pc": (q_embedding_top_pc, ORACLE_TOP_PC),
@@ -7241,5 +7313,13 @@ REGISTRY_LLM = {
     "doc_unigram_encode": (
         q_doc_unigram_encode,
         ORACLE_UNIGRAM_ENCODE,
+    ),
+    # r12: the STREAM-STREAM JOIN state surface — time-bounded inner
+    # join with watermark-expired buffers, hash-checked against the
+    # plain time-bounded self-join (batch == stream under the enforced
+    # single data micro-batch)
+    "events_error_clicks_stream": (
+        q_events_error_clicks_stream,
+        ORACLE_ERROR_CLICKS_STREAM,
     ),
 }
