@@ -4673,6 +4673,12 @@ def q_events_throttled_daily_stream(spark: SparkSession, sf_dir: str
         src, key_col="user_id", bucket="day", limit=2,
         watermark="175200 hours",  # ~20y: nothing is ever "late"
         timeout_ms=0,  # finite replay: NoTimeout, or availableNow spins
+        # r12 optimization: per-KEY state (bucket->kept map vectorized
+        # inside one group call) instead of per-(key, bucket) state —
+        # the admitted set per bucket is identical (see throttle_events
+        # docstring), but applyInPandasWithState's ~5 ms/group-call
+        # Python-boundary cost is paid 1,500x instead of 40,083x here
+        state_scope="key",
     )
     _STREAM_RUN_SEQ[0] += 1
     name = f"__throttled_daily_stream_{os.getpid()}_{_STREAM_RUN_SEQ[0]}"

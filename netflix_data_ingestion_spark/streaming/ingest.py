@@ -658,6 +658,17 @@ THROTTLE_STATE_SCHEMA = T.StructType(
     [T.StructField("kept", T.IntegerType(), True)]
 )
 
+# state_scope="key" layout: per-key state is the map of active buckets ->
+# kept counts, as two parallel arrays (bucket as epoch-nanos long — the
+# state encoding is operator-internal, so the integer form skips
+# timestamp boxing on every state round-trip)
+THROTTLE_STATE_SCHEMA_KEY = T.StructType(
+    [
+        T.StructField("buckets", T.ArrayType(T.LongType()), True),
+        T.StructField("kepts", T.ArrayType(T.LongType()), True),
+    ]
+)
+
 
 def throttle_events(
     events: DataFrame,
@@ -666,6 +677,7 @@ def throttle_events(
     limit: int = 10,
     watermark: str = "2 hours",
     timeout_ms: int = 2 * 60 * 60 * 1000,
+    state_scope: str = "bucket",
 ) -> DataFrame:
     """Per-key RATE LIMIT: pass through at most ``limit`` events per
     (key, time bucket), drop the rest — the ingestion quota that stops
@@ -689,6 +701,29 @@ def throttle_events(
     keeps running empty micro-batches until the timeout fires (hours),
     so the replay never terminates.  A 24/7 production stream keeps
     the default expiry; a bounded replay has no state to expire.
+
+    ``state_scope`` picks the state-key granularity — an OPTIMIZATION
+    knob, not a semantics one: the admitted set per (key, bucket) is
+    identical under both scopes (each bucket still admits its first
+    ``limit - kept`` rows in (ts, event_id) order, state is still
+    never revoked).
+
+    - ``"bucket"``: one state row per (key, bucket) — one Python group
+      call per active bucket.  Finest-grained expiry (an idle bucket
+      times out on its own).
+    - ``"key"``: one state row per key holding the bucket->kept map —
+      one Python group call PER KEY regardless of how many buckets the
+      batch touches, with the per-bucket admission vectorized in numpy
+      inside the call.  ``applyInPandasWithState`` pays a fixed
+      serialization/pandas cost per GROUP CALL (measured ~5 ms/group:
+      the sf0.1 day-bucket replay is 40,083 (user, day) groups = 206 s
+      of single-core group overhead vs 1,500 user groups under "key"),
+      so coarsening the state key is the §4-style fix: cross the
+      Python boundary once per key, not once per (key, bucket).  At
+      100 TB the same knob bounds state-row count and timer count by
+      keys instead of keys x active buckets.  Trade-off: expiry is
+      per key (the whole bucket map drops after the key goes quiet),
+      which for a rate limiter is the usual intent anyway.
     """
     from collections.abc import Iterator
 
@@ -696,6 +731,9 @@ def throttle_events(
     from pyspark.sql.streaming.state import GroupState
 
     expire = timeout_ms > 0
+    out_cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    if state_scope not in ("bucket", "key"):
+        raise ValueError("state_scope must be 'bucket' or 'key'")
 
     def fn(
         key: tuple,
@@ -706,18 +744,90 @@ def throttle_events(
             state.remove()
             return
         (kept,) = state.get if state.exists else (0,)
-        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
-        room = max(0, limit - kept)
-        out = rows.iloc[:room]
+        chunks = list(pdfs)
+        if not chunks:
+            return
+        rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+        room = limit - kept
+        if len(rows) > room:
+            # admission is (ts, event_id) order; when everything fits
+            # the admitted SET needs no sort at all
+            import numpy as np
+
+            order = np.lexsort(
+                (rows["event_id"].to_numpy(), rows["ts"].to_numpy())
+            )
+            out = rows.iloc[order[: max(0, room)]]
+        else:
+            out = rows
         state.update((min(limit, kept + len(rows)),))
         if expire:
             state.setTimeoutDuration(timeout_ms)
         if len(out):
-            yield out[["event_id", "ts", "user_id", "event_type", "value"]]
+            yield out[out_cols]
+
+    def fn_key(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        if expire and state.hasTimedOut:
+            state.remove()
+            return
+        chunks = list(pdfs)
+        if not chunks:
+            return
+        rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+        if len(rows) == 0:
+            return
+        if state.exists:
+            b_prev, k_prev = state.get
+            prev = dict(zip(b_prev or [], k_prev or []))
+        else:
+            prev = {}
+        bk = rows["__bucket"].to_numpy().view("int64")
+        order = np.lexsort(
+            (rows["event_id"].to_numpy(), rows["ts"].to_numpy(), bk)
+        )
+        sb = bk[order]
+        # rank within each bucket run of the (bucket, ts, event_id) sort
+        newgrp = np.empty(len(sb), dtype=bool)
+        newgrp[0] = True
+        np.not_equal(sb[1:], sb[:-1], out=newgrp[1:])
+        starts = np.flatnonzero(newgrp)
+        first = starts[np.cumsum(newgrp) - 1]
+        rank = np.arange(len(sb)) - first
+        if prev:
+            kept_arr = np.fromiter(
+                (prev.get(int(b), 0) for b in sb), dtype=np.int64, count=len(sb)
+            )
+            admit = rank < (limit - kept_arr)
+        else:
+            admit = rank < limit
+        out = rows.iloc[order[admit]]
+        ub = sb[starts]
+        counts = np.diff(np.append(starts, len(sb)))
+        for b, c in zip(ub.tolist(), counts.tolist()):
+            prev[b] = min(limit, prev.get(b, 0) + c)
+        state.update((list(prev.keys()), list(prev.values())))
+        if expire:
+            state.setTimeoutDuration(timeout_ms)
+        if len(out):
+            yield out[out_cols]
 
     bucketed = events.withWatermark("ts", watermark).withColumn(
         "__bucket", F.date_trunc(bucket, F.col("ts"))
     )
+    if state_scope == "key":
+        return bucketed.groupBy(key_col).applyInPandasWithState(
+            fn_key,
+            outputStructType=THROTTLE_OUTPUT_SCHEMA,
+            stateStructType=THROTTLE_STATE_SCHEMA_KEY,
+            outputMode="append",
+            timeoutConf="ProcessingTimeTimeout" if expire else "NoTimeout",
+        )
     return bucketed.groupBy(key_col, "__bucket").applyInPandasWithState(
         fn,
         outputStructType=THROTTLE_OUTPUT_SCHEMA,

@@ -817,6 +817,33 @@ def test_throttle_stream_caps_per_bucket(spark, throttle_dir):
     assert by_bucket[(1, 2)] == [5]
 
 
+def test_throttle_key_scope_matches_bucket_scope(spark, throttle_dir):
+    """state_scope="key" (per-key bucket->kept map, r12 optimization)
+    must admit the exact same event set as the per-(key, bucket) state
+    layout — including across micro-batches (the two-file fixture), so
+    the prev-state merge path inside fn_key is exercised."""
+    results = {}
+    for scope in ("bucket", "key"):
+        stream = ingest.stream_events(spark, throttle_dir)
+        out = ingest.throttle_events(
+            stream, key_col="user_id", bucket="hour", limit=3,
+            state_scope=scope,
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(f"t_throttle_{scope}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        results[scope] = {
+            tuple(r) for r in spark.table(f"t_throttle_{scope}").collect()
+        }
+    assert results["key"] == results["bucket"]
+    assert len(results["key"]) == 6  # ids 0,1,2,5,6,7 survive the cap
+
+
 def test_throttle_batch_twin_event_time_order(spark, throttle_dir):
     events = spark.read.parquet(throttle_dir)
     got = ingest.throttle_events_batch(
