@@ -13,7 +13,7 @@ join.
 This operator builds the filter as a DATAFRAME of bit-words — not a
 driver-side bitmap — so nothing ever funnels through the driver:
 
-  build:  dim keys -> k md5 bit positions each -> group bit positions
+  build:  dim keys -> k xxhash64 bit positions each -> group bit positions
           by 64-bit word index -> ``bit_or`` the words.  Output is at
           most ``n_bits/64`` rows (16k rows for a 1M-bit filter) —
           broadcastable at any dimension cardinality.
@@ -25,9 +25,10 @@ driver-side bitmap — so nothing ever funnels through the driver:
           semi-join (the DuckDB oracle is exactly that), while the
           shuffle volume is survivors-only.
 
-Determinism: bit positions are md5-derived (same portable construction
-as operators/sketch.py / dedup.py), and the final exact join makes the
-output independent of filter sizing — n_bits/n_hashes only move the
+Determinism: bit positions are xxhash64-derived (deterministic, and
+codegen-native so the per-fact-row probe is an integer hash, not a hex
+digest), and the final exact join makes the output independent of both
+the hash family and filter sizing — n_bits/n_hashes only move the
 false-positive rate, i.e. the pre-shuffle survivor count.
 """
 
@@ -40,10 +41,16 @@ from netflix_data_ingestion_spark.operators.util import ensure_parallelism
 
 
 def _bit_pos(key: Column, hash_idx: int, n_bits: int) -> Column:
-    """md5-derived bit position of `key` for hash function `hash_idx`."""
-    h = F.md5(F.concat(F.lit(f"bloom{hash_idx}|"), key.cast("string")))
+    """xxhash64-derived bit position of `key` for hash function
+    `hash_idx`.  r12 optimization (guide §1.2 per-task work): the probe
+    evaluates this per fact row per hash function, and xxhash64 is a
+    codegen-native integer hash — the previous md5 form paid a string
+    concat + hex digest + base-16 conv per probe.  Bit positions only
+    steer the false-positive rate; the exact join makes the RESULT
+    independent of the hash family (pinned by the plain-semi-join
+    oracle and tests)."""
     return F.pmod(
-        F.conv(F.substring(h, 1, 15), 16, 10).cast("long"), F.lit(n_bits)
+        F.xxhash64(F.lit(hash_idx), key), F.lit(n_bits)
     )
 
 
@@ -88,10 +95,18 @@ def bloom_semi_join(
     removed by the final exact join); the Bloom pass only reduces how
     many fact rows reach the exact join's shuffle.
     """
-    words = bloom_build(dim, dim_key, n_bits=n_bits, n_hashes=n_hashes)
+    # pin the word table before the probe loop: each of the k probe
+    # joins broadcasts its own renamed projection of `words`, and the
+    # rename defeats exchange reuse — unpinned, the dim scan + bit
+    # aggregation subtree re-executes once PER HASH FUNCTION (observed
+    # as k identical HashAggregate+Exchange subtrees in the plan).
+    # The frame is <= n_bits/64 rows, so the eager checkpoint is tiny.
+    words = bloom_build(
+        dim, dim_key, n_bits=n_bits, n_hashes=n_hashes
+    ).localCheckpoint(eager=True)
     key = F.col(fact_key)
 
-    # widen a file-bound input so the k md5 probes parallelize (no-op on
+    # widen a file-bound input so the k hash probes parallelize (no-op on
     # a well-split 100 TB scan; locally a narrow round-robin, NOT a
     # keyed shuffle — the point of the Bloom pass is avoiding the keyed
     # exchange of non-survivors, which this preserves)
