@@ -224,10 +224,14 @@ def pagerank(
     """
     # materialize the deduped edge list ONCE: every round joins it, and
     # nodes/outdeg derive from it — without the checkpoint each round
-    # re-runs the upstream plan that produced the edges (often a join)
+    # re-runs the upstream plan that produced the edges (often a join).
+    # r12: pin it hash-partitioned on __s — the per-round contribution
+    # join and the outdeg aggregate both key on __s, so neither ever
+    # exchanges the edge data again (guide §2.4)
     e = (
         edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
         .distinct()
+        .repartition("__s")
         .localCheckpoint(eager=True)
     )
     nodes = (
@@ -424,35 +428,43 @@ def label_propagation(
     operators/kmeans discipline; convergence is a test concern, not a
     semantics one.
 
-    Per round: two node-keyed joins of the edge list against the label
-    frame, one (node, label) count (combinable partial agg), one
-    per-node argmax via ``min_by`` on a (-count, label) struct.  Labels
-    are eager-checkpointed per round (bounded lineage).  At 100 TB
-    every shuffle keys on node ids and state is one row per node —
-    pagerank's exact cost shape.
+    Per round: ONE nbr-keyed join of the pre-partitioned adjacency
+    list against the label frame, one (node, label) count (combinable
+    partial agg), one per-node argmax via ``min_by`` on a
+    (-count, label) struct.  Labels are eager-checkpointed per round
+    (bounded lineage).  r12 optimization (guide §2.4 — remove shuffles
+    outright): the former shape joined the canonical EDGE list against
+    the labels twice per round (once per direction), re-shuffling the
+    edges on u and on v every round; symmetrizing once into an
+    adjacency list hash-partitioned on the join key (``nbr``) at build
+    time means no round ever exchanges the edge data again — only the
+    node-sized label frame moves.  At 100 TB every shuffle keys on
+    node ids and state is one row per node — pagerank's exact cost
+    shape.
     """
-    e = (
-        pairs.select(
-            F.least(F.col(src), F.col(dst)).alias("u"),
-            F.greatest(F.col(src), F.col(dst)).alias("v"),
+    sym = pairs.select(
+        F.least(F.col(src), F.col(dst)).alias("u"),
+        F.greatest(F.col(src), F.col(dst)).alias("v"),
+    ).where(F.col("u") != F.col("v"))
+    adj = (
+        sym.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionAll(
+            sym.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
         )
-        .where(F.col("u") != F.col("v"))
         .distinct()
+        .repartition("nbr")
         .localCheckpoint(eager=True)
     )
     labels = (
-        e.select(F.col("u").alias("node"))
-        .union(e.select(F.col("v").alias("node")))
+        adj.select("node")
         .distinct()
         .select("node", F.col("node").alias("lbl"))
         .localCheckpoint(eager=True)
     )
     for _ in range(rounds):
-        lu = labels.select(F.col("node").alias("u"), "lbl")
-        lv = labels.select(F.col("node").alias("v"), "lbl")
-        nbr = e.join(lv, "v").select(F.col("u").alias("node"), "lbl").unionAll(
-            e.join(lu, "u").select(F.col("v").alias("node"), "lbl")
-        )
+        nbr = adj.join(
+            labels.select(F.col("node").alias("nbr"), "lbl"), "nbr"
+        ).select("node", "lbl")
         cnt = nbr.groupBy("node", "lbl").agg(F.count("*").alias("__c"))
         labels = (
             cnt.groupBy("node")
@@ -482,39 +494,39 @@ def bfs_hops(
     neighborhood-expansion primitive under "friends of friends",
     blast-radius, and supply-chain-exposure questions.
 
-    Per round: two node-keyed joins of the edge list against the
-    CURRENT frontier frame plus one min-combine, eager-checkpointed.
-    State is one row per REACHED node — cost grows with the
-    neighborhood, not the graph.
+    Per round: ONE nbr-keyed join of the pre-partitioned adjacency
+    list against the CURRENT frontier frame plus one min-combine,
+    eager-checkpointed.  r12 optimization (guide §2.4, same move as
+    ``label_propagation``): the adjacency list is symmetrized and
+    hash-partitioned on the join key once at build, so no round
+    re-shuffles the edge data — only the frontier moves.  State is one
+    row per REACHED node — cost grows with the neighborhood, not the
+    graph.
     """
     if sources is None:
         raise ValueError(
             "bfs_hops: a sources frame (the hop-0 node set) is required"
         )
-    e = (
-        pairs.select(
-            F.least(F.col(src), F.col(dst)).alias("u"),
-            F.greatest(F.col(src), F.col(dst)).alias("v"),
+    sym = pairs.select(
+        F.least(F.col(src), F.col(dst)).alias("u"),
+        F.greatest(F.col(src), F.col(dst)).alias("v"),
+    ).where(F.col("u") != F.col("v"))
+    adj = (
+        sym.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionAll(
+            sym.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
         )
-        .where(F.col("u") != F.col("v"))
         .distinct()
+        .repartition("nbr")
         .localCheckpoint(eager=True)
     )
     dist = sources.select(
         F.col(source_col).alias("node"), F.lit(0).cast("int").alias("hops")
     ).distinct()
     for _ in range(rounds):
-        du = dist.select(F.col("node").alias("u"), "hops")
-        dv = dist.select(F.col("node").alias("v"), "hops")
-        step = (
-            e.join(du, "u")
-            .select(F.col("v").alias("node"), (F.col("hops") + 1).alias("hops"))
-            .unionAll(
-                e.join(dv, "v").select(
-                    F.col("u").alias("node"), (F.col("hops") + 1).alias("hops")
-                )
-            )
-        )
+        step = adj.join(
+            dist.select(F.col("node").alias("nbr"), "hops"), "nbr"
+        ).select("node", (F.col("hops") + 1).alias("hops"))
         dist = (
             dist.unionAll(step)
             .groupBy("node")
