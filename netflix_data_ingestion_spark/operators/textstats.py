@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from netflix_data_ingestion_spark.operators.dedup import (
     bigram_pairs,
+    bind_once,
     shingles,
     tokens,
     word_ngrams,
@@ -142,28 +143,51 @@ def repetition_ratio(
     / boilerplate / looping text — a standard LLM training-data quality
     signal (the inter-document analog is the dedup module).
 
-    Pure narrow map (array expressions, no explode, no shuffle): the
-    right shape for scoring 100 TB.  dup_ratio is ONE double division of
-    exact integer counts, so any engine computes it bit-identically.
+    Pure narrow map (array expressions, one 1-row Generate, no shuffle):
+    the right shape for scoring 100 TB.  dup_ratio is ONE double division
+    of exact integer counts, so any engine computes it bit-identically.
     Documents shorter than `n` tokens (zero n-grams) are dropped rather
     than emitting a 0/0 row.
+
+    r12 plan shape (guide §1.2 per-task work): the former two-column
+    projection evaluated the full tokenize+n-gram chain THREE times per
+    row — once per size() alias (aggregate-style duplication under
+    CollapseProject) and a third time when PushDownPredicates substituted
+    the ``n_grams > 0`` filter below the parallelizing repartition, where
+    it ran on the source's single input partition.  Both sizes are now
+    computed inside ONE let-bound struct (``bind_once``) behind an
+    ``explode(array(...))`` Generate: the Generate is a projection
+    barrier, so the chain evaluates exactly once per row and the filter
+    stays above the repartition.  Measured 5.29 s -> see
+    OPTIMIZATION_r12.md; byte-identical output (oracle hash-check).
     """
     tok = tokens(F.col(text_col))
     grams = word_ngrams(tok, n)
+    stats = bind_once(
+        grams,
+        lambda g: F.struct(
+            F.size(g).cast("long").alias("n_grams"),
+            F.size(F.array_distinct(g)).cast("long").alias(
+                "n_distinct_grams"
+            ),
+        ),
+    )
     return (
         ensure_parallelism(df)
         .select(
             F.col(id_col),
-            F.size(grams).cast("long").alias("n_grams"),
-            F.size(F.array_distinct(grams)).cast("long").alias(
-                "n_distinct_grams"
-            ),
+            F.explode(F.array(stats)).alias("__st"),
         )
-        .filter(F.col("n_grams") > 0)
-        .withColumn(
-            "dup_ratio",
-            (F.col("n_grams") - F.col("n_distinct_grams")).cast("double")
-            / F.col("n_grams").cast("double"),
+        .filter(F.col("__st.n_grams") > 0)
+        .select(
+            F.col(id_col),
+            F.col("__st.n_grams").alias("n_grams"),
+            F.col("__st.n_distinct_grams").alias("n_distinct_grams"),
+            (
+                (F.col("__st.n_grams") - F.col("__st.n_distinct_grams"))
+                .cast("double")
+                / F.col("__st.n_grams").cast("double")
+            ).alias("dup_ratio"),
         )
     )
 
