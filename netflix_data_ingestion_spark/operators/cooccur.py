@@ -40,10 +40,22 @@ def cooccurrence_pairs(
     item-keyed joins) proportional to the interesting pairs, not to
     all pairs.
     """
+    # basket_items feeds FOUR consumers (both self-join sides, the
+    # marginal counts, the basket total) — a lazy frame re-plans the
+    # scan+distinct once per consumer, and the self-join re-shuffles it
+    # on __b twice.  Pin it hash-partitioned on the join key: the
+    # distinct runs once, and the within-basket self-join needs NO
+    # exchange on either side (guide §2.4 — the graph-loop adjacency
+    # discipline; LogicalRDD preserves the partitioning across the
+    # checkpoint).  Repartitioning BEFORE the distinct makes it ONE
+    # shuffle total: hashpartitioning(__b) already clusters equal
+    # (__b, __i) rows, so the distinct aggregate adds no exchange.
     basket_items = (
         ensure_parallelism(df)
         .select(F.col(basket_col).alias("__b"), F.col(item_col).alias("__i"))
+        .repartition("__b")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     a = basket_items.select("__b", F.col("__i").alias("item_a"))
     b = basket_items.select("__b", F.col("__i").alias("item_b"))

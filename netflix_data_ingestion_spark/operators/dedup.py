@@ -62,6 +62,55 @@ def bind_once(expr: Column, build) -> Column:
     return F.element_at(F.transform(F.array(expr), build), 1)
 
 
+def attach_pair_arrays(cand: DataFrame, arrs: DataFrame) -> DataFrame:
+    """(id_a, id_b, arr_a, arr_b) — attach a per-id array payload to both
+    sides of a candidate pair frame with two plain equi-joins against ONE
+    (jid, sh_arr) payload frame.
+
+    ``arrs`` MUST be pinned (localCheckpoint) — or derive from a pinned
+    frame — when its projection is expensive: a lazy frame referenced by
+    both joins plans its subtree twice.  Against a pinned frame the two
+    joins are rescans, and this shape beats the former explode-to-long +
+    min_by/max_by regroup, which paid a Sort plus two SortAggregates
+    carrying the full arrays per pair just to undo its own explode
+    (guide §2.4; measured on dedup_prefix_jaccard / dedup_containment /
+    dedup_clusters at sf0.1 — see OPTIMIZATION_r12.md).
+    """
+    a = arrs.select(F.col("jid").alias("id_a"), F.col("sh_arr").alias("arr_a"))
+    b = arrs.select(F.col("jid").alias("id_b"), F.col("sh_arr").alias("arr_b"))
+    return cand.join(a, "id_a").join(b, "id_b")
+
+
+def pair_overlap_stats(paired: DataFrame) -> DataFrame:
+    """(id_a, id_b, __v struct<i, sa, sb, u>) — per-pair intersection
+    size, side sizes and union size, with ``array_intersect`` evaluated
+    EXACTLY ONCE per pair.
+
+    The naive filter-then-project form re-evaluates the intersection 3-4x
+    per pair (CollapseProject substitution into the threshold filter and
+    again into the score projection).  Here the intersection is let-bound
+    (``bind_once``) inside one struct behind an ``explode(array(...))``
+    Generate: the Generate is a projection barrier, so downstream
+    filters/projections referencing ``__v`` fields stay above it
+    (the doc_repetition_ratio pattern, guide §1.2/§7.2).
+    """
+    inter = F.size(F.array_intersect("arr_a", "arr_b")).cast("long")
+    sa = F.size("arr_a").cast("long")
+    sb = F.size("arr_b").cast("long")
+    st = bind_once(
+        inter,
+        lambda i: F.struct(
+            i.alias("i"),
+            sa.alias("sa"),
+            sb.alias("sb"),
+            (sa + sb - i).alias("u"),
+        ),
+    )
+    return paired.select(
+        "id_a", "id_b", F.explode(F.array(st)).alias("__v")
+    )
+
+
 def word_ngrams(tok: Column, n: int) -> Column:
     """ALL word n-grams (space-joined, duplicates kept) from a token array.
 
@@ -665,52 +714,47 @@ def near_dup_pairs_at_scale(
     explosion in the verify stage at all).
 
     Verify-stage shape: the shingle-array projection is the expensive
-    part (interpreted HOF, ~1ms/doc), so it must be evaluated ONCE — a
-    two-sided `cand JOIN arrs a JOIN arrs b` plans the projection twice
-    (measured 2x at sf0.1).  Instead the pair list is exploded to long
-    format (pair, side, id), joined against the single arrs projection,
-    and regrouped per pair with min_by/max_by ('a' < 'b') — one
-    projection pass, one join, and the regroup shuffles only
-    candidate-matched arrays.
+    part (interpreted HOF, ~1ms/doc), so it must be evaluated ONCE — it
+    is pinned (eager localCheckpoint), then the pairs take the arrays
+    with two plain equi-joins against the pinned frame
+    (``attach_pair_arrays``) and score each pair's intersection exactly
+    once behind a Generate barrier (``pair_overlap_stats``).  The former
+    explode-to-long + min_by/max_by regroup also evaluated the
+    projection once, but paid a Sort + two SortAggregates carrying the
+    full shingle arrays per pair, and re-evaluated ``array_intersect``
+    3x per pair in the threshold filter + score projection (guide
+    §2.4/§1.2; measured at sf0.1 — OPTIMIZATION_r12.md).
     """
+    # pin the (small) pair list so it can seed the id prefilter below
+    # without re-running the band self-join
     cand = minhash_lsh_candidate_pairs(
         df, id_col, text_col, n, num_hashes, bands
+    ).localCheckpoint(eager=True)
+    # guide §8: decide with small rows first — the expensive shingle
+    # projection runs ONLY for docs that appear in a candidate pair
+    # (semi-join prefilter), not for the whole corpus; at 100 TB the
+    # verify side is the near-dup subset, not the corpus
+    ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
     )
-    arrs = ensure_parallelism(df).select(
-        F.col(id_col).alias("jid"),
-        shingles(tokens(F.col(text_col)), n).alias("sh_arr"),
-    )
-    long = cand.select(
-        "id_a",
-        "id_b",
-        F.explode(
-            F.array(
-                F.struct(F.lit("a").alias("side"), F.col("id_a").alias("jid")),
-                F.struct(F.lit("b").alias("side"), F.col("id_b").alias("jid")),
-            )
-        ).alias("s"),
-    ).select("id_a", "id_b", F.col("s.side").alias("side"), F.col("s.jid").alias("jid"))
-    paired = (
-        long.join(arrs, "jid")
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.min_by("sh_arr", "side").alias("arr_a"),
-            F.max_by("sh_arr", "side").alias("arr_b"),
+    arrs = (
+        ensure_parallelism(df)
+        .join(ids, id_col, "semi")
+        .select(
+            F.col(id_col).alias("jid"),
+            shingles(tokens(F.col(text_col)), n).alias("sh_arr"),
         )
+        .localCheckpoint(eager=True)
     )
+    scored = pair_overlap_stats(attach_pair_arrays(cand, arrs))
     return (
-        paired.withColumn(
-            "intersection",
-            F.size(F.array_intersect("arr_a", "arr_b")).cast("long"),
-        )
-        .withColumn(
-            "jaccard",
-            F.col("intersection")
-            / (
-                F.size("arr_a").cast("long")
-                + F.size("arr_b").cast("long")
-                - F.col("intersection")
-            ),
+        scored.select(
+            "id_a",
+            "id_b",
+            F.col("__v.i").alias("intersection"),
+            (F.col("__v.i") / F.col("__v.u")).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "intersection", "jaccard")
@@ -795,9 +839,9 @@ def containment_pairs(
 
     Shape at 100 TB: shingle df-count is one combinable shuffle; the
     blocked self-join runs per rare-shingle group (bounded by max_df);
-    verification reuses the near_dup_pairs_at_scale long-format
-    single-projection pattern — one array projection pass, one join,
-    regroup shuffles candidate-matched arrays only.
+    verification attaches the pinned per-doc arrays with two equi-joins
+    and intersects once per pair behind a Generate barrier
+    (``attach_pair_arrays`` / ``pair_overlap_stats``).
     """
     # sh feeds the df-count agg AND both sides of the blocked self-join
     # — pin it or the shingle explode runs three times
@@ -808,7 +852,13 @@ def containment_pairs(
         .filter((F.col("__df") >= 2) & (F.col("__df") <= max_df))
         .select("shingle")
     )
-    blocked = sh.join(rare, "shingle")
+    # pin the blocked rows: the self-join's two sides carry slightly
+    # different null filters, which defeats exchange reuse — a lazy
+    # `blocked` re-ran the full df-count aggregation subtree once PER
+    # SIDE (two HashAggregate+Exchange trees in the captured plan,
+    # guide §2.4 — the lineitem_bloom_semi lesson)
+    blocked = sh.join(rare, "shingle").localCheckpoint(eager=True)
+    # pinned: the pair list seeds the id prefilter below
     cand = (
         blocked.alias("a")
         .join(blocked.alias("b"), "shingle")
@@ -818,41 +868,32 @@ def containment_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    arrs = ensure_parallelism(df).select(
-        F.col(id_col).alias("jid"),
-        shingles(tokens(F.col(text_col)), n).alias("sh_arr"),
+    # guide §8: the expensive shingle projection runs ONLY for docs in a
+    # candidate pair (semi-join prefilter), never the whole corpus
+    ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
     )
-    long = cand.select(
-        "id_a",
-        "id_b",
-        F.explode(
-            F.array(
-                F.struct(F.lit("a").alias("side"), F.col("id_a").alias("jid")),
-                F.struct(F.lit("b").alias("side"), F.col("id_b").alias("jid")),
-            )
-        ).alias("s"),
-    ).select(
-        "id_a", "id_b", F.col("s.side").alias("side"), F.col("s.jid").alias("jid")
-    )
-    paired = (
-        long.join(arrs, "jid")
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.min_by("sh_arr", "side").alias("arr_a"),
-            F.max_by("sh_arr", "side").alias("arr_b"),
+    arrs = (
+        ensure_parallelism(df)
+        .join(ids, id_col, "semi")
+        .select(
+            F.col(id_col).alias("jid"),
+            shingles(tokens(F.col(text_col)), n).alias("sh_arr"),
         )
+        .localCheckpoint(eager=True)
     )
+    scored = pair_overlap_stats(attach_pair_arrays(cand, arrs))
     return (
-        paired.withColumn(
-            "intersection",
-            F.size(F.array_intersect("arr_a", "arr_b")).cast("long"),
-        )
-        .withColumn(
-            "containment",
-            F.col("intersection")
-            / F.least(
-                F.size("arr_a").cast("long"), F.size("arr_b").cast("long")
+        scored.select(
+            "id_a",
+            "id_b",
+            F.col("__v.i").alias("intersection"),
+            (F.col("__v.i") / F.least("__v.sa", "__v.sb")).alias(
+                "containment"
             ),
         )
         .filter(F.col("containment") >= threshold)
@@ -1070,44 +1111,26 @@ def prefix_jaccard_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    long = cand.select(
-        "id_a",
-        "id_b",
-        F.explode(
-            F.array(
-                F.struct(F.lit("a").alias("side"), F.col("id_a").alias("jid")),
-                F.struct(F.lit("b").alias("side"), F.col("id_b").alias("jid")),
-            )
-        ).alias("s"),
-    ).select(
-        "id_a", "id_b", F.col("s.side").alias("side"), F.col("s.jid").alias("jid")
+    # verify: two equi-joins against the PINNED ordered frame (its arrays
+    # are materialized, so a second reference is a cheap rescan — unlike
+    # the live-projection case in near_dup_pairs_at_scale, which is why
+    # attach_pair_arrays documents the pin requirement), then the
+    # intersection/size math evaluated ONCE per pair behind a Generate
+    # barrier (guide §2.4/§7.2: the former explode-to-long regroup paid a
+    # Sort + two SortAggregates carrying the full shingle arrays, and the
+    # filter+projection re-evaluated array_intersect 3x per pair)
+    paired = attach_pair_arrays(
+        cand, ordered.select(F.col(id_col).alias("jid"), F.col("__sorted").alias("sh_arr"))
     )
-    arrs = ordered.select(
-        F.col(id_col).alias("jid"), F.col("__sorted").alias("sh_arr")
-    )
-    paired = (
-        long.join(arrs, "jid")
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.min_by("sh_arr", "side").alias("arr_a"),
-            F.max_by("sh_arr", "side").alias("arr_b"),
-        )
-    )
-    inter = F.size(F.array_intersect("arr_a", "arr_b")).cast("long")
-    union = (
-        F.size("arr_a").cast("long") + F.size("arr_b").cast("long")
-    )
+    scored = pair_overlap_stats(paired)
     return (
-        paired.withColumn("intersection", inter)
-        .withColumn("__union", union - F.col("intersection"))
-        .filter(
-            F.lit(t_den) * F.col("intersection")
-            >= F.lit(t_num) * F.col("__union")
+        scored.filter(
+            F.lit(t_den) * F.col("__v.i") >= F.lit(t_num) * F.col("__v.u")
         )
         .select(
             "id_a",
             "id_b",
-            "intersection",
-            (F.col("intersection") / F.col("__union")).alias("jaccard"),
+            F.col("__v.i").alias("intersection"),
+            (F.col("__v.i") / F.col("__v.u")).alias("jaccard"),
         )
     )

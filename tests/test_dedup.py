@@ -436,3 +436,33 @@ def test_prefix_jaccard_threshold_boundary(spark):
 def test_prefix_jaccard_rejects_bad_threshold(docs):
     with pytest.raises(ValueError):
         dedup.prefix_jaccard_pairs(docs, "doc_id", "text", t_num=5, t_den=5)
+
+
+def test_attach_pair_arrays_and_overlap_stats(spark):
+    """The shared verify helpers (r12): two-sided array attach preserves
+    side identity (arr_a from id_a, arr_b from id_b), and the Generate-
+    barrier stats struct carries exact intersection / sizes / union."""
+    from pyspark.sql import functions as F
+
+    arrs = spark.createDataFrame(
+        [(1, ["a", "b", "c"]), (2, ["b", "c", "d"]), (3, ["x"])],
+        "jid int, sh_arr array<string>",
+    ).localCheckpoint(eager=True)
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3)], "id_a int, id_b int"
+    )
+    paired = dedup.attach_pair_arrays(cand, arrs)
+    got = {
+        (r["id_a"], r["id_b"]): (sorted(r["arr_a"]), sorted(r["arr_b"]))
+        for r in paired.collect()
+    }
+    assert got[(1, 2)] == (["a", "b", "c"], ["b", "c", "d"])
+    assert got[(1, 3)] == (["a", "b", "c"], ["x"])
+    stats = {
+        (r["id_a"], r["id_b"]): (r["i"], r["sa"], r["sb"], r["u"])
+        for r in dedup.pair_overlap_stats(paired)
+        .select("id_a", "id_b", F.col("__v.*"))
+        .collect()
+    }
+    assert stats[(1, 2)] == (2, 3, 3, 4)
+    assert stats[(1, 3)] == (0, 3, 1, 4)
