@@ -179,6 +179,83 @@ def lsh_bucket(
     )
 
 
+def bucket_table_batch(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: int,
+    tables: int,
+    dim: int,
+) -> DataFrame:
+    """(id, tbl, bucket) — ALL ``tables`` multi-table LSH buckets per
+    vector, computed in ONE vectorized Arrow batch pass (guide §4.2).
+
+    The per-row JVM form (``tables × planes`` interpreted
+    zip_with+aggregate folds) measured 2.6 ms/row at 48 planes × 64 dims
+    — it dominated the whole candidate stage of
+    dedup.cosine_lsh_candidate_pairs.  Here the fold runs once per
+    BATCH: one (planes·tables × n) accumulator updated dim-sequentially.
+
+    Bucket parity with ``bucket_expr`` is bit-exact, not approximate:
+    the accumulation ``acc += V[:, d] * comp[:, d]`` performs, per
+    (plane, row) cell, the identical left-associative sequence of IEEE
+    double operations as the JVM ``aggregate(zip_with(...), 0.0,
+    acc+x)`` fold (float32 inputs upcast exactly; components are
+    half-integers), so every projection — and therefore every sign and
+    bucket — is identical.  Rows whose vector is NULL or not exactly
+    ``dim`` long emit nothing, mirroring bucket_expr's NULL gate plus
+    the callers' NULL-bucket filter.
+    """
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    comps = np.array(
+        [
+            _plane_components(p, dim)
+            for p in range(1, tables * planes + 1)
+        ]
+    )  # (tables*planes, dim), half-integer doubles
+
+    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pin in batches:
+            if len(pin) == 0:
+                continue
+            ok = pin[vec_col].map(
+                lambda v: v is not None and len(v) == dim
+            )
+            sub = pin[ok]
+            if len(sub) == 0:
+                continue
+            V = np.array(
+                [np.asarray(v, dtype=np.float64) for v in sub[vec_col]]
+            )  # (n, dim)
+            proj = np.zeros((comps.shape[0], len(sub)))
+            for d in range(dim):  # dim-sequential: the JVM fold's order
+                proj += np.multiply.outer(comps[:, d], V[:, d])
+            bits = np.where(proj > 0, "1", "0")  # (P, n)
+            out = []
+            for t in range(tables):
+                bucket = bits[t * planes]
+                for p in range(t * planes + 1, (t + 1) * planes):
+                    bucket = np.char.add(bucket, bits[p])
+                out.append(
+                    pd.DataFrame(
+                        {
+                            id_col: sub[id_col].values,
+                            "tbl": np.full(len(sub), t, dtype=np.int32),
+                            "bucket": bucket,
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, vec_col).mapInPandas(
+        bucketize, f"{id_col} {id_t}, tbl int, bucket string"
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
