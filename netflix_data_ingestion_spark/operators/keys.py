@@ -29,6 +29,51 @@ from pyspark.sql import functions as F
 
 _PID = "__sk_pid"
 _OFFSET = "__sk_offset"
+_TOTAL = "__sk_total"
+
+
+def _pin_ranged(df: DataFrame, cols: list, n: int) -> DataFrame:
+    """Range-partition + local sort + partition id, pinned ONCE with an
+    eager localCheckpoint: the frame is traversed twice (offset
+    aggregate + main pass) and both must see identical range-partition
+    boundaries."""
+    return (
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn(_PID, F.spark_partition_id())
+    ).localCheckpoint(eager=True)
+
+
+def _offsets_in_plan(
+    ranged: DataFrame, agg_expr, with_total: bool = False
+) -> DataFrame:
+    """(pid, offset[, total]) — per-partition base offsets computed
+    IN-PLAN: one combinable per-partition aggregate (#partitions rows)
+    plus one exclusive running sum over pid order.
+
+    r12 (guide §5 — the driver does no data work; §1.2 — fewer jobs per
+    call): the former collect() + driver loop + createDataFrame round
+    trip ran one extra Spark job and one extra plan per helper call at
+    BUILD time; chained callers (customer_rfm_segments stacks three
+    ntiles) paid it three times.  The running-sum window is a
+    #partitions-row frame — model-sized single-task work by
+    construction, the broadcast-offsets license this helper always had.
+    Empty range partitions are absent from the aggregate, and equally
+    absent from every join probe, so the inner join is unchanged."""
+    per = ranged.groupBy(_PID).agg(agg_expr.alias("__v"))
+    excl = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    cols = [
+        F.col(_PID),
+        F.coalesce(F.sum("__v").over(excl), F.lit(0))
+        .cast("long")
+        .alias(_OFFSET),
+    ]
+    if with_total:
+        full = Window.orderBy(_PID).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        cols.append(F.sum("__v").over(full).cast("long").alias(_TOTAL))
+    return per.select(*cols)
 
 
 def surrogate_key_small(
@@ -56,18 +101,8 @@ def surrogate_key_ranged(
     rationale).
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = (
-        df.repartitionByRange(n, *natural_cols)
-        .sortWithinPartitions(*natural_cols)
-        .withColumn(_PID, F.spark_partition_id())
-    ).localCheckpoint(eager=True)
-
-    counts = {r[_PID]: r["cnt"] for r in ranged.groupBy(_PID).agg(F.count("*").alias("cnt")).collect()}
-    offsets, acc = [], 0
-    for p in range(n):
-        offsets.append((p, acc))
-        acc += counts.get(p, 0)
-    offsets_df = df.sparkSession.createDataFrame(offsets, schema=f"{_PID} int, {_OFFSET} long")
+    ranged = _pin_ranged(df, list(natural_cols), n)
+    offsets_df = _offsets_in_plan(ranged, F.count("*"))
 
     local = Window.partitionBy(_PID).orderBy(*natural_cols)
     return (
@@ -90,8 +125,8 @@ def prefix_sum_ranged(
     base offsets from a tiny (one row per partition) total-sum
     aggregate — the additive generalization of
     ``surrogate_key_ranged``'s numbering (offsets carry SUMS instead
-    of COUNTS).  No single-task global window; the only driver state
-    is O(#partitions).
+    of COUNTS).  No single-task global window over the data; the only
+    single-task step is the #partitions-row offset cumsum, in-plan.
 
     The exclusive convention (row's own value not included; first row
     gets 0) is what offset/layout computations want — e.g. each
@@ -100,24 +135,11 @@ def prefix_sum_ranged(
     count pass and the main pass see identical boundaries.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = (
-        df.repartitionByRange(n, *order_cols)
-        .sortWithinPartitions(*order_cols)
-        .withColumn(_PID, F.spark_partition_id())
-    ).localCheckpoint(eager=True)
-
-    sums = {
-        r[_PID]: r["s"]
-        for r in ranged.groupBy(_PID)
-        .agg(F.sum(value_col).alias("s"))
-        .collect()
-    }
-    offsets, acc = [], 0
-    for p in range(n):
-        offsets.append((p, acc))
-        acc += int(sums.get(p) or 0)
-    offsets_df = df.sparkSession.createDataFrame(
-        offsets, schema=f"{_PID} int, {_OFFSET} long"
+    ranged = _pin_ranged(df, list(order_cols), n)
+    # all-NULL partitions aggregate to a NULL sum, which the running sum
+    # skips — the same "or 0" the former driver loop applied
+    offsets_df = _offsets_in_plan(
+        ranged, F.coalesce(F.sum(value_col), F.lit(0))
     )
     local = (
         Window.partitionBy(_PID)
@@ -165,38 +187,26 @@ def ntile_ranged(
     """
     n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    ranged = (
-        df.repartitionByRange(n_part, *cols)
-        .sortWithinPartitions(*cols)
-        .withColumn(_PID, F.spark_partition_id())
-    ).localCheckpoint(eager=True)
-
-    counts = {
-        r[_PID]: r["cnt"]
-        for r in ranged.groupBy(_PID).agg(F.count("*").alias("cnt")).collect()
-    }
-    offsets, acc = [], 0
-    for p in range(n_part):
-        offsets.append((p, acc))
-        acc += counts.get(p, 0)
-    total = acc
-    offsets_df = df.sparkSession.createDataFrame(
-        offsets, schema=f"{_PID} int, {_OFFSET} long"
-    )
+    ranged = _pin_ranged(df, cols, n_part)
+    # the total row count rides on the offsets frame (with_total), so the
+    # bucket arithmetic below is the same integer NTILE math evaluated
+    # in-plan instead of against a driver-side divmod
+    offsets_df = _offsets_in_plan(ranged, F.count("*"), with_total=True)
     local = Window.partitionBy(_PID).orderBy(*cols)
     ranked = ranged.join(F.broadcast(offsets_df), _PID).withColumn(
         "__nt_r", F.col(_OFFSET) + F.row_number().over(local)
     )
-    q, rem = divmod(total, k)
-    if q == 0:
-        # fewer rows than buckets: ntile gives each row its own bucket
-        bucket = F.col("__nt_r")
-    else:
-        head = (q + 1) * rem  # rows living in the ceil-sized buckets
-        bucket = F.when(
-            F.col("__nt_r") <= F.lit(head),
-            F.expr(f"(__nt_r + {q}) div {q + 1}"),
-        ).otherwise(F.expr(f"{rem} + (__nt_r - {head} + {q - 1}) div {q}"))
+    # q = total div k, rem = total mod k, head = (q+1)*rem; q == 0 (fewer
+    # rows than buckets) gives each row its own bucket.  The q == 0 CASE
+    # arm guards the div-by-q arm, which ANSI mode would otherwise reject.
+    bucket = F.expr(
+        f"CASE WHEN {_TOTAL} div {k} = 0 THEN __nt_r"
+        f" WHEN __nt_r <= ({_TOTAL} div {k} + 1) * ({_TOTAL} % {k})"
+        f" THEN (__nt_r + {_TOTAL} div {k}) div ({_TOTAL} div {k} + 1)"
+        f" ELSE {_TOTAL} % {k}"
+        f" + (__nt_r - ({_TOTAL} div {k} + 1) * ({_TOTAL} % {k})"
+        f" + {_TOTAL} div {k} - 1) div ({_TOTAL} div {k}) END"
+    )
     return ranked.withColumn(out_col, bucket.cast("int")).drop(
-        _PID, _OFFSET, "__nt_r"
+        _PID, _OFFSET, _TOTAL, "__nt_r"
     )
