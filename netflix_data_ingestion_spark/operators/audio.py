@@ -202,6 +202,69 @@ AUDIO_FEATURES_SCHEMA = (
 )
 
 
+def wav_feature_frame(ids, payloads) -> pd.DataFrame:
+    """One Arrow batch of decoded WAV feature rows — the
+    ``decode_audio_features`` batch body, shared so fused single-stage
+    pipelines (synthesize/resample/decode in ONE ``mapInPandas``) run
+    the exact same decode+stats path without shipping the payload
+    bytes back across the JVM boundary between stages (guide §4.1:
+    you control how many columns cross, and a payload that is consumed
+    in the same task should cross zero times)."""
+    out: dict[str, list] = {
+        "media_id": [],
+        "codec": [],
+        "channels": [],
+        "sample_rate": [],
+        "bit_depth": [],
+        "num_frames": [],
+        "duration_ms": [],
+        "mean_abs_milli": [],
+        "peak_milli": [],
+    }
+    for media_id, payload in zip(ids, payloads):
+        got = decode_wav(b"" if payload is None else bytes(payload))
+        out["media_id"].append(media_id)
+        if got is None or got["num_frames"] == 0:
+            codec = "wav" if got is not None else None
+            out["codec"].append(codec)
+            out["channels"].append(got["channels"] if got else None)
+            out["sample_rate"].append(got["sample_rate"] if got else None)
+            out["bit_depth"].append(got["bit_depth"] if got else None)
+            out["num_frames"].append(0 if got else None)
+            out["duration_ms"].append(0 if got else None)
+            out["mean_abs_milli"].append(None)
+            out["peak_milli"].append(None)
+            continue
+        full_scale = 1 << (got["bit_depth"] - 1)
+        samples = got["samples"]
+        n = samples.size
+        abs_sum = int(np.abs(samples).sum())
+        out["codec"].append("wav")
+        out["channels"].append(got["channels"])
+        out["sample_rate"].append(got["sample_rate"])
+        out["bit_depth"].append(got["bit_depth"])
+        out["num_frames"].append(got["num_frames"])
+        out["duration_ms"].append(
+            got["num_frames"] * 1000 // got["sample_rate"]
+        )
+        out["mean_abs_milli"].append(1000 * abs_sum // (n * full_scale))
+        out["peak_milli"].append(
+            1000 * int(np.abs(samples).max()) // full_scale
+        )
+    return pd.DataFrame(out).astype(
+        {
+            "media_id": "int64",
+            "channels": "Int32",
+            "sample_rate": "Int32",
+            "bit_depth": "Int32",
+            "num_frames": "Int64",
+            "duration_ms": "Int64",
+            "mean_abs_milli": "Int64",
+            "peak_milli": "Int64",
+        }
+    )
+
+
 def decode_audio_features(
     df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
 ) -> DataFrame:
@@ -214,60 +277,6 @@ def decode_audio_features(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out: dict[str, list] = {
-                "media_id": [],
-                "codec": [],
-                "channels": [],
-                "sample_rate": [],
-                "bit_depth": [],
-                "num_frames": [],
-                "duration_ms": [],
-                "mean_abs_milli": [],
-                "peak_milli": [],
-            }
-            for media_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                got = decode_wav(b"" if payload is None else bytes(payload))
-                out["media_id"].append(media_id)
-                if got is None or got["num_frames"] == 0:
-                    codec = "wav" if got is not None else None
-                    out["codec"].append(codec)
-                    out["channels"].append(got["channels"] if got else None)
-                    out["sample_rate"].append(got["sample_rate"] if got else None)
-                    out["bit_depth"].append(got["bit_depth"] if got else None)
-                    out["num_frames"].append(0 if got else None)
-                    out["duration_ms"].append(0 if got else None)
-                    out["mean_abs_milli"].append(None)
-                    out["peak_milli"].append(None)
-                    continue
-                full_scale = 1 << (got["bit_depth"] - 1)
-                samples = got["samples"]
-                n = samples.size
-                abs_sum = int(np.abs(samples).sum())
-                out["codec"].append("wav")
-                out["channels"].append(got["channels"])
-                out["sample_rate"].append(got["sample_rate"])
-                out["bit_depth"].append(got["bit_depth"])
-                out["num_frames"].append(got["num_frames"])
-                out["duration_ms"].append(
-                    got["num_frames"] * 1000 // got["sample_rate"]
-                )
-                out["mean_abs_milli"].append(
-                    1000 * abs_sum // (n * full_scale)
-                )
-                out["peak_milli"].append(
-                    1000 * int(np.abs(samples).max()) // full_scale
-                )
-            yield pd.DataFrame(out).astype(
-                {
-                    "media_id": "int64",
-                    "channels": "Int32",
-                    "sample_rate": "Int32",
-                    "bit_depth": "Int32",
-                    "num_frames": "Int64",
-                    "duration_ms": "Int64",
-                    "mean_abs_milli": "Int64",
-                    "peak_milli": "Int64",
-                }
-            )
+            yield wav_feature_frame(pdf[id_col], pdf[payload_col])
 
     return df.mapInPandas(batches, AUDIO_FEATURES_SCHEMA)

@@ -2038,43 +2038,53 @@ def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign handling at every depth) sits INSIDE the checked chain — if
     any byte of the codec is wrong, the hash breaks.
 
-    Plan: two narrow Arrow stages (synthesize, decode), no shuffle
-    until the final display orderBy."""
+    Plan (r12, guide §4.1/§4.2): ONE narrow Arrow stage — synth and
+    decode fused in a single ``mapInPandas`` (the shared
+    ``wav_feature_frame`` body), so the WAV payload never crosses the
+    JVM boundary; only the text goes in and the 9 stat columns come
+    out.  The code-point extraction is vectorized (utf-32 view of the
+    string instead of a per-char ``ord`` loop).  No shuffle until the
+    final display orderBy."""
     import numpy as np
 
     from netflix_data_ingestion_spark.operators.audio import (
-        decode_audio_features,
+        AUDIO_FEATURES_SCHEMA,
         encode_wav,
+        wav_feature_frame,
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
 
-    def synth(it):
-        import pandas as pd
-
+    def synth_decode(it):
         for pdf in it:
             ids, payloads = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 t = text or ""
-                base = np.array(
-                    [(ord(c) % 256) - 128 for c in t], dtype=np.int64
-                )
+                # code points == utf-32 words (decoded parquet text has
+                # no lone surrogates); identical to ord(c) per char
+                base = (
+                    np.frombuffer(
+                        t.encode("utf-32-le"), dtype="<u4"
+                    ).astype(np.int64)
+                    % 256
+                ) - 128
                 bits = (8, 16, 24, 32)[int(doc_id) % 4]
                 rate = 8000 * (1 + int(doc_id) % 3)
                 samples = base << (bits - 8)
                 ids.append(doc_id)
                 payloads.append(bytes(encode_wav(samples, 1, rate, bits)))
-            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+            yield wav_feature_frame(ids, payloads)
 
     # sf0.1 documents is ONE parquet split; without this the whole
     # synth+decode chain serializes on a single task (measured: the
     # gif row ran 1-task 9-12s isolated).  One cheap narrow-input
-    # shuffle before the Arrow stages; a no-op at real scale where
+    # shuffle before the Arrow stage; a no-op at real scale where
     # the scan has thousands of splits (ensure_parallelism contract).
-    media = ensure_parallelism(docs).mapInPandas(
-        synth, "media_id long, payload binary"
+    return (
+        ensure_parallelism(docs)
+        .mapInPandas(synth_decode, AUDIO_FEATURES_SCHEMA)
+        .orderBy("media_id")
     )
-    return decode_audio_features(media).orderBy("media_id")
 
 
 ORACLE_AUDIO_STATS = """
@@ -2124,46 +2134,58 @@ def q_multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic ((j * src_rate) // 8000) on the text directly, so the
     resampler's frame math and both codec directions are hash-checked.
 
-    Plan: three narrow Arrow stages, no shuffle before the display
-    orderBy."""
+    Plan (r12, guide §4.1/§4.2): ONE narrow Arrow stage — the former
+    three chained ``mapInPandas`` stages (synth, resample, decode)
+    shipped the WAV payload across the JVM boundary four times just to
+    hand it to the next Python stage; fused, the payload never crosses
+    at all (text in, 9 stat columns out) and the per-stage Arrow
+    serialization setup is paid once.  The same ``encode_wav`` ->
+    ``resample_wav`` -> ``wav_feature_frame`` calls run per row, so
+    both codec directions and the frame math stay inside the checked
+    chain.  No shuffle before the display orderBy."""
     import numpy as np
 
     from netflix_data_ingestion_spark.operators.audio import (
-        decode_audio_features,
+        AUDIO_FEATURES_SCHEMA,
         encode_wav,
-        resample_audio,
+        resample_wav,
+        wav_feature_frame,
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
 
-    def synth(it):
-        import pandas as pd
-
+    def synth_resample_decode(it):
         for pdf in it:
             ids, payloads = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 t = text or ""
-                base = np.array(
-                    [(ord(c) % 256) - 128 for c in t], dtype=np.int64
-                )
+                # code points == utf-32 words (decoded parquet text has
+                # no lone surrogates); identical to ord(c) per char
+                base = (
+                    np.frombuffer(
+                        t.encode("utf-32-le"), dtype="<u4"
+                    ).astype(np.int64)
+                    % 256
+                ) - 128
                 bits = (8, 16, 24, 32)[int(doc_id) % 4]
                 rate = 8000 * (1 + int(doc_id) % 3)
+                p = bytes(encode_wav(base << (bits - 8), 1, rate, bits))
+                r = resample_wav(p, 8000)
                 ids.append(doc_id)
-                payloads.append(
-                    bytes(encode_wav(base << (bits - 8), 1, rate, bits))
-                )
-            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+                # undecodable payloads pass through unchanged — the
+                # resample_audio quarantine contract, inlined
+                payloads.append(p if r is None else r)
+            yield wav_feature_frame(ids, payloads)
 
     # sf0.1 documents is ONE parquet split; without this the whole
     # synth+decode chain serializes on a single task (measured: the
     # gif row ran 1-task 9-12s isolated).  One cheap narrow-input
-    # shuffle before the Arrow stages; a no-op at real scale where
+    # shuffle before the Arrow stage; a no-op at real scale where
     # the scan has thousands of splits (ensure_parallelism contract).
-    media = ensure_parallelism(docs).mapInPandas(
-        synth, "media_id long, payload binary"
-    )
-    return decode_audio_features(resample_audio(media, 8000)).orderBy(
-        "media_id"
+    return (
+        ensure_parallelism(docs)
+        .mapInPandas(synth_resample_decode, AUDIO_FEATURES_SCHEMA)
+        .orderBy("media_id")
     )
 
 
