@@ -63,63 +63,77 @@ def connected_components(
     is ~log2(diameter), so 25 covers any graph with diameter < 2^25.
     Raises RuntimeError if not converged (never observed — would mean
     a pathological diameter > 33M).
+
+    r12 round shape (guide §2.4 — remove shuffles outright): the former
+    hop joined the edge list against the labels on ``v`` every round
+    (re-shuffling the EDGE data per round), and the jump was a
+    self-join of the un-pinned hop output, re-executing the whole
+    hop subtree once per join side.  Now the symmetrized adjacency is
+    hash-partitioned on the join key (``nbr``) once at build — the
+    label_propagation/bfs_hops discipline — so no round ever exchanges
+    the edge data again, and hop-min and pointer-jump-min are computed
+    from the SAME pre-round label frame (two node-sized joins folded
+    into one ``least``), so nothing is executed twice.  Both minima
+    folding into one least() is still monotone min-label propagation
+    with pointer edges: identical fixpoint (label = component min),
+    convergence still ~log2(diameter) rounds.
     """
-    edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    edges = (
-        edges.union(
-            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    sym = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    adj = (
+        sym.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionAll(
+            sym.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
         )
         .distinct()
+        .repartition("nbr")
         .localCheckpoint(eager=True)
     )
     labels = (
-        edges.select("u")
+        adj.select("node")
         .distinct()
-        .select(F.col("u").alias("node"), F.col("u").alias("comp"))
+        .select("node", F.col("node").alias("comp"))
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
-        # hop: pull the min label across each node's neighbors
+        # hop: pull the min label across each node's neighbors — only
+        # the node-sized label frame moves (adj is pre-partitioned)
         nbr_min = (
-            edges.join(
+            adj.join(
                 labels.select(
-                    F.col("node").alias("v"), F.col("comp").alias("vcomp")
+                    F.col("node").alias("nbr"), F.col("comp").alias("ncomp")
                 ),
-                "v",
+                "nbr",
             )
-            .groupBy("u")
-            .agg(F.min("vcomp").alias("nbr_comp"))
+            .groupBy("node")
+            .agg(F.min("ncomp").alias("nbr_comp"))
         )
-        hopped = labels.join(
-            nbr_min.select(F.col("u").alias("node"), "nbr_comp"),
-            "node",
-            "left",
-        ).select(
-            "node",
-            F.least(
-                F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
-            ).alias("comp"),
-            F.col("comp").alias("prev"),
-        )
-        # jump: contract label chains — comp := min(comp, comp of comp).
-        # The pre-hop label rides along as `prev` so convergence is a
-        # filter+count on the SAME checkpointed frame — one job per
-        # round instead of a separate old-vs-new join job (measured
-        # ~1.5s/round of pure scheduling overhead on tiny graphs).
-        jumped = hopped.join(
-            hopped.select(
-                F.col("node").alias("pnode"), F.col("comp").alias("pcomp")
+        # jump: comp of comp, from the same pre-round labels (a comp
+        # value is always a node id present in `labels`, so the left
+        # join never actually misses; left + coalesce keeps the
+        # degenerate empty-frame case total)
+        ptr_min = labels.select(
+            F.col("comp").alias("nbr"), F.col("node")
+        ).join(
+            labels.select(
+                F.col("node").alias("nbr"), F.col("comp").alias("pcomp")
             ),
-            F.col("comp") == F.col("pnode"),
+            "nbr",
             "left",
-        ).select(
-            "node",
-            F.least(
-                F.col("comp"), F.coalesce("pcomp", F.col("comp"))
-            ).alias("comp"),
-            F.col("prev"),
+        ).select("node", "pcomp")
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .join(ptr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"),
+                    F.coalesce("nbr_comp", F.col("comp")),
+                    F.coalesce("pcomp", F.col("comp")),
+                ).alias("comp"),
+                F.col("comp").alias("prev"),
+            )
+            .localCheckpoint(eager=True)
         )
-        new_labels = jumped.localCheckpoint(eager=True)
         changed = new_labels.filter(F.col("comp") != F.col("prev")).count()
         old = labels
         labels = new_labels.select("node", "comp")
