@@ -7040,7 +7040,20 @@ def q_events_error_clicks_stream(
     plain time-bounded self-join.  The fifth stateful streaming family
     under the hash-checked oracle (windows, sessions, CDC, OHLC, and
     now join state); tests/test_streaming.py pins stream == batch on a
-    multi-batch rate source independently."""
+    multi-batch rate source independently.
+
+    r12 (guide §1.2 — don't compute what you throw away): the trailing
+    no-data micro-batch is disabled FOR THIS QUERY ONLY.  An INNER
+    stream-stream join emits every pair during the data batch; the
+    no-data flush batch exists to advance the watermark and evict
+    buffered state before shutdown — it produces zero output rows for
+    an inner join (unlike append-mode windowed aggregates, where the
+    flush batch EMITS the closed windows and stays on).  Measured: the
+    flush batch re-ran the full state machinery (~4 s, 0 input rows) on
+    a replay that discards the checkpoint immediately after.  The
+    conf is set+restored around the one start() so the session default
+    (and every windowed streaming row) is untouched; output equality
+    is still hash-checked by the oracle at both SFs."""
     import os
 
     from netflix_data_ingestion_spark.streaming.ingest import (
@@ -7073,7 +7086,16 @@ def q_events_error_clicks_stream(
     )
     _STREAM_RUN_SEQ[0] += 1
     name = f"__error_clicks_stream_{os.getpid()}_{_STREAM_RUN_SEQ[0]}"
-    run_to_memory(joined, name, output_mode="append", max_data_batches=1)
+    ndkey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    old_nd = spark.conf.get(ndkey, None)
+    spark.conf.set(ndkey, "false")
+    try:
+        run_to_memory(joined, name, output_mode="append", max_data_batches=1)
+    finally:
+        if old_nd is None:
+            spark.conf.unset(ndkey)
+        else:
+            spark.conf.set(ndkey, old_nd)
     return spark.table(name).orderBy("error_id", "click_id")
 
 
