@@ -191,17 +191,13 @@ GIF_FRAME_SCHEMA = T.StructType(
 )
 
 
-def gif_frame_stats(
-    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
-) -> DataFrame:
-    """REAL frame sampling: decode an animated GIF (operators/gif.py,
-    pure-stdlib LZW) and emit one row per COMPOSITED frame — exact
-    integer Rec.601 mean luma and the 8x8 aHash of each canvas, plus
-    the per-frame delay.  The genuine version of the one-row-in /
-    many-rows-out plumbing frame_sample_stub exercises for
-    library-needing containers: fan-out happens inside the Arrow
-    batch, no explode shuffle.  Non-GIF / corrupt payloads yield one
-    NULL-stats row (quarantine-not-crash)."""
+def gif_frame_batches(
+    id_col: str = "media_id", payload_col: str = "payload"
+):
+    """Iterator->iterator form of ``gif_frame_stats``' decode stage,
+    exposed so synth+decode contract rows can FUSE into one
+    ``mapInPandas`` (guide §4.1: the payload then never crosses the
+    JVM boundary between stages — the audio.wav_feature_frame move)."""
     from netflix_data_ingestion_spark.operators.gif import decode_gif
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -257,7 +253,23 @@ def gif_frame_stats(
                 }
             )
 
-    return df.mapInPandas(batches, GIF_FRAME_SCHEMA)
+    return batches
+
+
+def gif_frame_stats(
+    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL frame sampling: decode an animated GIF (operators/gif.py,
+    pure-stdlib LZW) and emit one row per COMPOSITED frame — exact
+    integer Rec.601 mean luma and the 8x8 aHash of each canvas, plus
+    the per-frame delay.  The genuine version of the one-row-in /
+    many-rows-out plumbing frame_sample_stub exercises for
+    library-needing containers: fan-out happens inside the Arrow
+    batch, no explode shuffle.  Non-GIF / corrupt payloads yield one
+    NULL-stats row (quarantine-not-crash)."""
+    return df.mapInPandas(
+        gif_frame_batches(id_col, payload_col), GIF_FRAME_SCHEMA
+    )
 
 
 AVI_FRAME_SCHEMA = T.StructType(
@@ -299,9 +311,10 @@ def mp4_frame_stats(
     return _video_frame_stats(df, decode_mp4, id_col, payload_col)
 
 
-def _video_frame_stats(
-    df: DataFrame, decoder, id_col: str, payload_col: str
-) -> DataFrame:
+def video_frame_batches(decoder, id_col: str, payload_col: str):
+    """Iterator->iterator form of the AVI/MP4 frame-stats decode stage
+    (see ``gif_frame_batches`` for why it is exposed)."""
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out: dict[str, list] = {
@@ -349,7 +362,15 @@ def _video_frame_stats(
                 }
             )
 
-    return df.mapInPandas(batches, AVI_FRAME_SCHEMA)
+    return batches
+
+
+def _video_frame_stats(
+    df: DataFrame, decoder, id_col: str, payload_col: str
+) -> DataFrame:
+    return df.mapInPandas(
+        video_frame_batches(decoder, id_col, payload_col), AVI_FRAME_SCHEMA
+    )
 
 
 RESIZE_SCHEMA = T.StructType(
@@ -769,6 +790,16 @@ def decode_real_features(
     libraries remain out of scope in this environment — on a real
     cluster the PIL branch plugs into the same batch loop.
     """
+    return df.mapInPandas(
+        real_decode_batches(id_col, payload_col), REAL_DECODE_SCHEMA
+    )
+
+
+def real_decode_batches(
+    id_col: str = "media_id", payload_col: str = "payload"
+):
+    """Iterator->iterator form of ``decode_real_features``' decode stage
+    (see ``gif_frame_batches`` for why it is exposed)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -810,7 +841,7 @@ def decode_real_features(
                 }
             )
 
-    return df.mapInPandas(batches, REAL_DECODE_SCHEMA)
+    return batches
 
 
 def _box_resample(px, oh: int, ow: int):

@@ -2242,13 +2242,16 @@ def q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-block framing, the GCE delay parse and the compositing loop
     all sit INSIDE the checked chain.
 
-    Plan: two narrow Arrow stages (synthesize, decode+fan-out inside
-    the batch), no shuffle until the display orderBy."""
+    Plan (r12, guide §4.1): ONE narrow Arrow stage — synth and
+    decode+fan-out fused in a single ``mapInPandas`` (iterator
+    composition over ``gif_frame_batches``), so the GIF payload never
+    crosses the JVM boundary.  No shuffle until the display orderBy."""
     import numpy as np
 
     from netflix_data_ingestion_spark.operators.gif import encode_gif
     from netflix_data_ingestion_spark.operators.multimodal import (
-        gif_frame_stats,
+        GIF_FRAME_SCHEMA,
+        gif_frame_batches,
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -2283,13 +2286,14 @@ def q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1 documents is ONE parquet split; without this the whole
     # synth+decode chain serializes on a single task (measured: the
     # gif row ran 1-task 9-12s isolated).  One cheap narrow-input
-    # shuffle before the Arrow stages; a no-op at real scale where
+    # shuffle before the Arrow stage; a no-op at real scale where
     # the scan has thousands of splits (ensure_parallelism contract).
-    media = ensure_parallelism(docs).mapInPandas(
-        synth, "media_id long, payload binary"
+    dec = gif_frame_batches()
+    fused = ensure_parallelism(docs).mapInPandas(
+        lambda it: dec(synth(it)), GIF_FRAME_SCHEMA
     )
     return (
-        gif_frame_stats(media)
+        fused
         .select(
             "media_id",
             "n_frames",
@@ -2347,13 +2351,16 @@ def q_multimodal_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     sit INSIDE the checked chain; the lossy MJPG profile is proven
     separately by unit tests against the spec-compliant test encoder.
 
-    Plan: two narrow Arrow stages, no shuffle before the display
-    orderBy."""
+    Plan (r12, guide §4.1): ONE narrow Arrow stage — synth and decode
+    fused in a single ``mapInPandas`` (iterator composition), so the
+    payload never crosses the JVM boundary.  No shuffle before the
+    display orderBy."""
     import numpy as np
 
-    from netflix_data_ingestion_spark.operators.avi import encode_avi
+    from netflix_data_ingestion_spark.operators.avi import decode_avi, encode_avi
     from netflix_data_ingestion_spark.operators.multimodal import (
-        avi_frame_stats,
+        AVI_FRAME_SCHEMA,
+        video_frame_batches,
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -2393,11 +2400,12 @@ def q_multimodal_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gif row ran 1-task 9-12s isolated).  One cheap narrow-input
     # shuffle before the Arrow stages; a no-op at real scale where
     # the scan has thousands of splits (ensure_parallelism contract).
-    media = ensure_parallelism(docs).mapInPandas(
-        synth, "media_id long, payload binary"
+    dec = video_frame_batches(decode_avi, "media_id", "payload")
+    fused = ensure_parallelism(docs).mapInPandas(
+        lambda it: dec(synth(it)), AVI_FRAME_SCHEMA
     )
     return (
-        avi_frame_stats(media)
+        fused
         .select(
             "media_id",
             "n_frames",
@@ -2456,13 +2464,16 @@ def q_multimodal_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     The lossy MJPEG profile is proven separately by unit tests against
     the spec-compliant test encoder (tests/test_mp4_decode.py).
 
-    Plan: two narrow Arrow stages, no shuffle before the display
-    orderBy."""
+    Plan (r12, guide §4.1): ONE narrow Arrow stage — synth and decode
+    fused in a single ``mapInPandas`` (iterator composition), so the
+    payload never crosses the JVM boundary.  No shuffle before the
+    display orderBy."""
     import numpy as np
 
-    from netflix_data_ingestion_spark.operators.mp4 import encode_mp4
+    from netflix_data_ingestion_spark.operators.mp4 import decode_mp4, encode_mp4
     from netflix_data_ingestion_spark.operators.multimodal import (
-        mp4_frame_stats,
+        AVI_FRAME_SCHEMA,
+        video_frame_batches,
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -2502,11 +2513,12 @@ def q_multimodal_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gif row ran 1-task 9-12s isolated).  One cheap narrow-input
     # shuffle before the Arrow stages; a no-op at real scale where
     # the scan has thousands of splits (ensure_parallelism contract).
-    media = ensure_parallelism(docs).mapInPandas(
-        synth, "media_id long, payload binary"
+    dec = video_frame_batches(decode_mp4, "media_id", "payload")
+    fused = ensure_parallelism(docs).mapInPandas(
+        lambda it: dec(synth(it)), AVI_FRAME_SCHEMA
     )
     return (
-        mp4_frame_stats(media)
+        fused
         .select(
             "media_id",
             "n_frames",
@@ -2568,8 +2580,10 @@ def q_multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str
     EOB runs, correction bits) is pinned bit-identical to the baseline
     decoder by tests/test_jpeg_decode.py.
 
-    Plan: two narrow Arrow stages, no shuffle before the display
-    orderBy (ensure_parallelism guards the one-split documents scan).
+    Plan (r12, guide §4.1): ONE narrow Arrow stage — synth and decode
+    fused in a single ``mapInPandas`` (iterator composition), so the
+    payload never crosses the JVM boundary.  No shuffle before the
+    display orderBy (ensure_parallelism guards the one-split scan).
     """
     import numpy as np
 
@@ -2577,7 +2591,8 @@ def q_multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str
         encode_jpeg_progressive,
     )
     from netflix_data_ingestion_spark.operators.multimodal import (
-        decode_real_features,
+        REAL_DECODE_SCHEMA,
+        real_decode_batches,
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -2601,11 +2616,12 @@ def q_multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str
                 payloads.append(bytes(encode_jpeg_progressive(px)))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    media = ensure_parallelism(docs).mapInPandas(
-        synth, "media_id long, payload binary"
+    dec = real_decode_batches()
+    fused = ensure_parallelism(docs).mapInPandas(
+        lambda it: dec(synth(it)), REAL_DECODE_SCHEMA
     )
     return (
-        decode_real_features(media)
+        fused
         .select("media_id", "codec", "width", "height", "mean_luma_milli")
         .orderBy("media_id")
     )
@@ -2650,8 +2666,10 @@ def q_multimodal_jpeg_12bit(spark: SparkSession, sf_dir: str) -> DataFrame:
     The general-content profile (nonzero ACs, wide magnitudes) is
     pinned by tests/test_jpeg_decode.py round-trip bounds.
 
-    Plan: two narrow Arrow stages, no shuffle before the display
-    orderBy (ensure_parallelism guards the one-split documents scan).
+    Plan (r12, guide §4.1): ONE narrow Arrow stage — synth and decode
+    fused in a single ``mapInPandas`` (iterator composition), so the
+    payload never crosses the JVM boundary.  No shuffle before the
+    display orderBy (ensure_parallelism guards the one-split scan).
     """
     import numpy as np
 
@@ -2659,7 +2677,8 @@ def q_multimodal_jpeg_12bit(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_jpeg_12bit,
     )
     from netflix_data_ingestion_spark.operators.multimodal import (
-        decode_real_features,
+        REAL_DECODE_SCHEMA,
+        real_decode_batches,
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -2683,11 +2702,12 @@ def q_multimodal_jpeg_12bit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(bytes(encode_jpeg_12bit(px)))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    media = ensure_parallelism(docs).mapInPandas(
-        synth, "media_id long, payload binary"
+    dec = real_decode_batches()
+    fused = ensure_parallelism(docs).mapInPandas(
+        lambda it: dec(synth(it)), REAL_DECODE_SCHEMA
     )
     return (
-        decode_real_features(media)
+        fused
         .select("media_id", "codec", "width", "height", "mean_luma_milli")
         .orderBy("media_id")
     )
@@ -2731,15 +2751,18 @@ def q_multimodal_jpeg_lossless(spark: SparkSession, sf_dir: str
     from the text.  Pins the whole DPCM chain: predictor arithmetic,
     modulo-65536 reconstruction, per-sample Huffman magnitudes.
 
-    Plan: two narrow Arrow stages, no shuffle before the display
-    orderBy."""
+    Plan (r12, guide §4.1): ONE narrow Arrow stage — synth and decode
+    fused in a single ``mapInPandas`` (iterator composition), so the
+    payload never crosses the JVM boundary.  No shuffle before the
+    display orderBy."""
     import numpy as np
 
     from netflix_data_ingestion_spark.operators.jpeg import (
         encode_jpeg_lossless,
     )
     from netflix_data_ingestion_spark.operators.multimodal import (
-        decode_real_features,
+        REAL_DECODE_SCHEMA,
+        real_decode_batches,
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -2760,11 +2783,12 @@ def q_multimodal_jpeg_lossless(spark: SparkSession, sf_dir: str
                 payloads.append(bytes(encode_jpeg_lossless(px, predictor=4)))
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    media = ensure_parallelism(docs).mapInPandas(
-        synth, "media_id long, payload binary"
+    dec = real_decode_batches()
+    fused = ensure_parallelism(docs).mapInPandas(
+        lambda it: dec(synth(it)), REAL_DECODE_SCHEMA
     )
     return (
-        decode_real_features(media)
+        fused
         .select("media_id", "codec", "width", "height", "mean_luma_milli")
         .orderBy("media_id")
     )
@@ -2803,7 +2827,7 @@ def q_multimodal_jpeg_prog12(spark: SparkSession, sf_dir: str
     mosaic spanning the full 12-bit range with offsets distinct from
     the sequential 12-bit row; the twin-identity test additionally
     pins prog-12 decode bit-identical to sequential-12 on general
-    content.  Plan: two narrow Arrow stages (jpeg_progressive shape).
+    content.  Plan (r12): ONE fused Arrow stage (jpeg_progressive shape).
     """
     import numpy as np
 
@@ -2811,7 +2835,8 @@ def q_multimodal_jpeg_prog12(spark: SparkSession, sf_dir: str
         encode_jpeg_progressive,
     )
     from netflix_data_ingestion_spark.operators.multimodal import (
-        decode_real_features,
+        REAL_DECODE_SCHEMA,
+        real_decode_batches,
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -2837,11 +2862,12 @@ def q_multimodal_jpeg_prog12(spark: SparkSession, sf_dir: str
                 )
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
-    media = ensure_parallelism(docs).mapInPandas(
-        synth, "media_id long, payload binary"
+    dec = real_decode_batches()
+    fused = ensure_parallelism(docs).mapInPandas(
+        lambda it: dec(synth(it)), REAL_DECODE_SCHEMA
     )
     return (
-        decode_real_features(media)
+        fused
         .select("media_id", "codec", "width", "height", "mean_luma_milli")
         .orderBy("media_id")
     )
