@@ -361,8 +361,12 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col),
         F.explode(tokens(F.col(text_col))).alias("token"),
     )
-    counted = tok.groupBy(id_col, "token").agg(F.count("*").alias("cnt"))
-    hashed = counted.withColumn("h", F.substring(F.md5("token"), 1, 16))
+    # r12 (guide §2.4 — remove shuffles outright): frequency weighting
+    # needs NO distinct-token count pass — Σ_distinct cnt·(2bit−1) is
+    # identically Σ_instances (2bit−1), so the former
+    # groupBy(id, token).count() exchange is gone and md5 runs per
+    # token instance straight into the one remaining aggregation.
+    hashed = tok.withColumn("h", F.substring(F.md5("token"), 1, 16))
     # project each hex digit's integer value ONCE per row (16 instr
     # lookups) instead of re-deriving it inside all 64 aggregate
     # children (guide §1.2 per-task work: the agg's partial step
@@ -370,7 +374,6 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # don't share common subexpressions across each other)
     digits = hashed.select(
         F.col(id_col),
-        F.col("cnt"),
         *[
             F.expr(f"instr('{HEX}', substring(h, {i}, 1)) - 1").alias(
                 f"d_{i}"
@@ -379,18 +382,19 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ],
     )
 
-    # all 64 weighted bit-sums as aggregation expressions over the token
-    # rows directly — the naive form explodes 16 digit positions per
-    # token (16x the shuffle) to reach the same sums; integer sums are
-    # order-independent, so results (and the SQL oracle) are unchanged.
-    # Bit extraction is an integer shift+mask — identical to
-    # floor(d / 2^j) % 2 for the non-negative digit values, without the
-    # double division the floor form pays per row per expression.
+    # all 64 bit-sums as aggregation expressions over the token
+    # instance rows directly — the naive form explodes 16 digit
+    # positions per token (16x the shuffle) to reach the same sums;
+    # integer sums are order-independent, so results (and the SQL
+    # oracle) are unchanged.  Bit extraction is an integer shift+mask —
+    # identical to floor(d / 2^j) % 2 for the non-negative digit
+    # values, without the double division the floor form pays per row
+    # per expression.
     def bit_sum(i: int, j: int) -> Column:
         bit = (
             F.shiftright(F.col(f"d_{i}"), j).bitwiseAND(F.lit(1)).cast("long")
         )
-        return F.sum(F.col("cnt") * (2 * bit - 1)).alias(f"s_{i}_{j}")
+        return F.sum(2 * bit - 1).alias(f"s_{i}_{j}")
 
     sums = digits.groupBy(id_col).agg(
         *[bit_sum(i, j) for i in range(1, 17) for j in range(4)]
