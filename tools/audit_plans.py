@@ -112,6 +112,31 @@ SANCTIONED: dict[str, str] = {
         "final 1-row metric crossJoin (dedup_lsh_recall shape)"
     ),
     "calendar_dim": "1-task date-spine generator, 2.4k rows by design",
+    # r12: keys._offsets_in_plan replaced the per-call driver collect
+    # with an in-plan exclusive cumsum over the per-partition offset
+    # frame — #partitions rows (<= shuffle partitions) through one
+    # single-task window, model-sized by construction; the data itself
+    # stays range-partitioned and parallel
+    "customer_balance_quartiles": (
+        "1PART = #partitions-row offset cumsum (keys._offsets_in_plan), "
+        "model-sized, doc'd"
+    ),
+    "customer_rfm_segments": (
+        "1PART x3 = one #partitions-row offset cumsum per ntile "
+        "(keys._offsets_in_plan), model-sized, doc'd"
+    ),
+    "user_decile_lift": (
+        "1PART = #partitions-row offset cumsum (keys._offsets_in_plan), "
+        "model-sized, doc'd"
+    ),
+    "doc_pack_windows": (
+        "1PART = #partitions-row offset cumsum (keys._offsets_in_plan), "
+        "model-sized, doc'd"
+    ),
+    "doc_length_batches": (
+        "1PART = #partitions-row offset cumsum (keys._offsets_in_plan), "
+        "model-sized, doc'd"
+    ),
     "customer_part_negatives": "1-row n_items broadcast crossJoin, doc'd",
     "doc_class_balance": "1-row target-size broadcast crossJoin, doc'd",
     "user_churn_labels": "1-row label-horizon broadcast crossJoin, doc'd",
