@@ -205,8 +205,16 @@ def main() -> None:
         "w",
     ) as f:
         f.write(line + "\n")
-    print(line)
+    # Output contract hardening (r13, VERDICT r12 item 6): the r11 round
+    # lost its driver-side ground truth because the one JSON line did not
+    # parse (BENCH_r11.json: rc 0, parsed null) — JVM teardown/log output
+    # racing the final stdout line is the only plausible corruption path.
+    # So: tear the session down FIRST, flush stderr, then emit the JSON as
+    # the genuinely last thing this process writes to stdout.
     spark.stop()
+    sys.stderr.flush()
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

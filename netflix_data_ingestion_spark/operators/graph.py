@@ -50,7 +50,7 @@ def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
-    max_iter: int = 25,
+    max_iter: int = 35,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``.
 
@@ -59,10 +59,16 @@ def connected_components(
     are absent from the output (callers union singletons back; see
     ``dedup_clusters``).
 
-    ``max_iter`` bounds the driver loop; with pointer jumping the bound
-    is ~log2(diameter), so 25 covers any graph with diameter < 2^25.
-    Raises RuntimeError if not converged (never observed — would mean
-    a pathological diameter > 33M).
+    ``max_iter`` bounds the driver loop.  Pointer jumping halves the
+    remaining pointer depth per round, but because the jump reads the
+    PRE-round labels (see below) one fused round contracts slightly
+    less than a sequential hop-then-jump round — the bound is still
+    O(log2(diameter)) with a small constant, so 35 rounds cover any
+    graph remotely plausible here (a sequential-compounding bound of
+    25 covered diameter < 2^25; the extra 10 rounds absorb the weaker
+    per-round constant with huge margin).  Raises RuntimeError if not
+    converged (never observed — would mean a pathological diameter in
+    the millions).
 
     r12 round shape (guide §2.4 — remove shuffles outright): the former
     hop joined the edge list against the labels on ``v`` every round

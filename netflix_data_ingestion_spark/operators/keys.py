@@ -59,8 +59,16 @@ def _offsets_in_plan(
     #partitions-row frame — model-sized single-task work by
     construction, the broadcast-offsets license this helper always had.
     Empty range partitions are absent from the aggregate, and equally
-    absent from every join probe, so the inner join is unchanged."""
-    per = ranged.groupBy(_PID).agg(agg_expr.alias("__v"))
+    absent from every join probe, so the inner join is unchanged.
+
+    The per-partition aggregate is cast to long BEFORE the running sum —
+    reproducing the former driver loop exactly, which int()-truncated
+    each partition's sum as it accumulated.  For the integral value
+    columns every caller passes (counts, token counts, frequencies)
+    this is a no-op; for a hypothetical fractional value column it
+    keeps the offsets bit-identical to the pre-r12 semantics instead
+    of truncating only the final cumulative value."""
+    per = ranged.groupBy(_PID).agg(agg_expr.cast("long").alias("__v"))
     excl = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
     cols = [
         F.col(_PID),

@@ -2060,11 +2060,13 @@ def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids, payloads = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 t = text or ""
-                # code points == utf-32 words (decoded parquet text has
-                # no lone surrogates); identical to ord(c) per char
+                # code points == utf-32 words; "surrogatepass" keeps the
+                # vectorized path total on lone surrogates too (a
+                # surrogate's code unit equals ord(c), so output is
+                # identical to the per-char ord loop)
                 base = (
                     np.frombuffer(
-                        t.encode("utf-32-le"), dtype="<u4"
+                        t.encode("utf-32-le", "surrogatepass"), dtype="<u4"
                     ).astype(np.int64)
                     % 256
                 ) - 128
@@ -2159,11 +2161,13 @@ def q_multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids, payloads = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 t = text or ""
-                # code points == utf-32 words (decoded parquet text has
-                # no lone surrogates); identical to ord(c) per char
+                # code points == utf-32 words; "surrogatepass" keeps the
+                # vectorized path total on lone surrogates too (a
+                # surrogate's code unit equals ord(c), so output is
+                # identical to the per-char ord loop)
                 base = (
                     np.frombuffer(
-                        t.encode("utf-32-le"), dtype="<u4"
+                        t.encode("utf-32-le", "surrogatepass"), dtype="<u4"
                     ).astype(np.int64)
                     % 256
                 ) - 128

@@ -230,3 +230,50 @@ def test_resample_audio_passthrough(spark):
     assert rows[2] == b"not audio"
     got = decode_wav(rows[1])
     assert got["sample_rate"] == 8000 and got["num_frames"] == 16
+
+
+def test_fused_resample_query_matches_operator_composition(spark, sf_dir):
+    """The q_multimodal_audio_resample FUSED stage (synth -> resample ->
+    decode in one mapInPandas) inlines resample_audio's quarantine
+    contract; pin it against the public operator composition
+    decode_audio_features(resample_audio(synth)) so the fused body
+    cannot drift from the operators unnoticed (the hash-checked oracle
+    only sees the fused form)."""
+    from netflix_data_ingestion_spark.operators.audio import (
+        resample_audio,
+    )
+    from netflix_data_ingestion_spark.plans.contract import REGISTRY
+
+    fn, _ = REGISTRY["multimodal_audio_resample"]
+    fused = [tuple(r) for r in fn(spark, sf_dir).collect()]
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    rows = []
+    for r in docs:
+        t = r["text"] or ""
+        base = (
+            np.frombuffer(
+                t.encode("utf-32-le", "surrogatepass"), dtype="<u4"
+            ).astype(np.int64)
+            % 256
+        ) - 128
+        bits = (8, 16, 24, 32)[int(r["doc_id"]) % 4]
+        rate = 8000 * (1 + int(r["doc_id"]) % 3)
+        rows.append(
+            (
+                int(r["doc_id"]),
+                bytearray(encode_wav(base << (bits - 8), 1, rate, bits)),
+            )
+        )
+    syn = spark.createDataFrame(rows, "media_id long, payload binary")
+    composed = [
+        tuple(r)
+        for r in decode_audio_features(resample_audio(syn, 8000))
+        .orderBy("media_id")
+        .collect()
+    ]
+    assert fused == composed
