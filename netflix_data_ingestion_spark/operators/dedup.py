@@ -366,21 +366,24 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # identically Σ_instances (2bit−1), so the former
     # groupBy(id, token).count() exchange is gone and md5 runs per
     # token instance straight into the one remaining aggregation.
-    hashed = tok.withColumn("h", F.substring(F.md5("token"), 1, 16))
-    # project each hex digit's integer value ONCE per row (16 instr
-    # lookups) instead of re-deriving it inside all 64 aggregate
-    # children (guide §1.2 per-task work: the agg's partial step
-    # evaluates every child per input row, and aggregate expressions
-    # don't share common subexpressions across each other)
-    digits = hashed.select(
+    #
+    # r13 digit extraction (guide §1.2 per-task work): parse the 16 hex
+    # chars into TWO 32-bit words with conv() — 2 string parses per row
+    # instead of 16 substring+instr lookups; every digit is then an
+    # integer shift+mask of a word.  conv of 8 lowercase hex chars is
+    # exact (< 2^32 fits a long), so digit values are identical.
+    hashed = tok.select(F.col(id_col), F.md5("token").alias("h"))
+    words = hashed.select(
         F.col(id_col),
-        *[
-            F.expr(f"instr('{HEX}', substring(h, {i}, 1)) - 1").alias(
-                f"d_{i}"
-            )
-            for i in range(1, 17)
-        ],
+        F.conv(F.substring("h", 1, 8), 16, 10).cast("long").alias("w1"),
+        F.conv(F.substring("h", 9, 8), 16, 10).cast("long").alias("w2"),
     )
+
+    def digit(i: int) -> Column:
+        # hex digit i (1-based, most-significant first) of the 16-char
+        # prefix: digits 1-8 live in w1, 9-16 in w2
+        w, off = ("w1", (8 - i) * 4) if i <= 8 else ("w2", (16 - i) * 4)
+        return F.shiftright(F.col(w), off).bitwiseAND(F.lit(15))
 
     # all 64 bit-sums as aggregation expressions over the token
     # instance rows directly — the naive form explodes 16 digit
@@ -390,22 +393,39 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # identical to floor(d / 2^j) % 2 for the non-negative digit
     # values, without the double division the floor form pays per row
     # per expression.
-    def bit_sum(i: int, j: int) -> Column:
-        bit = (
-            F.shiftright(F.col(f"d_{i}"), j).bitwiseAND(F.lit(1)).cast("long")
-        )
-        return F.sum(2 * bit - 1).alias(f"s_{i}_{j}")
+    #
+    # r13 packing (guide §1.2): TWO bit-sums ride in ONE long aggregate
+    # — bit j+2's running sum in the high 32 bits, bit j's in the low
+    # 32 (no carry can cross the boundary while the per-doc instance
+    # count stays below 2^31, i.e. any document under two billion
+    # tokens).  Σ_instances(2·bit−1) = 2·Σbit − n, so each sign test
+    # becomes 2·field > n against the one extra count — 32 aggregate
+    # children + count instead of 64, and the agg buffer halves.
+    def packed_sum(i: int, j: int) -> Column:
+        d = digit(i)
+        hi_bit = F.shiftright(d, j + 2).bitwiseAND(F.lit(1)).cast("long")
+        lo_bit = F.shiftright(d, j).bitwiseAND(F.lit(1)).cast("long")
+        return F.sum(F.shiftleft(hi_bit, 32) + lo_bit).alias(f"p_{i}_{j}")
 
-    sums = digits.groupBy(id_col).agg(
-        *[bit_sum(i, j) for i in range(1, 17) for j in range(4)]
+    sums = words.groupBy(id_col).agg(
+        *[packed_sum(i, j) for i in range(1, 17) for j in (0, 1)],
+        F.count(F.lit(1)).alias("__n"),
     )
 
     def digit_char(i: int) -> Column:
+        # field layout: p_i_0 = (Σbit2 << 32) + Σbit0, p_i_1 likewise
+        # for bits 3/1; sign of Σ(2·bit−1) is 2·Σbit > n
+        n = F.col("__n")
+        mask = F.lit(4294967295)  # 2^32 - 1
+        b0 = 2 * F.col(f"p_{i}_0").bitwiseAND(mask) > n
+        b2 = 2 * F.shiftright(F.col(f"p_{i}_0"), 32) > n
+        b1 = 2 * F.col(f"p_{i}_1").bitwiseAND(mask) > n
+        b3 = 2 * F.shiftright(F.col(f"p_{i}_1"), 32) > n
         v = (
-            (F.col(f"s_{i}_3") > 0).cast("int") * 8
-            + (F.col(f"s_{i}_2") > 0).cast("int") * 4
-            + (F.col(f"s_{i}_1") > 0).cast("int") * 2
-            + (F.col(f"s_{i}_0") > 0).cast("int")
+            b3.cast("int") * 8
+            + b2.cast("int") * 4
+            + b1.cast("int") * 2
+            + b0.cast("int")
         )
         return F.substring(F.lit(HEX), 1, 16).substr(v + 1, F.lit(1))
 
@@ -1021,13 +1041,17 @@ def hamming_pairs_64(
         .select("id_a", "sh_a", "id_b", "sh_b")
         .distinct()
     )
-    hamming = None
-    for i in range(1, 17):
-        term = F.expr(
-            f"bit_count((instr('{HEX}', substring(sh_a, {i}, 1)) - 1)"
-            f" ^ (instr('{HEX}', substring(sh_b, {i}, 1)) - 1))"
-        )
-        hamming = term if hamming is None else hamming + term
+    # exact Hamming distance via two 32-bit words per side (the simhash
+    # conv trick): bit_count of the XOR of word pairs — identical to the
+    # per-digit bit_count sum (XOR and popcount distribute over the
+    # digit split), with 4 string parses per pair instead of 32
+    # substring+instr lookups
+    def w(col: str, lo: int) -> Column:
+        return F.conv(F.substring(col, lo, 8), 16, 10).cast("long")
+
+    hamming = F.bit_count(
+        w("sh_a", 1).bitwiseXOR(w("sh_b", 1))
+    ) + F.bit_count(w("sh_a", 9).bitwiseXOR(w("sh_b", 9)))
     return (
         cand.withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
