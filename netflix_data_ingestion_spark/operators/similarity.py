@@ -620,7 +620,11 @@ def pq_train_codebooks(
     the parameter-server round-trip license of kmeans_train.
     """
     dsub = dim // m
-    q = _pq_quantized(corpus, id_col, vec_col, dim, scale)
+    # pin the quantized frame for the loop's multiple traversals (seed
+    # collect + one update job per round) — the kmeans_train discipline
+    q = _pq_quantized(corpus, id_col, vec_col, dim, scale).localCheckpoint(
+        eager=True
+    )
     seed_rows = q.orderBy(id_col).limit(ksub).collect()
     cents = {
         (s, cid): list(row["__qv"])[s * dsub : (s + 1) * dsub]
@@ -629,15 +633,54 @@ def pq_train_codebooks(
     }
     sub_rows = _pq_sub_rows(q, id_col, m, dsub)
     for _ in range(iters):
-        # the generator (posexplode) must not share a select with the
-        # struct-extract chain: the analyzer's generator rewrite strips
-        # the struct field names — assign first, then explode
-        assigned = sub_rows.withColumn("code", _pq_assign_expr(cents, m))
+        # r13 (guide §4.2/§2.3 — the kmeans_train treatment): codeword
+        # assignment + per-(sub, code, spos) partial sums run
+        # vectorized in ONE Arrow pass; only m·ksub·dsub partial rows
+        # leave Python per batch.  All-int64 numpy arithmetic replays
+        # the SQL fold exactly (argmin first-minimum == struct-min
+        # lowest-cid with per-sub cid-sorted codebooks); the final
+        # mean keeps the exact SQL rounding on the exact sums.
+        def _partials(batches):
+            import numpy as np
+            import pandas as pd
+
+            by_sub = {}
+            for s in range(m):
+                items = sorted(
+                    (cid, cw) for (sb, cid), cw in cents.items() if sb == s
+                )
+                by_sub[s] = (
+                    np.array([cid for cid, _ in items], dtype=np.int64),
+                    np.array([cw for _, cw in items], dtype=np.int64),
+                )
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                out = {"sub": [], "code": [], "spos": [], "sq": [], "n": []}
+                subs = pdf["sub"].to_numpy()
+                for s in np.unique(subs):
+                    cids, C = by_sub[int(s)]
+                    sel = pdf["sqv"][subs == s]
+                    V = np.stack(
+                        [np.asarray(v, dtype=np.int64) for v in sel]
+                    )
+                    D = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                    best = np.argmin(D, axis=1)
+                    for bi in np.unique(best):
+                        rows = V[best == bi]
+                        out["sub"].extend([int(s)] * dsub)
+                        out["code"].extend([int(cids[bi])] * dsub)
+                        out["spos"].extend(range(dsub))
+                        out["sq"].extend(rows.sum(axis=0).tolist())
+                        out["n"].extend([rows.shape[0]] * dsub)
+                yield pd.DataFrame(out)
+
         new_rows = (
-            assigned.select("sub", "code", F.posexplode("sqv"))
-            .toDF("sub", "code", "spos", "q")
+            sub_rows.mapInPandas(
+                _partials, "sub int, code int, spos int, sq long, n long"
+            )
             .groupBy("sub", "code", "spos")
-            .agg(F.sum("q").alias("sq"), F.count("*").alias("n"))
+            .agg(F.sum("sq").alias("sq"), F.sum("n").alias("n"))
             .select(
                 "sub",
                 "code",
@@ -666,12 +709,51 @@ def pq_encode(
 ) -> DataFrame:
     """(id, sub, code) — each vector compressed to m codebook ids (the
     stored PQ index: m small ints instead of dim floats, a ~dim/m x
-    compression).  Pure narrow map — codebooks ride in as literals."""
+    compression).  One narrow Arrow pass (r13, guide §4.2): the
+    vectorized argmin replays the former in-plan literal-codebook fold
+    exactly — all quantities int64, numpy integer arithmetic exact,
+    np.argmin's first-minimum tie rule == struct-min's lowest-cid rule
+    with per-sub cid-sorted codebooks."""
+    import numpy as np
+    import pandas as pd
+
     dsub = dim // m
     q = _pq_quantized(corpus, id_col, vec_col, dim, scale)
     sub_rows = _pq_sub_rows(q, id_col, m, dsub)
-    code = _pq_assign_expr(cents, m)
-    return sub_rows.select(id_col, "sub", code.cast("int").alias("code"))
+    id_t = sub_rows.schema[id_col].dataType.simpleString()
+    by_sub = {}
+    for s in range(m):
+        items = sorted(
+            (cid, cw) for (sb, cid), cw in cents.items() if sb == s
+        )
+        by_sub[s] = (
+            np.array([cid for cid, _ in items], dtype=np.int32),
+            np.array([cw for _, cw in items], dtype=np.int64),
+        )
+
+    def _codes(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            subs = pdf["sub"].to_numpy()
+            code = np.zeros(len(pdf), dtype=np.int32)
+            for s in np.unique(subs):
+                cids, C = by_sub[int(s)]
+                mask = subs == s
+                V = np.stack(
+                    [np.asarray(v, dtype=np.int64) for v in pdf["sqv"][mask]]
+                )
+                D = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                code[mask] = cids[np.argmin(D, axis=1)]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "sub": pdf["sub"].values,
+                    "code": code,
+                }
+            )
+
+    return sub_rows.mapInPandas(_codes, f"{id_col} {id_t}, sub int, code int")
 
 
 def pq_topk(

@@ -37,3 +37,18 @@ def test_kmeans_partition_invariant(spark):
     a = sorted(kmeans_train(df, k=2, iters=2).collect())
     b = sorted(kmeans_train(df.repartition(5), k=2, iters=2).collect())
     assert a == b
+
+
+def test_kmeans_argmin_tie_breaks_to_lowest_cid(spark):
+    """The vectorized (numpy) assignment must replay the struct-min tie
+    rule exactly: equidistant centroids resolve to the LOWEST cluster
+    id (np.argmin first-minimum over cid-sorted centroids)."""
+    # seeds are the 2 lowest ids: centroids at 0.0 and 2.0; vector at
+    # 1.0 is exactly equidistant -> must join cluster 0
+    rows = [(0, [0.0]), (1, [2.0]), (2, [1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r["cluster_id"]
+        for r in kmeans_train(df, k=2, iters=0).collect()
+    }
+    assert out[2] == out[0]
