@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from netflix_data_ingestion_spark.operators import graph, sample, textstats
+from netflix_data_ingestion_spark.operators.util import ensure_parallelism
 
 
 def curate_corpus(
@@ -65,16 +66,32 @@ def curate_corpus(
     dominate the verify shuffle; raise bands only for short-document
     corpora where shingle sets are small and collisions cheap.
     """
-    q = textstats.quality_score(docs, id_col, text_col).select(
-        id_col, "quality_score"
+    # r13 (guide §2.4 — share the scan+tokenize subtree): the ladder used
+    # to tokenize three times — the quality gate, the MinHash shingle
+    # stages inside dedup_clusters, and the final token count.  Now ONE
+    # token array is computed per lang-filtered doc, the gate reads it
+    # (quality_score_expr — the exact operator expression, shared), and
+    # the pinned base carries it so the MinHash banding, the
+    # candidate-verify shingles AND n_tokens are all derived from the
+    # checkpointed array with zero re-tokenization.  The token
+    # definition is identical everywhere, so results are unchanged.
+    # the filter+tokenize is the expensive narrow pass and the former
+    # quality join's exchange is gone, so spread the (often one-split)
+    # scan BEFORE tokenizing or the whole pass and the pinned base
+    # serialize on one task
+    flt = ensure_parallelism(docs.filter(F.col(lang_col) == lang)).select(
+        F.col(id_col),
+        F.col(source_col),
+        F.col(text_col),
+        textstats.tokens(F.col(text_col)).alias("__toks"),
     )
-    # base feeds BOTH the dedup candidate stage and the keep-join below;
-    # the quality pass is tokenization-heavy, so pin it or it runs once
-    # per reference (the ivf_topk centroid lesson)
     base = (
-        docs.filter(F.col(lang_col) == lang)
-        .join(q, id_col)
+        flt.withColumn(
+            "quality_score",
+            textstats.quality_score_expr(F.col(text_col), F.col("__toks")),
+        )
         .filter(F.col("quality_score") >= min_quality)
+        .select(id_col, source_col, "quality_score", "__toks")
     ).localCheckpoint(eager=True)
     clusters = graph.dedup_clusters(
         base,
@@ -84,13 +101,13 @@ def curate_corpus(
         threshold=dedup_threshold,
         num_hashes=num_hashes,
         bands=bands,
+        tokens_col="__toks",
     )
     keep = clusters.filter("keep").select(F.col("doc_id").alias(id_col))
     deduped = base.join(keep, id_col)
     sampled = sample.quota_sample(deduped, source_col, id_col, cap=cap)
     with_tok = sampled.withColumn(
-        "n_tokens",
-        F.size(textstats.tokens(F.col(text_col))).cast("long"),
+        "n_tokens", F.size(F.col("__toks")).cast("long")
     )
     packed = sample.pack_chunks(
         with_tok, source_col, id_col, "n_tokens", budget

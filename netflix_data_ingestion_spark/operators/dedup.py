@@ -177,13 +177,25 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def shingle_table(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    tokens_col: str | None = None,
 ) -> DataFrame:
-    """(id, shingle) — exploded distinct n-gram shingles per doc."""
+    """(id, shingle) — exploded distinct n-gram shingles per doc.
+
+    ``tokens_col`` names a PRE-TOKENIZED array column to shingle from
+    (guide §2.4 shared subtrees: a caller that already pinned one token
+    frame — curate_corpus — feeds every consumer from it instead of
+    re-running the tokenizer); ``tokens(text_col)`` otherwise.  The
+    token definition is identical either way, so results are unchanged.
+    """
     df = ensure_parallelism(df)
+    tok = F.col(tokens_col) if tokens_col else tokens(F.col(text_col))
     return df.select(
         F.col(id_col),
-        F.explode(shingles(tokens(F.col(text_col)), n)).alias("shingle"),
+        F.explode(shingles(tok, n)).alias("shingle"),
     )
 
 
@@ -266,6 +278,7 @@ def minhash_band_table(
     n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """(id, band, band_key) — LSH banding of md5-minhash signatures.
 
@@ -283,7 +296,7 @@ def minhash_band_table(
     rows_per_band = num_hashes // bands
     if num_hashes % bands or rows_per_band < 1:
         raise ValueError("num_hashes must be a positive multiple of bands")
-    sh = shingle_table(df, id_col, text_col, n)
+    sh = shingle_table(df, id_col, text_col, n, tokens_col=tokens_col)
     # all (band x chunk) minima as aggregation expressions over the
     # shingle rows directly — the seed explode would put `bands` copies
     # of every shingle row through the shuffle to reach the same minima;
@@ -323,6 +336,7 @@ def minhash_lsh_candidate_pairs(
     n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Distinct candidate near-dup pairs: docs sharing >= 1 LSH band
     bucket.  The band table (shingling + num_hashes min-hashes — the
@@ -330,7 +344,7 @@ def minhash_lsh_candidate_pairs(
     on a lazy frame plans its subtree once per side, running the
     minhash pass twice."""
     bt = minhash_band_table(
-        df, id_col, text_col, n, num_hashes, bands
+        df, id_col, text_col, n, num_hashes, bands, tokens_col=tokens_col
     ).localCheckpoint(eager=True)
     a = bt.alias("a")
     b = bt.alias("b")
@@ -732,6 +746,7 @@ def near_dup_pairs_at_scale(
     threshold: float = 0.8,
     num_hashes: int = 16,
     bands: int = 4,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """The composed corpus-scale near-dup pipeline: MinHash-LSH candidate
     generation -> exact Jaccard verification on candidates only.
@@ -762,7 +777,7 @@ def near_dup_pairs_at_scale(
     # pin the (small) pair list so it can seed the id prefilter below
     # without re-running the band self-join
     cand = minhash_lsh_candidate_pairs(
-        df, id_col, text_col, n, num_hashes, bands
+        df, id_col, text_col, n, num_hashes, bands, tokens_col=tokens_col
     ).localCheckpoint(eager=True)
     # guide §8: decide with small rows first — the expensive shingle
     # projection runs ONLY for docs that appear in a candidate pair
@@ -773,12 +788,13 @@ def near_dup_pairs_at_scale(
         .union(cand.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
+    arr_tok = F.col(tokens_col) if tokens_col else tokens(F.col(text_col))
     arrs = (
         ensure_parallelism(df)
         .join(ids, id_col, "semi")
         .select(
             F.col(id_col).alias("jid"),
-            shingles(tokens(F.col(text_col)), n).alias("sh_arr"),
+            shingles(arr_tok, n).alias("sh_arr"),
         )
         .localCheckpoint(eager=True)
     )
@@ -911,12 +927,13 @@ def containment_pairs(
         .union(cand.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
+    arr_tok = F.col(tokens_col) if tokens_col else tokens(F.col(text_col))
     arrs = (
         ensure_parallelism(df)
         .join(ids, id_col, "semi")
         .select(
             F.col(id_col).alias("jid"),
-            shingles(tokens(F.col(text_col)), n).alias("sh_arr"),
+            shingles(arr_tok, n).alias("sh_arr"),
         )
         .localCheckpoint(eager=True)
     )

@@ -161,6 +161,7 @@ def dedup_clusters(
     threshold: float = 0.8,
     num_hashes: int = 16,
     bands: int = 4,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """(doc_id, cluster_id, cluster_size, keep) — full-corpus dedup
     clustering: near-dup pairs at scale -> connected components ->
@@ -187,6 +188,7 @@ def dedup_clusters(
         threshold=threshold,
         num_hashes=num_hashes,
         bands=bands,
+        tokens_col=tokens_col,
     )
     comp = connected_components(pairs, "id_a", "id_b")
     clustered = docs.select(F.col(id_col).alias("doc_id")).join(

@@ -56,6 +56,36 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def quality_score_expr(t, tok) -> "F.Column":
+    """The quality-score expression over a text column ``t`` and its
+    token array ``tok`` — shared by :func:`quality_score` and callers
+    that already hold the token array (curate.curate_corpus pins ONE
+    token frame and feeds the gate, the MinHash shingles and the token
+    counts from it — guide §2.4 shared-subtree discipline), so the
+    fused path cannot drift from the operator.
+
+    score = 0.4*alpha_ratio + 0.3*stopword_ratio + 0.3*(1 - special_ratio)
+    computed as ONE double division of exact integer counts (common
+    denominator) — bit-identical in any engine.
+    """
+    n = F.length(t).cast("long")
+    alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", "")).cast("long")
+    digit = F.length(F.regexp_replace(t, "[^0-9]", "")).cast("long")
+    space = F.length(F.regexp_replace(t, "[^ ]", "")).cast("long")
+    special = n - alpha - digit - space
+    n_tokens = F.size(tok).cast("long")
+    n_stop = F.size(
+        F.filter(tok, lambda x: x.isin(*STOPWORDS_EN))
+    ).cast("long")
+    # score = [4*alpha*ntok + 3*nstop*n + 3*ntok*(n - special)] / (10*n*ntok)
+    numer = (
+        4 * alpha * n_tokens + 3 * n_stop * n + 3 * n_tokens * (n - special)
+    ).cast("double")
+    denom = (10 * n * n_tokens).cast("double")
+    nz = (n > 0) & (n_tokens > 0)
+    return F.when(nz, numer / denom)
+
+
 def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Heuristic document quality: character-class ratios + stopword ratio.
 
@@ -78,11 +108,6 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     n_tokens = F.size(tok).cast("long")
     n_stop = F.size(F.filter(tok, lambda x: x.isin(*STOPWORDS_EN))).cast("long")
 
-    # score = [4*alpha*ntok + 3*nstop*n + 3*ntok*(n - special)] / (10*n*ntok)
-    numer = (
-        4 * alpha * n_tokens + 3 * n_stop * n + 3 * n_tokens * (n - special)
-    ).cast("double")
-    denom = (10 * n * n_tokens).cast("double")
     # empty / token-free documents yield NULL ratios instead of an ANSI
     # divide-by-zero error (ANSI mode turns x/0 into a hard failure)
     nz = (n > 0) & (n_tokens > 0)
@@ -97,7 +122,7 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.when(nz, n_stop.cast("double") / n_tokens.cast("double")).alias(
             "stopword_ratio"
         ),
-        F.when(nz, numer / denom).alias("quality_score"),
+        quality_score_expr(t, tok).alias("quality_score"),
     )
 
 
