@@ -33,6 +33,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+def _stream_partitions(spark: SparkSession, src_path: str) -> int:
+    """Size-derived state/shuffle partition count for a stateful
+    streaming row (streaming.ingest.sized_stream_shuffle_partitions):
+    state-store open+commit cost is paid per partition per micro-batch
+    and is NOT AQE-coalescible, so the count follows the decoded input
+    volume (64 MB advisory target), clamped to [1, 3x session
+    parallelism] — small at bench scale, cluster-saturating at 100 TB."""
+    from netflix_data_ingestion_spark.streaming.ingest import (
+        path_bytes,
+        sized_stream_shuffle_partitions,
+    )
+
+    return sized_stream_shuffle_partitions(spark, path_bytes(src_path))
+
+
 # shared DuckDB CTE: tokenized + shingled documents (n=3)
 _DUCK_TOKS = """
 toks AS (
@@ -4734,6 +4749,13 @@ def q_events_throttled_daily_stream(spark: SparkSession, sf_dir: str
     )
     _STREAM_RUN_SEQ[0] += 1
     name = f"__throttled_daily_stream_{os.getpid()}_{_STREAM_RUN_SEQ[0]}"
+    # deliberately NOT size-derived (_stream_partitions) like the
+    # windowed/join rows: this query's wall clock is the per-KEY Python
+    # group calls inside applyInPandasWithState (~1,500 numpy admission
+    # passes), which want every core — measured 10.7 s at the
+    # size-derived 1 partition vs 5.2 s at the session default.  The
+    # state-commit-per-partition overhead the other rows shed is noise
+    # here next to the Python work.
     run_to_memory(kept, name)
     return (
         spark.table(name)
@@ -4820,7 +4842,13 @@ def q_events_tumbling_window_stream(spark: SparkSession, sf_dir: str
     )
     _STREAM_RUN_SEQ[0] += 1
     name = f"__tumbling_window_stream_{os.getpid()}_{_STREAM_RUN_SEQ[0]}"
-    run_to_memory(agg, name, output_mode="append", max_data_batches=1)
+    run_to_memory(
+        agg,
+        name,
+        output_mode="append",
+        max_data_batches=1,
+        shuffle_partitions=_stream_partitions(spark, ev_path),
+    )
     return spark.table(name).orderBy("window_start")
 
 
@@ -4886,7 +4914,13 @@ def q_events_sliding_window_stream(spark: SparkSession, sf_dir: str
     )
     _STREAM_RUN_SEQ[0] += 1
     name = f"__sliding_window_stream_{os.getpid()}_{_STREAM_RUN_SEQ[0]}"
-    run_to_memory(agg, name, output_mode="append", max_data_batches=1)
+    run_to_memory(
+        agg,
+        name,
+        output_mode="append",
+        max_data_batches=1,
+        shuffle_partitions=_stream_partitions(spark, ev_path),
+    )
     return spark.table(name).orderBy("window_start")
 
 
@@ -4970,7 +5004,13 @@ def q_events_session_window_stream(spark: SparkSession, sf_dir: str
     )
     _STREAM_RUN_SEQ[0] += 1
     name = f"__session_window_stream_{os.getpid()}_{_STREAM_RUN_SEQ[0]}"
-    run_to_memory(agg, name, output_mode="append", max_data_batches=1)
+    run_to_memory(
+        agg,
+        name,
+        output_mode="append",
+        max_data_batches=1,
+        shuffle_partitions=_stream_partitions(spark, ev_path),
+    )
     return spark.table(name).orderBy("user_id", "session_start")
 
 
@@ -5033,20 +5073,32 @@ def q_orders_cdc_snapshot_stream(spark: SparkSession, sf_dir: str
     shutil.rmtree(work, ignore_errors=True)
     snap_dir = os.path.join(work, "snapshot")
     os.makedirs(snap_dir, exist_ok=True)
-    q = (
-        apply_cdc_stream(
-            changes,
-            snap_dir,
-            os.path.join(work, "checkpoint"),
-            key_cols=["o_custkey"],
-            value_cols=["o_orderkey", "o_orderstatus"],
-            tombstone_col="is_delete",
-            order_col="o_orderkey",
+    # size-derived state partitions (the run_to_memory discipline) —
+    # set before start(), where the count freezes into the checkpoint,
+    # restored after the synchronous availableNow drain
+    spkey = "spark.sql.shuffle.partitions"
+    old_sp = spark.conf.get(spkey, None)
+    spark.conf.set(spkey, str(_stream_partitions(spark, ord_path)))
+    try:
+        q = (
+            apply_cdc_stream(
+                changes,
+                snap_dir,
+                os.path.join(work, "checkpoint"),
+                key_cols=["o_custkey"],
+                value_cols=["o_orderkey", "o_orderstatus"],
+                tombstone_col="is_delete",
+                order_col="o_orderkey",
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
+    finally:
+        if old_sp is None:
+            spark.conf.unset(spkey)
+        else:
+            spark.conf.set(spkey, old_sp)
     assert_data_batches(q, "orders_cdc_snapshot_stream", 1)
     return (
         read_cdc_snapshot(spark, snap_dir)
@@ -5108,7 +5160,13 @@ def q_events_ohlc_hourly_stream(spark: SparkSession, sf_dir: str
     )
     _STREAM_RUN_SEQ[0] += 1
     name = f"__ohlc_hourly_stream_{os.getpid()}_{_STREAM_RUN_SEQ[0]}"
-    run_to_memory(bars, name, output_mode="append", max_data_batches=1)
+    run_to_memory(
+        bars,
+        name,
+        output_mode="append",
+        max_data_batches=1,
+        shuffle_partitions=_stream_partitions(spark, ev_path),
+    )
     return spark.table(name).orderBy("event_type", "bucket")
 
 
@@ -7120,7 +7178,13 @@ def q_events_error_clicks_stream(
     old_nd = spark.conf.get(ndkey, None)
     spark.conf.set(ndkey, "false")
     try:
-        run_to_memory(joined, name, output_mode="append", max_data_batches=1)
+        run_to_memory(
+            joined,
+            name,
+            output_mode="append",
+            max_data_batches=1,
+            shuffle_partitions=_stream_partitions(spark, ev_path),
+        )
     finally:
         if old_nd is None:
             spark.conf.unset(ndkey)
