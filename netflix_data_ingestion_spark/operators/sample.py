@@ -532,12 +532,17 @@ def dsir_llr_weights(
     # one-split parquet input must not serialize that on one task
     # (quota_sample's convention: the operator owns its parallelism)
     df = ensure_parallelism(df)
+    # r13: pin the hashed-feature frame — the count pass and the score
+    # pass both traverse it (and the score projection references __bk
+    # twice), so un-pinned the interpreted tokenize+ngram+md5 pipeline
+    # ran 2-3x per doc; checkpointed it runs exactly once (guide §2.4;
+    # measured first-run 8.5 -> 3.1 s at sf0.1, warm 2.3 -> 2.0 s)
     base = df.select(
         F.col(id_col),
         F.col(id_col).alias("__id"),
         target.cast("boolean").alias("is_target"),
         bucks.alias("__bk"),
-    )
+    ).localCheckpoint(eager=True)
 
     # explode_outer, NOT explode: Catalyst's InferFiltersFromGenerate
     # adds size(child)>0 for a plain explode, and because the child here
